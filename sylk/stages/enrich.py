@@ -1,0 +1,50 @@
+"""Enrich stage: facility/severity name lookup in an actor pool.
+
+Mirrors the reference's enum->string surface (facility.rs:87-114
+``as_str``, severity.rs:57-68) as a broadcast lookup: the 24+8 name
+tables are built ONCE per actor in ``__init__`` and applied per batch
+with ``pyarrow.compute.take`` (null indices propagate nulls, so failed
+rows keep null names).  Usage::
+
+    ds.map_batches(Enricher, batch_format="pyarrow", concurrency=(2, 8))
+
+This is the pipeline's stateful-stage pattern: any lookup table /
+compiled state lives in ``__init__``; for genuinely large small-sides,
+pass a ``ray.ObjectRef`` (``ray.put`` once on the driver) and
+``ray.get`` it here — never re-ship per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.reference_semantics import FACILITY_NAMES, SEVERITY_NAMES
+
+
+class Enricher:
+    def __init__(self, extra_lookup_ref=None):
+        self._fac_names = pa.array(FACILITY_NAMES, pa.string())
+        self._sev_names = pa.array(SEVERITY_NAMES, pa.string())
+        if extra_lookup_ref is not None:
+            import ray
+
+            self._extra = ray.get(extra_lookup_ref)
+        else:
+            self._extra = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fac = batch.column("facility")
+        sev = batch.column("severity")
+        batch = batch.append_column(
+            "facility_name", pc.take(self._fac_names, fac)
+        )
+        batch = batch.append_column(
+            "severity_name", pc.take(self._sev_names, sev)
+        )
+        return batch
+
+
+def enrich_batch(batch: pa.Table) -> pa.Table:
+    """Stateless variant (tiny lookup => also fine as a plain task)."""
+    return Enricher()(batch)

@@ -1,0 +1,39 @@
+"""Router stage: fan-out to per-(facility, severity) Parquet sinks.
+
+The reference has no dataflow layer; routing semantics here honor its
+enum surface (facility.rs:87-114, severity.rs:57-68) — each parsed row
+lands in sink ``facility_name/severity_name``; each failed row lands in
+``reject/<ParseErr variant>`` (parser.rs:13-45).
+
+Implementation is ONE hash-partitioned ``write_parquet`` with Hive
+partition columns — a single streaming pass, no per-sink re-execution
+of the pipeline, and the Hive directory layout IS the fan-out (readers
+open exactly the sinks they need).  Deterministic directory names make
+retried writes idempotent at the partition level.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_route_columns(batch: pa.Table) -> pa.Table:
+    """Append ``route`` / ``route_key`` partition columns.
+
+    ok rows   -> route=<facility_name>, route_key=<severity_name>
+    fail rows -> route=reject,          route_key=<error variant>
+    """
+    ok = batch.column("ok")
+    route = pc.if_else(ok, batch.column("facility_name"), pa.scalar("reject"))
+    route_key = pc.if_else(ok, batch.column("severity_name"), batch.column("error"))
+    batch = batch.append_column("route", route)
+    return batch.append_column("route_key", route_key)
+
+
+def route_and_write(parsed_ds, out_dir: str, **write_kwargs):
+    """Write the routed fan-out in one pass.  ``parsed_ds`` must already
+    carry facility_name/severity_name (post-Enricher)."""
+    ds = parsed_ds.map_batches(add_route_columns, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["route", "route_key"], **write_kwargs)
+    return out_dir

@@ -1,0 +1,78 @@
+"""The batch parse stage must agree with the per-line oracle everywhere
+(differential test over the full generator mixture) — no Ray needed:
+parse_batch is a pure function on Arrow tables."""
+
+import numpy as np
+import pyarrow as pa
+
+from sylk.functions import parse_line, sd_to_json
+from sylk.sources.corpus import MUST_PARSE, MUST_REJECT
+from sylk.sources.transcripts import synth_batch
+from sylk.stages.enrich import enrich_batch
+from sylk.stages.parse import PARSE_FIELDS, parse_batch
+from sylk.stages.router import add_route_columns
+
+
+def _expected_columns(lines):
+    rows = []
+    for s in lines:
+        rec = parse_line(s)
+        if rec["ok"]:
+            rows.append(
+                {**{k: rec[k] for k in (
+                    "severity", "facility", "version", "timestamp",
+                    "timestamp_nanos", "hostname", "appname", "procid_pid",
+                    "procid_name", "msgid", "msg")},
+                 "ok": True, "error": None, "sd": sd_to_json(rec["sd"])}
+            )
+        else:
+            rows.append({"ok": False, "error": rec["error"]})
+    return rows
+
+
+def _check_against_oracle(lines):
+    batch = pa.table({"text": pa.array(lines, pa.string())})
+    out = parse_batch(batch)
+    expected = _expected_columns(lines)
+    got = out.to_pylist()
+    for i, (g, e) in enumerate(zip(got, expected)):
+        for k, _ in PARSE_FIELDS:
+            want = e.get(k)
+            assert g[k] == want, f"row {i} ({lines[i]!r}) col {k}: {g[k]!r} != {want!r}"
+
+
+def test_corpus_through_batch_parser():
+    lines = [line for line, _ in MUST_PARSE.values()] + [
+        line for line, _ in MUST_REJECT.values()
+    ]
+    _check_against_oracle(lines)
+
+
+def test_differential_generator_mixture():
+    # seeded, deterministic: 4000 rows covering the full mixture
+    t = synth_batch(np.arange(0, 4000, dtype=np.int64))
+    _check_against_oracle(t.column("text").to_pylist())
+
+
+def test_null_text():
+    batch = pa.table({"text": pa.array(["<1>1 - - - - - -", None], pa.string())})
+    out = parse_batch(batch).to_pylist()
+    assert out[0]["ok"] and out[1]["error"] == "MissingField"
+
+
+def test_enrich_and_route_columns():
+    lines = ["<78>1 - - - - - -", "<999>1 - - - - - -"]
+    out = add_route_columns(enrich_batch(parse_batch(pa.table({"text": lines}))))
+    rows = out.to_pylist()
+    assert rows[0]["facility_name"] == "cron" and rows[0]["severity_name"] == "info"
+    assert rows[0]["route"] == "cron" and rows[0]["route_key"] == "info"
+    assert rows[1]["facility_name"] is None
+    assert rows[1]["route"] == "reject" and rows[1]["route_key"] == "BadFacilityInPri"
+
+
+def test_batch_carries_input_columns():
+    t = synth_batch(np.arange(50, dtype=np.int64))
+    out = parse_batch(t)
+    for c in ("conv_id", "turn_idx", "role", "tool", "ts"):
+        assert c in out.column_names
+    assert out.column("conv_id").to_pylist() == t.column("conv_id").to_pylist()

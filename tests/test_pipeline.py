@@ -1,0 +1,148 @@
+"""End-to-end pipeline tests on the deterministic synthetic corpus:
+per-sink counts, routed-row equality under (conv_id, turn_idx) order,
+and resume-after-interrupt equivalence (SURVEY.md §5)."""
+
+import collections
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from sylk.functions import FACILITY_NAMES, SEVERITY_NAMES, parse_line
+from sylk.pipelines.flagship import parse_enrich, run_flagship
+from sylk.sources.transcripts import synth_batch, write_transcripts
+from sylk.stages.aggregate import salted_group_counts, sink_counts
+
+N_ROWS = 6000
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("transcripts")
+    write_transcripts(str(d), N_ROWS, rows_per_file=1000)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_rollup():
+    """Driver-side oracle: parse every line with the reference-faithful
+    parser and roll up expected counts."""
+    t = synth_batch(np.arange(N_ROWS, dtype=np.int64))
+    sink = collections.Counter()
+    rejects = collections.Counter()
+    per_row = []
+    for cid, tix, text in zip(
+        t.column("conv_id").to_pylist(),
+        t.column("turn_idx").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        rec = parse_line(text)
+        per_row.append((cid, tix, rec))
+        if rec["ok"]:
+            sink[(rec["facility"], rec["severity"])] += 1
+        else:
+            rejects[rec["error"]] += 1
+    return {"sink": sink, "rejects": rejects, "rows": per_row}
+
+
+@pytest.fixture(scope="module")
+def flagship_out(ray_session, corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("flagship"))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    summary = run_flagship(files, out, files_per_unit=2)
+    return summary
+
+
+def test_sink_counts_match_oracle(flagship_out, oracle_rollup):
+    assert flagship_out["rows"] == N_ROWS
+    assert flagship_out["sink_counts"] == dict(oracle_rollup["sink"])
+    assert flagship_out["reject_by_error"] == dict(oracle_rollup["rejects"])
+    assert flagship_out["parse_ok"] == sum(oracle_rollup["sink"].values())
+
+
+def test_routed_row_equality(flagship_out, oracle_rollup):
+    """Every routed ok-row equals the oracle parse under stable
+    (conv_id, turn_idx) ordering; sink placement matches enum names."""
+    import pyarrow.dataset as pads
+
+    data_dir = os.path.join(flagship_out["out_dir"], "data")
+    tbl = pads.dataset(data_dir, format="parquet", partitioning="hive").to_table()
+    df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    expected = sorted(
+        ((cid, tix, rec) for cid, tix, rec in oracle_rollup["rows"]),
+        key=lambda r: (r[0], r[1]),
+    )
+    assert len(df) == len(expected)
+    for i, (cid, tix, rec) in enumerate(expected):
+        row = df.iloc[i]
+        assert (row.conv_id, row.turn_idx) == (cid, tix)
+        if rec["ok"]:
+            assert row.route == FACILITY_NAMES[rec["facility"]]
+            assert row.route_key == SEVERITY_NAMES[rec["severity"]]
+            assert row.msg == rec["msg"]
+            assert (row.hostname if row.hostname is not None else None) == rec["hostname"]
+            assert (None if np.isnan(row.timestamp) else int(row.timestamp)) == rec["timestamp"]
+        else:
+            assert row.route == "reject" and row.route_key == rec["error"]
+
+
+def test_resume_skips_and_matches(ray_session, corpus_dir, flagship_out, tmp_path_factory):
+    """Interrupt simulation: run only the first unit (fresh dir), then a
+    full run resumes, skips the committed unit, and produces identical
+    aggregates to the uninterrupted run."""
+    out = str(tmp_path_factory.mktemp("resume"))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    first = run_flagship(files[:2], out, files_per_unit=2)
+    assert first["units_run"] == 1
+    # simulate a crash AFTER unit u00000 committed: rerun over all files
+    full = run_flagship(files, out, files_per_unit=2)
+    assert full["units_skipped"] == 1
+    assert full["units_run"] == len(files) // 2 - 1
+    assert full["sink_counts"] == flagship_out["sink_counts"]
+    assert full["reject_by_error"] == flagship_out["reject_by_error"]
+    assert full["host_app_histogram"] == flagship_out["host_app_histogram"]
+
+
+def test_partially_written_unit_is_overwritten(ray_session, corpus_dir, tmp_path_factory):
+    """A unit that wrote output but did NOT commit its manifest line is
+    re-processed; final counts are unaffected (idempotent retry)."""
+    out = str(tmp_path_factory.mktemp("partial"))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))[:2]
+    r1 = run_flagship(files, out, files_per_unit=2)
+    # wipe the manifest (as if we crashed before the commit point) but
+    # leave the partial/complete data dir behind
+    os.remove(os.path.join(out, "manifest.jsonl"))
+    shutil.rmtree(os.path.join(out, "data", "unit=u00000", "route=reject"))
+    r2 = run_flagship(files, out, files_per_unit=2)
+    assert r2["units_run"] == 1
+    assert r2["sink_counts"] == r1["sink_counts"]
+    assert r2["reject_by_error"] == r1["reject_by_error"]
+
+
+def test_salted_counts_match_plain(ray_session, corpus_dir):
+    """Salted two-phase conv_id counts == unsalted == driver-side truth."""
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus_dir)
+    parsed = parse_enrich(ds)
+    salted = salted_group_counts(parsed, "conv_id", salt=8).to_pandas()
+    t = synth_batch(np.arange(N_ROWS, dtype=np.int64))
+    truth = collections.Counter()
+    for cid, text in zip(t.column("conv_id").to_pylist(), t.column("text").to_pylist()):
+        if parse_line(text)["ok"]:
+            truth[cid] += 1
+    got = {r.conv_id: int(r.n) for r in salted.itertuples(index=False)}
+    assert got == dict(truth)
+
+
+def test_sink_counts_dataset_path(ray_session, corpus_dir):
+    """The Dataset-returning aggregate API (used by queries())."""
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus_dir)
+    pdf = sink_counts(parse_enrich(ds)).to_pandas()
+    assert pdf.n.sum() > 0
+    assert set(pdf.columns) == {"facility", "severity", "n"}
