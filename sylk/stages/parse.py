@@ -30,10 +30,75 @@ test asserts fast path == oracle on the full generator mixture.
 
 from __future__ import annotations
 
+import json
+import re
+
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.canonical_json import sd_to_json
 from ..functions.reference_semantics import parse_line
+
+# ---------------------------------------------------------------------------
+# Vectorized fast path.
+#
+# One anchored RE2 pass (pc.extract_regex) recognizes the common well-formed
+# line shape; every sub-language is written so that "fast path accepts" =>
+# "oracle accepts with identical output", and anything else falls back to
+# the per-row oracle:
+#
+# * PRI/VERSION digit runs are capped exactly like take_while
+#   (parser.rs:93-106): <4096> can't match `\d{1,3}>` so it falls back and
+#   gets the oracle's ExpectedTokenErr('>').
+# * terms are ASCII 33..=126 runs with the reference's max lengths
+#   (parser.rs:353-362); over-long or oddly-terminated terms fail the match.
+# * the timestamp offset separator is any single ASCII byte ([\x00-\x7f]),
+#   mirroring the unchecked byte skip (parser.rs:300-302); multibyte
+#   separators fall back (byte-slicing there diverges from codepoints).
+# * SD ids/param names in the fast class are printable ASCII minus
+#   ' ' '=' ']' so the 128-char cap counts bytes exactly like the byte-
+#   indexed cap in parser.rs:109; param values exclude escapes (handled by
+#   the oracle fallback) and quotes.
+# * after a bracket SD, the oracle only ever yields msg following a space
+#   (parser.rs:199-201); a matched row with sd!='-', no separating space
+#   and nonempty msg is grammatically impossible in the oracle, so such
+#   regex matches are kicked to the fallback (which rejects them).
+#
+# Calendar/offset range validation (month/day/hour/minute/second/offset,
+# parser.rs:256-316) is applied as vectorized masks; rows that fail go to
+# the fallback so the exact ParseErr variant comes from the oracle.
+# ---------------------------------------------------------------------------
+
+_TERM = r"[!-~]"
+# SD id / param name: ASCII printable minus ' ' '=' ']' up to 128 chars
+# (= bytes), OR any-codepoint form up to 32 chars (<= 128 bytes at 4
+# bytes/char worst case) — either way the oracle's byte-indexed 128-cap
+# (parser.rs:109) cannot fire, so fast == oracle.
+_SDCH = r"[!-<>-\\^-~]"  # printable ASCII minus ' ', '=', ']'
+_SDID = rf"(?:{_SDCH}{{1,128}}|[^ =\]]{{1,32}})"
+# param value: escape-free runs or backslash + any one char — exactly the
+# oracle's escape rule (parser.rs:130-154: backslash dropped, next char
+# kept verbatim)
+_SDVAL = r'(?:[^"\\]|\\(?s:.))*'
+_FAST_PATTERN = (
+    r"^<(?P<pri>\d{1,3})>(?P<ver>\d{1,2}) "
+    r"(?P<ts>-|(?P<y>\d{4})-(?P<mo>\d{2})-(?P<d>\d{2})"
+    r"T(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})"
+    r"(?:\.(?P<f>\d{1,9}))?(?P<off>Z|[+-]\d{2}[\x00-\x7f]\d{2})) "
+    rf"(?P<host>{_TERM}{{1,255}}) (?P<app>{_TERM}{{1,48}}) "
+    rf"(?P<proc>{_TERM}{{1,128}}) (?P<msgid>{_TERM}{{1,32}}) "
+    rf"(?P<sd>-|(?:\[{_SDID}(?: {_SDID}=\"{_SDVAL}\")*\])+)"
+    r"(?P<sp> ?)(?P<msg>(?s:.*))$"
+)
+
+_SD_ELEM_RE = re.compile(rf"\[({_SDID})((?: {_SDID}=\"{_SDVAL}\")*)\]")
+_SD_PARAM_RE = re.compile(rf" ({_SDID})=\"({_SDVAL})\"")
+_SD_UNESCAPE_RE = re.compile(r"\\(.)", re.S)
+
+_DIM_VEC = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31], np.int64)
+_I32_MIN_NP = -(2**31)
+_I32_MAX_NP = 2**31 - 1
 
 PARSE_FIELDS = [
     ("ok", pa.bool_()),
@@ -103,8 +168,10 @@ def parse_rows(lines: list) -> dict:
     }
 
 
-def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """The map_batches body: append parse-output columns to ``batch``."""
+def parse_batch_slow(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Reference-faithful per-row path (the oracle, run for every row).
+    Kept for differential testing; ``parse_batch`` is the production
+    dispatcher."""
     col = batch.column(text_col)
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         # zero-copy reinterpret: Arrow strings are UTF-8 bytes already
@@ -114,4 +181,183 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch
     for name, typ in PARSE_FIELDS:
         out = out.append_column(name, pa.array(cols[name], type=typ))
+    return out
+
+
+def _np_bool(arr) -> np.ndarray:
+    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _np_int(arr) -> np.ndarray:
+    # non-participating regex groups yield '' on matched rows and null on
+    # unmatched rows — both mean "absent" here and become 0
+    s = pc.fill_null(arr, "0")
+    s = pc.if_else(pc.equal(s, ""), "0", s)
+    return pc.cast(s, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _sd_json_fast(sd_str: str) -> str:
+    """Canonical JSON for a fast-path SD string (escape-free, well-formed
+    by regex construction).  Mirrors parse_sd merge semantics
+    (parser.rs:187-204) + the sorted-key serde output (message.rs:196-206)."""
+    sd: dict = {}
+    for sd_id, params in _SD_ELEM_RE.findall(sd_str):
+        sub = sd.setdefault(sd_id, {})
+        for k, v in _SD_PARAM_RE.findall(params):
+            if "\\" in v:
+                v = _SD_UNESCAPE_RE.sub(r"\1", v)
+            sub[k] = v
+    return json.dumps(sd, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """The map_batches body: append parse-output columns to ``batch``.
+
+    Vectorized RE2 fast path + per-row oracle fallback; a seeded
+    differential test asserts this equals ``parse_batch_slow`` everywhere.
+    """
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        out = batch
+        for name, typ in PARSE_FIELDS:
+            out = out.append_column(name, pa.array([], type=typ))
+        return out
+
+    st = pc.extract_regex(texts, _FAST_PATTERN)
+    g = {f: pc.struct_field(st, f) for f in (
+        "pri", "ver", "ts", "y", "mo", "d", "h", "mi", "s", "f", "off",
+        "host", "app", "proc", "msgid", "sd", "sp", "msg")}
+
+    matched = _np_bool(pc.is_valid(st))
+    pri = _np_int(g["pri"])
+    facility = pri >> 3
+    severity = pri & 0x7
+    fac_bad = matched & (facility > 23)
+
+    # --- timestamp validation + epoch (vectorized) ---
+    nil_ts = _np_bool(pc.equal(g["ts"], "-"))
+    y = _np_int(g["y"])
+    mo = _np_int(g["mo"])
+    d = _np_int(g["d"])
+    h = _np_int(g["h"])
+    mi = _np_int(g["mi"])
+    s = _np_int(g["s"])
+    leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    mo_c = np.clip(mo, 1, 12)
+    dim = _DIM_VEC[mo_c] + (leap & (mo_c == 2))
+    cal_ok = (mo >= 1) & (mo <= 12) & (d >= 1) & (d <= dim) & (h <= 23) & (mi <= 59) & (s <= 59)
+
+    off = g["off"]
+    is_z = _np_bool(pc.equal(off, "Z"))
+    off_sign_neg = _np_bool(pc.equal(pc.utf8_slice_codeunits(off, 0, 1), "-"))
+    oh_s = pc.utf8_slice_codeunits(off, 1, 3)
+    om_s = pc.utf8_slice_codeunits(off, 4, 6)
+    # slices are pure digits by regex; 'Z'/null rows produce ''/null -> fill 0
+    oh = _np_int(pc.if_else(pc.equal(oh_s, ""), "0", pc.fill_null(oh_s, "0")))
+    om = _np_int(pc.if_else(pc.equal(om_s, ""), "0", pc.fill_null(om_s, "0")))
+    off_ok = is_z | ((oh <= 23) & (om <= 59))
+    off_sec = np.where(is_z, 0, np.where(off_sign_neg, -1, 1) * (oh * 3600 + om * 60))
+
+    ts_ok = nil_ts | (cal_ok & off_ok)
+    # days-from-civil (proleptic Gregorian), vectorized
+    yy = y - (mo_c <= 2)
+    era = np.where(yy >= 0, yy, yy - 399) // 400
+    yoe = yy - era * 400
+    doy = (153 * (mo_c + np.where(mo_c > 2, -3, 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    epoch = (era * 146097 + doe - 719468) * 86400 + h * 3600 + mi * 60 + s - off_sec
+
+    fr = g["f"]
+    fr_len = pc.cast(
+        pc.utf8_length(pc.fill_null(fr, "")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    fr_val = _np_int(fr)
+    nanos = fr_val * np.power(10, np.maximum(9 - np.maximum(fr_len, 1), 0))
+
+    # --- SD / msg boundary rule (see module comment) ---
+    sd_nil = _np_bool(pc.equal(g["sd"], "-"))
+    sp_empty = _np_bool(pc.equal(g["sp"], ""))
+    msg_empty = _np_bool(pc.equal(g["msg"], ""))
+    sd_slow = (~sd_nil) & sp_empty & (~msg_empty)
+
+    ok_fast = matched & (~fac_bad) & ts_ok & (~sd_slow)
+    err_fast = fac_bad  # the only vectorized error: BadFacilityInPri
+    slow = ~(ok_fast | err_fast)
+    slow_idx = np.flatnonzero(slow)
+
+    # --- procid classification (parser.rs:357-360), vectorized ---
+    proc = g["proc"]
+    proc_num = _np_bool(pc.match_substring_regex(proc, r"^[+-]?\d{1,18}$"))
+    proc_stripped = pc.if_else(
+        pa.array(proc_num), pc.replace_substring_regex(pc.fill_null(proc, "0"), r"^\+", ""), "0"
+    )
+    proc_val = _np_int(proc_stripped)
+    is_pid = proc_num & (proc_val >= _I32_MIN_NP) & (proc_val <= _I32_MAX_NP)
+
+    # --- assemble fast columns (mask=True means null) ---
+    not_ok = ~ok_fast
+
+    def _num(values, invalid, typ):
+        return pa.array(values, type=typ, mask=invalid | not_ok)
+
+    nil = pa.scalar(None, pa.string())
+    ok_pa = pa.array(ok_fast)
+
+    def _str_col(col, extra_null=None):
+        invalid = not_ok if extra_null is None else (not_ok | extra_null)
+        return pc.if_else(pa.array(invalid), nil, col)
+
+    host_nil = _np_bool(pc.equal(g["host"], "-"))
+    app_nil = _np_bool(pc.equal(g["app"], "-"))
+    proc_nil = _np_bool(pc.equal(g["proc"], "-"))
+    msgid_nil = _np_bool(pc.equal(g["msgid"], "-"))
+
+    # canonical-JSON SD: "{}" for nil/empty; python loop only over rows
+    # that matched with a bracket SD
+    sd_vals = np.full(n, None, dtype=object)
+    sd_vals[ok_fast & sd_nil] = "{}"
+    sd_idx = np.flatnonzero(ok_fast & ~sd_nil)
+    if len(sd_idx):
+        for i, sstr in zip(sd_idx, g["sd"].take(pa.array(sd_idx)).to_pylist()):
+            sd_vals[i] = _sd_json_fast(sstr)
+
+    cols = {
+        "ok": ok_pa,
+        "error": pc.if_else(pa.array(err_fast), pa.scalar("BadFacilityInPri"), nil),
+        "severity": _num(severity, np.zeros(n, bool), pa.int8()),
+        "facility": _num(facility, np.zeros(n, bool), pa.int8()),
+        "version": _num(_np_int(g["ver"]), np.zeros(n, bool), pa.int32()),
+        "timestamp": _num(epoch, nil_ts, pa.int64()),
+        "timestamp_nanos": _num(nanos, nil_ts, pa.uint32()),
+        "hostname": _str_col(g["host"], host_nil),
+        "appname": _str_col(g["app"], app_nil),
+        "procid_pid": _num(proc_val, ~is_pid | proc_nil, pa.int32()),
+        "procid_name": _str_col(proc, proc_nil | is_pid),
+        "msgid": _str_col(g["msgid"], msgid_nil),
+        "sd": pa.array(sd_vals, type=pa.string()),
+        "msg": _str_col(g["msg"]),
+    }
+
+    # --- oracle fallback for the rows the fast path can't prove ---
+    if len(slow_idx):
+        bin_type = (
+            pa.large_binary() if pa.types.is_large_string(texts.type) else pa.binary()
+        )
+        slow_lines = texts.take(pa.array(slow_idx)).cast(bin_type).to_pylist()
+        patch = parse_rows(slow_lines)
+        slow_mask = pa.array(slow)
+        for name, typ in PARSE_FIELDS:
+            cols[name] = pc.replace_with_mask(
+                cols[name], slow_mask, pa.array(patch[name], type=typ)
+            )
+
+    out = batch
+    for name, typ in PARSE_FIELDS:
+        col = cols[name]
+        if col.type != typ:
+            col = col.cast(typ)
+        out = out.append_column(name, col)
     return out
