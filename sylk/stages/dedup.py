@@ -1,0 +1,305 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five families, each expressed Ray-Data-first:
+
+* exact: content-hash -> hash-partitioned groupby, keep lowest doc_id.
+* MinHash + LSH: shingle -> minhash signature -> banded bucket groupby ->
+  candidate pairs -> exact-Jaccard verification.
+* SimHash: 64-bit signatures -> chunk-banded buckets -> Hamming verify.
+* n-gram Jaccard: exact similarity on candidate pairs.
+* embedding cosine: random-hyperplane LSH buckets -> cosine verify.
+
+Partitioning assumptions (documented per north-rule): candidate
+generation shuffles only (band_id, band_hash, doc_id) triples — tiny vs
+the corpus; pair verification here rehydrates text/embeddings from a
+broadcast lookup (``ray.put`` once), which holds while the *candidate*
+id set fits in memory; at 100 TB swap the broadcast for a bucket join on
+doc_id (hash-partition both sides on doc_id, verify per bucket) — the
+band structure is unchanged.
+
+All hashing is explicit (blake2b / seeded numpy), never Python ``hash``
+(PYTHONHASHSEED varies across Ray workers).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_BANDS = 16  # 16 bands x 4 rows
+
+
+def _hash64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle -> uint64 hash array (deterministic)."""
+    toks = text.split()
+    if len(toks) < k:
+        src: Iterable[str] = [" ".join(toks)] if toks else []
+    else:
+        src = (" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    hs = [_hash64(s.encode("utf-8")) for s in src]
+    return np.unique(np.array(hs, dtype=np.uint64))
+
+
+_PERM_SEEDS = np.random.default_rng(42).integers(
+    0, np.iinfo(np.uint64).max, size=_N_PERM, dtype=np.uint64
+)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a cheap uniform permutation family (the
+    minhash estimate only needs per-seed pseudo-random orderings)."""
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64-permutation minhash signature (uint64[64])."""
+    hs = _shingle_hashes(text)
+    if len(hs) == 0:
+        return np.zeros(_N_PERM, dtype=np.uint64)
+    return _mix64(hs[None, :] ^ _PERM_SEEDS[:, None]).min(axis=1)
+
+
+def minhash_bands_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Explode each doc into (doc_id, band, band_hash) rows — the ONLY
+    payload that enters the LSH shuffle."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id, out_band, out_hash = [], [], []
+    rows_per_band = _N_PERM // _BANDS
+    for i, t in zip(ids, texts):
+        sig = minhash_signature(t or "")
+        for b in range(_BANDS):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            out_id.append(i)
+            out_band.append(b)
+            out_hash.append(_hash64(chunk.tobytes()))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one (band, band_hash) bucket."""
+    ids = sorted(set(group["doc_id"].tolist()))
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+    return pd.DataFrame({"a": list(a), "b": list(b)})
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    ha = _shingle_hashes(text_a, k)
+    hb = _shingle_hashes(text_b, k)
+    if len(ha) == 0 and len(hb) == 0:
+        return 1.0
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    union = len(ha) + len(hb) - inter
+    return inter / union if union else 0.0
+
+
+def minhash_dup_pairs(docs_ds, threshold: float = 0.8, text_col: str = "text"):
+    """MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    Returns Dataset[(a, b, jaccard)] with a < b, jaccard >= threshold.
+    """
+    import ray
+    import ray.data
+
+    bands = docs_ds.map_batches(
+        lambda b: minhash_bands_batch(b, text_col), batch_format="pyarrow"
+    )
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    # candidate set: small by design (empty bucket frames coerce int64 ->
+    # float in concat, so re-cast)
+    cand = pairs.to_pandas().drop_duplicates().astype({"a": "int64", "b": "int64"})
+    if len(cand) == 0:
+        return ray.data.from_items([])
+    # verification: broadcast the candidate docs' texts once (scale path:
+    # bucket join on doc_id instead — see module docstring)
+    need = set(cand["a"]).union(cand["b"])
+    texts = {}
+    for b in docs_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, t in zip(b["doc_id"].to_pylist(), b[text_col].to_pylist()):
+            if i in need:
+                texts[i] = t
+    ref = ray.put(texts)
+    cand_ds = ray.data.from_pandas(cand)
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        jac = [
+            ngram_jaccard(lookup.get(x, ""), lookup.get(y, ""))
+            for x, y in zip(batch["a"], batch["b"])
+        ]
+        batch = batch.assign(jaccard=jac)
+        return batch[batch["jaccard"] >= threshold]
+
+    return cand_ds.map_batches(_verify, batch_format="pandas")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_dedup_groups(docs_ds, text_col: str = "text"):
+    """Hash-partitioned exact dedup summary:
+    Dataset[(content_md5, keep_doc_id, n_dupes)] — keep = lowest doc_id."""
+    from ray.data.aggregate import Count, Min
+
+    from .text import fingerprint_batch
+
+    hashed = docs_ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col), batch_format="pyarrow"
+    )
+    return hashed.groupby("content_md5").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dupes")
+    )
+
+
+def exact_dedup(docs_ds, text_col: str = "text"):
+    """Deduplicated dataset: one row (lowest doc_id) per content hash.
+    Shuffle key = content hash (uniform — no skew by construction)."""
+    from .text import fingerprint_batch
+
+    hashed = docs_ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col), batch_format="pyarrow"
+    )
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")
+
+    return hashed.groupby("content_md5").map_groups(_first, batch_format="pandas")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.array([_hash64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    bits = np.unpackbits(hs.view(np.uint8)).reshape(len(hs), 64)
+    votes = bits.sum(axis=0) * 2 - len(hs)  # +1 for set bits, -1 for unset
+    out = np.packbits((votes > 0).astype(np.uint8))
+    return int.from_bytes(out.tobytes(), "little")
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("simhash", pa.array(np.array(vals, dtype=np.uint64)))
+
+
+def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
+    """SimHash near-dups: 4x16-bit chunk banding, Hamming-verified.
+    Returns Dataset[(a, b, hamming)]."""
+    import ray.data
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids, bands, keys, sigs = [], [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+            sh = simhash64(t or "")
+            for c in range(4):
+                ids.append(i)
+                bands.append(c)
+                keys.append((sh >> (16 * c)) & 0xFFFF)
+                sigs.append(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(keys, pa.int64()),
+                "sig": pa.array(np.array(sigs, dtype=np.uint64)),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g["doc_id"], g["sig"])))
+        out = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ham = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                if ham <= max_hamming:
+                    out.append((rows[i][0], rows[j][0], ham))
+        return pd.DataFrame(out, columns=["a", "b", "hamming"]).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"}
+        )
+
+    chunks = docs_ds.map_batches(_chunks, batch_format="pyarrow")
+    pairs = chunks.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pandas")
+    pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
+    return ray.data.from_pandas(pdf) if len(pdf) else ray.data.from_items([])
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_planes: int = 16, seed: int = 42):
+    """Random-hyperplane LSH over an embedding column -> bucket pairs ->
+    cosine verify.  Returns Dataset[(a, b, cosine)] with a < b."""
+    import ray
+    import ray.data
+
+    first = emb_ds.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def _sign_buckets(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
+        bits = (vecs @ pl) > 0
+        key = np.packbits(bits, axis=1, bitorder="little")[:, :2].copy().view(np.uint16)[:, 0]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(key.astype(np.int64)),
+            }
+        )
+
+    buckets = emb_ds.map_batches(_sign_buckets, batch_format="pyarrow")
+
+    def _bucket_pairs_v(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["vec_id"]))
+        out = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
+        return pd.DataFrame(out, columns=["a", "b"]).astype({"a": "int64", "b": "int64"})
+
+    cand = buckets.groupby("bucket").map_groups(_bucket_pairs_v, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        return ray.data.from_items([])
+    need = set(cand["a"]).union(cand["b"])
+    vecs = {}
+    for b in emb_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, v in zip(b["vec_id"].to_pylist(), b["embedding"].to_pylist()):
+            if i in need:
+                vecs[i] = np.asarray(v, dtype=np.float64)
+    ref = ray.put(vecs)
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        cos = []
+        for x, y in zip(batch["a"], batch["b"]):
+            va, vb = lookup[x], lookup[y]
+            cos.append(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12)))
+        batch = batch.assign(cosine=cos)
+        return batch[batch["cosine"] >= threshold]
+
+    import ray.data
+
+    return ray.data.from_pandas(cand).map_batches(_verify, batch_format="pandas")

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`ann_topk_bruteforce` — exact cosine top-k: per-batch numpy
+  matmul against a broadcast query matrix (``ray.put`` once, read in
+  every task), partial top-k per batch, tiny final merge.  The per-batch
+  partial bounds what crosses the wire to ``k * n_batches`` rows.
+* :class:`IVFIndex` / :func:`ann_topk_ivf` — the scale path: vectors are
+  assigned to their nearest of ``n_cells`` seeded centroids (one
+  pass); a query probes only the ``nprobe`` closest cells.  Partitioning
+  assumption: the cell column is the shuffle/pruning key; recall depends
+  on nprobe/n_cells (exactness is NOT claimed — the brute-force operator
+  is the correctness baseline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+
+
+def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10, round_to: int | None = 6):
+    """Exact cosine top-k for each query row.
+
+    Returns Dataset[(query_idx, vec_id, cosine)] — k rows per query,
+    ties broken by vec_id ascending (deterministic).
+    """
+    import ray
+    import ray.data
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = _normalize(np.vstack(batch["embedding"].to_pylist()).astype(np.float64))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = qm @ vecs.T  # (nq, nb)
+        nq, nb = sims.shape
+        kk = min(k, nb)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(nq):
+            row = sims[qi]
+            # deterministic: sort by (-sim, vec_id)
+            order = np.lexsort((ids, -row))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        if round_to is not None:
+            g = g.assign(cosine=g["cosine"].round(round_to))
+        return g
+
+    return partials.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+
+
+class IVFIndex:
+    """Seeded one-pass IVF: centroids from a deterministic sample."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids.astype(np.float64))
+
+    @staticmethod
+    def train(emb_ds, n_cells: int = 16, sample: int = 2048, seed: int = 42):
+        """Centroids = k-means-lite (a few Lloyd iterations over a seeded
+        sample; driver-side — the sample is small by construction)."""
+        rows = emb_ds.limit(sample).take_all()
+        mat = _normalize(np.vstack([r["embedding"] for r in rows]).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+        for _ in range(5):
+            assign = (mat @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = mat[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+            cents = _normalize(cents)
+        return IVFIndex(cents)
+
+    def assign_batch(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.vstack(batch["embedding"].to_pylist()).astype(np.float64))
+        cell = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
+
+
+def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
+                 nprobe: int = 4, round_to: int | None = 6):
+    """IVF-pruned cosine top-k: probe only ``nprobe`` cells per query.
+
+    Scale path: the cell assignment runs once (write ``cell`` as a
+    partition column at ingest); queries then read only matching
+    partitions — at 100 TB this prunes the scan, not just the compute.
+    """
+    import ray
+
+    index = IVFIndex.train(emb_ds, n_cells=n_cells)
+    assigned = emb_ds.map_batches(index.assign_batch, batch_format="pyarrow")
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(q)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        pr = ray.get(probe_ref)
+        vecs = _normalize(np.vstack(batch["embedding"].to_pylist()).astype(np.float64))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(cells, pr[qi])
+            if not mask.any():
+                continue
+            row = qm[qi] @ vecs[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            order = np.lexsort((sub_ids, -row))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = assigned.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        if round_to is not None:
+            g = g.assign(cosine=g["cosine"].round(round_to))
+        return g
+
+    return partials.groupby("query_idx").map_groups(_merge, batch_format="pandas")

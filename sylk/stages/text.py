@@ -1,0 +1,119 @@
+"""Text-analysis stages over the ``documents`` table.
+
+Vectorized ``map_batches`` operators for a large-scale training-data
+pipeline: token counting, quality scoring, language ID, document
+fingerprinting.  Each is a pure batch function (no state), Arrow in/out,
+using pyarrow.compute regex kernels — no Python loop in the hot path.
+
+The token / quality / fingerprint definitions are deliberately
+SQL-expressible so DuckDB oracles can recompute them exactly (see
+``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# \S+ runs == str.split() token count on non-degenerate text
+_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+_DIGIT_RE = r"[0-9]"
+_UPPER_RE = r"[A-Z]"
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "pour"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens``: count of whitespace-separated tokens."""
+    n = pc.count_substring_regex(batch.column(text_col), _TOKEN_RE)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality features + a composite score.
+
+    All components are closed-form over counts so the oracle can recompute
+    them: len_chars, n_tokens, punct_ratio, digit_ratio, upper_ratio,
+    avg_token_len, quality_score (all ratios double).
+    """
+    text = batch.column(text_col)
+    chars = pc.cast(pc.utf8_length(text), pa.float64())
+    toks = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.float64())
+    punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.float64())
+    digit = pc.cast(pc.count_substring_regex(text, _DIGIT_RE), pa.float64())
+    upper = pc.cast(pc.count_substring_regex(text, _UPPER_RE), pa.float64())
+    safe_chars = pc.max_element_wise(chars, 1.0)
+    safe_toks = pc.max_element_wise(toks, 1.0)
+    punct_ratio = pc.divide(punct, safe_chars)
+    digit_ratio = pc.divide(digit, safe_chars)
+    upper_ratio = pc.divide(upper, safe_chars)
+    avg_tok = pc.divide(chars, safe_toks)
+    # higher = cleaner prose: penalize punctuation/digit noise and
+    # degenerate token lengths
+    score = pc.subtract(
+        pc.subtract(1.0, pc.multiply(2.0, punct_ratio)),
+        pc.multiply(1.0, digit_ratio),
+    )
+    batch = batch.append_column("len_chars", pc.cast(chars, pa.int64()))
+    batch = batch.append_column("n_tokens", pc.cast(toks, pa.int64()))
+    batch = batch.append_column("punct_ratio", punct_ratio)
+    batch = batch.append_column("digit_ratio", digit_ratio)
+    batch = batch.append_column("upper_ratio", upper_ratio)
+    batch = batch.append_column("avg_token_len", avg_tok)
+    return batch.append_column("quality_score", score)
+
+
+class LangId:
+    """Actor-pool language-ID stage: stopword-profile scoring.
+
+    Stateful pattern: the per-language regexes are compiled ONCE per actor
+    in ``__init__`` (broadcast-equivalent — tiny profiles rebuilt per
+    worker, never re-shipped per batch)."""
+
+    def __init__(self):
+        self._pats = {
+            lang: r"(?i)\b(?:" + "|".join(words) + r")\b"
+            for lang, words in _LANG_PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.count_substring_regex(batch.column("text"), _TOKEN_RE), pa.float64()
+        )
+        safe = pc.max_element_wise(toks, 1.0)
+        scores = {
+            lang: pc.divide(
+                pc.cast(pc.count_substring_regex(batch.column("text"), pat), pa.float64()),
+                safe,
+            ).to_numpy(zero_copy_only=False)
+            for lang, pat in self._pats.items()
+        }
+        langs = list(scores)
+        mat = np.vstack([scores[lang] for lang in langs])
+        best = mat.argmax(axis=0)
+        conf = mat.max(axis=0)
+        pred = np.where(conf > 0.02, np.array(langs, dtype=object)[best], "und")
+        batch = batch.append_column("lang_pred", pa.array(pred, pa.string()))
+        return batch.append_column("lang_conf", pa.array(conf, pa.float64()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append content fingerprints: ``content_md5`` (exact-dup key) and
+    ``fp16`` (16-hex-char case-normalized fingerprint)."""
+    texts = batch.column(text_col).cast(pa.binary()).to_pylist()
+    md5s = [None if t is None else hashlib.md5(t).hexdigest() for t in texts]
+    fp16 = [
+        None if t is None else hashlib.md5(t.lower()).hexdigest()[:16] for t in texts
+    ]
+    batch = batch.append_column("content_md5", pa.array(md5s, pa.string()))
+    return batch.append_column("fp16", pa.array(fp16, pa.string()))

@@ -1,0 +1,216 @@
+"""Training-data operators: text analysis, dedup families, similarity
+search, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sylk.stages.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_dup_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_dup_pairs,
+)
+from sylk.stages.multimodal import (
+    AudioFeatures,
+    FrameSampler,
+    ImageDecoder,
+    synth_media,
+)
+from sylk.stages.similarity import ann_topk_bruteforce, ann_topk_ivf
+from sylk.stages.text import (
+    LangId,
+    fingerprint_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+def _docs_table():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark and ray data pipelines",
+        "pack my box with five dozen liquor jugs for the long winter trip",
+        "numbers 123 and 456 with punctuation!!! and, commas, here",
+    ]
+    texts = [
+        base[0],
+        base[1],
+        base[2],
+        base[3],
+        base[0],  # exact dup of 0
+        base[0].replace("dog", "cat"),  # near dup of 0
+        base[1],  # exact dup of 1
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_count_and_quality():
+    t = _docs_table()
+    out = token_count_batch(t)
+    assert out.column("n_tokens").to_pylist()[0] == len(t.column("text")[0].as_py().split())
+    q = quality_score_batch(t).to_pylist()
+    assert q[3]["punct_ratio"] > q[0]["punct_ratio"]
+    assert q[0]["quality_score"] > q[3]["quality_score"]
+    assert q[0]["len_chars"] == len(t.column("text")[0].as_py())
+
+
+def test_lang_id():
+    t = pa.table({"text": [
+        "the cat and the dog sat in the house for a while",
+        "der Hund und die Katze sind nicht in das Haus",
+        "zzz qqq xxx www",  # no profile hits
+    ]})
+    out = LangId()(t).to_pylist()
+    assert out[0]["lang_pred"] == "en"
+    assert out[1]["lang_pred"] == "de"
+    assert out[2]["lang_pred"] == "und"
+
+
+def test_fingerprints_match_hashlib():
+    import hashlib
+
+    t = _docs_table()
+    out = fingerprint_batch(t).to_pylist()
+    s = t.column("text")[0].as_py()
+    assert out[0]["content_md5"] == hashlib.md5(s.encode()).hexdigest()
+    assert out[0]["fp16"] == hashlib.md5(s.lower().encode()).hexdigest()[:16]
+    assert out[0]["content_md5"] == out[4]["content_md5"]  # exact dup
+
+
+def test_ngram_jaccard_and_simhash():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a.replace("dog", "cat")
+    assert ngram_jaccard(a, a) == 1.0
+    assert 0.3 < ngram_jaccard(a, b) < 1.0
+    assert ngram_jaccard(a, "totally unrelated words entirely") < 0.05
+    ham = bin(simhash64(a) ^ simhash64(b)).count("1")
+    assert ham < 16
+    assert simhash64(a) == simhash64(a)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    groups = exact_dedup_groups(ds).to_pandas()
+    assert len(groups) == 5  # 7 docs, 2 exact dups
+    assert groups.n_dupes.sum() == 7
+    keep = exact_dedup(ds).to_pandas()
+    assert sorted(keep.doc_id) == [0, 1, 2, 3, 5]
+
+
+def test_minhash_lsh_pairs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = minhash_dup_pairs(ds, threshold=0.5).to_pandas()
+    got = set(zip(pairs.a, pairs.b))
+    assert (0, 4) in got  # exact dup -> jaccard 1.0
+    assert (1, 6) in got
+    assert (0, 5) in got  # near dup
+    assert all(j >= 0.5 for j in pairs.jaccard)
+    assert not any((a, b) in got for a, b in [(0, 1), (2, 3)])
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = simhash_dup_pairs(ds, max_hamming=8).to_pandas()
+    got = set(zip(pairs.a, pairs.b))
+    assert (0, 4) in got and (1, 6) in got
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[13] = vecs[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near dup
+    vecs[21] = vecs[2]  # exact dup
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    pairs = embedding_dup_pairs(ray.data.from_arrow(t), threshold=0.97).to_pandas()
+    got = set(zip(pairs.a, pairs.b))
+    assert (2, 21) in got and (3, 13) in got
+
+
+def test_ann_bruteforce_matches_numpy(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    queries = rng.standard_normal((3, 16))
+    out = ann_topk_bruteforce(ray.data.from_arrow(t), queries, k=5).to_pandas()
+    # numpy ground truth
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in range(3):
+        want = list(np.lexsort((np.arange(200), -sims[qi]))[:5])
+        got = out[out.query_idx == qi].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]).vec_id.tolist()
+        assert got == want, (qi, got, want)
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    queries = rng.standard_normal((2, 16))
+    exact = ann_topk_bruteforce(ds, queries, k=10).to_pandas()
+    approx = ann_topk_ivf(ds, queries, k=10, n_cells=8, nprobe=4).to_pandas()
+    for qi in range(2):
+        e = set(exact[exact.query_idx == qi].vec_id)
+        a = set(approx[approx.query_idx == qi].vec_id)
+        assert len(e & a) / 10 >= 0.5  # probing half the cells
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    media = ray.data.from_arrow(synth_media(30))
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    feats = imgs.map_batches(ImageDecoder, batch_format="pyarrow",
+                             batch_size=8, concurrency=2).to_pandas()
+    assert len(feats) == 10 and all(len(f) == 64 for f in feats.features)
+    # determinism across runs
+    feats2 = imgs.map_batches(ImageDecoder, batch_format="pyarrow",
+                              batch_size=4, concurrency=1).to_pandas()
+    m1 = dict(zip(feats.media_id, [tuple(f) for f in feats.features]))
+    m2 = dict(zip(feats2.media_id, [tuple(f) for f in feats2.features]))
+    assert m1 == m2
+    aud = media.filter(lambda r: r["kind"] == "audio")
+    en = aud.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+                         concurrency=2).to_pandas()
+    assert all(len(e) == 16 for e in en.energies)
+    vid = media.filter(lambda r: r["kind"] == "video")
+    fr = vid.map_batches(FrameSampler, batch_format="pyarrow", batch_size=8,
+                         concurrency=2).to_pandas()
+    assert set(fr.frame_idx) == {0, 8, 16, 24, 32, 40}
+
+
+def test_multimodal_strict_raises():
+    import pytest as _pytest
+
+    dec = ImageDecoder(strict=True)
+    with _pytest.raises(NotImplementedError):
+        dec(synth_media(3).filter(pa.array([True, False, False])))
