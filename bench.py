@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver runs this per round; see BASELINE.md).
+
+Prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
+(default 32).  The transcript corpus for the parse-pipeline benchmarks
+is deterministic (sylk.sources.transcripts.synth_batch — a pure function
+of the row index), sized 15x the sf dir's events row count, generated in
+parallel once and cached under /tmp/sylk_bench.
+
+``--scaling``: runs the headline streaming pipeline twice in FRESH
+processes (num_cpus=8 then 32) on the same cached corpus and reports
+throughput at both plus scaling efficiency ((t8/t32)/4) — the sandbox
+stand-in for the north rule's N vs 4N node criterion.
+
+``--one NAME``: internal; run a single query in this process.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = "/tmp/sylk_bench"
+CORPUS_MULTIPLIER = 15
+
+
+def _corpus_rows() -> int:
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(os.path.join(SF_DIR, "events.parquet")).metadata.num_rows
+    return n_events * CORPUS_MULTIPLIER
+
+
+def ensure_corpus(n_rows: int) -> list[str]:
+    """Generate the deterministic transcript corpus in parallel (cached)."""
+    import ray.data
+
+    from sylk.sources.transcripts import synth_batch
+
+    d = os.path.join(BENCH_TMP, f"corpus_{n_rows}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        (
+            ray.data.range(n_rows)
+            .map_batches(
+                lambda b: synth_batch(b["id"].to_numpy()),
+                batch_format="pyarrow",
+                batch_size=65536,
+            )
+            .write_parquet(d)
+        )
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+    return sorted(glob.glob(os.path.join(d, "*.parquet")))
+
+
+# --- benchmark bodies (each returns extra result fields) --------------------
+
+def bench_flagship(files: list[str]) -> dict:
+    """Full pipeline incl. partitioned sink write + manifest (wiped first)."""
+    from sylk.pipelines.flagship import run_flagship
+
+    out = os.path.join(BENCH_TMP, "flagship_out")
+    shutil.rmtree(out, ignore_errors=True)
+    per_unit = max(1, len(files) // 4)
+    summary = run_flagship(files, out, files_per_unit=per_unit)
+    return {"rows": summary["rows"], "parse_ok": summary["parse_ok"]}
+
+
+def bench_parse_agg(files: list[str]) -> dict:
+    """Headline streaming pipeline: parse -> enrich -> two-phase sink
+    counts + reject counts (no disk write; pure compute + small shuffle)."""
+    import ray.data
+
+    from sylk.pipelines.flagship import parse_enrich
+    from sylk.stages.aggregate import combined_counts, rollups_from_combined
+
+    ds = ray.data.read_parquet(files)
+    parsed = parse_enrich(ds)
+    sc, rc, _ = rollups_from_combined(combined_counts(parsed))
+    return {"rows": int(sc.n.sum() + rc.n.sum())}
+
+
+def bench_host_histogram(files: list[str]) -> dict:
+    import ray.data
+
+    from sylk.stages.aggregate import host_app_histogram
+    from sylk.stages.parse import parse_batch
+
+    ds = ray.data.read_parquet(files)
+    parsed = ds.map_batches(parse_batch, batch_format="pyarrow", zero_copy_batch=True)
+    h = host_app_histogram(parsed).to_pandas()
+    return {"groups": len(h)}
+
+
+def bench_minhash_dedup(_files) -> dict:
+    import ray.data
+
+    from sylk.stages.dedup import minhash_dup_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_dup_pairs(docs, threshold=0.8)
+    return {"pairs": pairs.count()}
+
+
+def bench_ann(_files) -> dict:
+    import numpy as np
+    import ray.data
+
+    from sylk.stages.similarity import ann_topk_bruteforce
+
+    emb = ray.data.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q = np.vstack(
+        emb.filter(expr="vec_id < 16").to_pandas().sort_values("vec_id")["embedding"].to_numpy()
+    )
+    out = ann_topk_bruteforce(emb, q, k=10)
+    return {"rows": out.count()}
+
+
+BENCHES = {
+    "flagship": bench_flagship,
+    "parse_agg": bench_parse_agg,
+    "host_histogram": bench_host_histogram,
+    "minhash_dedup": bench_minhash_dedup,
+    "ann_bruteforce": bench_ann,
+}
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+
+
+def run_all(names: list[str]) -> dict:
+    _init_ray()
+    n_rows = _corpus_rows()
+    files = ensure_corpus(n_rows)
+    queries: dict[str, float] = {}
+    extras: dict[str, dict] = {}
+    for name in names:
+        t0 = time.time()
+        extras[name] = BENCHES[name](files)
+        queries[name] = round(time.time() - t0, 3)
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "parse->enrich->route->aggregate pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": n_rows,
+        "rows_per_s": {
+            n: round(extras[n].get("rows", 0) / queries[n]) if queries[n] else 0
+            for n in names
+            if "rows" in extras[n]
+        },
+        "detail": extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 -> efficiency."""
+    # generate the corpus once up front so neither timed run pays for it
+    _init_ray()
+    n_rows = _corpus_rows()
+    ensure_corpus(n_rows)
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", "parse_agg"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = results[8]["queries"]["parse_agg"]
+    t32 = results[32]["queries"]["parse_agg"]
+    speedup = t8 / t32
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input, fresh sessions)",
+        "value": round(speedup / 4.0, 4),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        "corpus_rows": n_rows,
+        "throughput_rows_per_s": {
+            "cpus_8": results[8]["rows_per_s"]["parse_agg"],
+            "cpus_32": results[32]["rows_per_s"]["parse_agg"],
+        },
+        "wall_s": {"cpus_8": t8, "cpus_32": t32},
+        "speedup_8_to_32": round(speedup, 3),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--scaling":
+        out = run_scaling()
+    elif args and args[0] == "--one":
+        out = run_all([args[1]])
+    else:
+        out = run_all(list(BENCHES))
+    print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,475 @@
+"""Driver-contract query implementations + matching DuckDB oracle SQL.
+
+Every entry in :data:`QUERIES` is a callable ``sf_dir -> pyarrow.Table``
+running a Ray Data pipeline; :data:`ORACLE_SQL` holds the ANSI-SQL
+equivalent DuckDB runs on the same parquet tables (views ``events``,
+``documents``, ``embeddings`` pre-registered by the driver).  Column
+names AND types are aligned on both sides (ints as int64, ratios as
+float64) because the driver hash-compares values after sorting columns
+by name.
+
+The parse-family oracles work because :func:`transcripts_from_events`
+constructs each RFC 5424 line from ``events`` columns with an exactly
+SQL-expressible mapping (sylk/sources/transcripts.py) — DuckDB
+recomputes the expected parse output from the *source* columns, so the
+comparison exercises the whole grammar round-trip (PRI decode
+parser.rs:206-210, header terms parser.rs:318-341, timestamp
+parser.rs:256-316, SD parser.rs:187-204) without needing a SQL syslog
+parser.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.reference_semantics import FACILITY_NAMES, SEVERITY_NAMES
+from ..sources.transcripts import transcripts_from_events
+from ..stages.aggregate import (
+    grouped_counts,
+    host_app_histogram,
+    reject_counts,
+    salted_group_counts,
+    sink_counts,
+)
+from ..stages.parse import parse_batch
+from ..stages.router import add_route_columns
+from .flagship import parse_enrich
+
+_I64 = {
+    "turn_idx": pa.int64(),
+    "facility": pa.int64(),
+    "severity": pa.int64(),
+    "version": pa.int64(),
+    "procid_pid": pa.int64(),
+    "timestamp_nanos": pa.int64(),
+    "n": pa.int64(),
+    "query_idx": pa.int64(),
+    "n_tokens": pa.int64(),
+    "len_chars": pa.int64(),
+}
+
+
+def _table(ds, columns: list[str]) -> pa.Table:
+    """Materialize a (small) result Dataset as a pyarrow Table with
+    driver-friendly types: listed int columns cast to int64."""
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    tbl = tbl.select(columns)
+    for name in columns:
+        if name in _I64 and tbl.schema.field(name).type != _I64[name]:
+            idx = tbl.schema.get_field_index(name)
+            tbl = tbl.set_column(idx, name, tbl.column(name).cast(_I64[name]))
+    return tbl
+
+
+def _parsed(sf_dir: str):
+    """events -> transcript lines -> parse (the shared prefix)."""
+    return transcripts_from_events(sf_dir).map_batches(
+        parse_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _ok(ds):
+    return ds.filter(expr="ok")
+
+
+# --- parse family ----------------------------------------------------------
+
+def q_transcript_lines(sf_dir: str) -> pa.Table:
+    """Per-turn text equality (the north rule's core invariant): the
+    constructed transcript rows themselves, keyed by (conv_id, turn_idx)."""
+    ds = transcripts_from_events(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    )
+    return _table(ds, ["conv_id", "turn_idx", "role", "text"])
+
+
+def q_parse_header(sf_dir: str) -> pa.Table:
+    cols = ["turn_idx", "facility", "severity", "version", "hostname",
+            "appname", "procid_pid", "msgid", "msg"]
+    return _table(_ok(_parsed(sf_dir)).select_columns(cols), cols)
+
+
+def q_parse_timestamp(sf_dir: str) -> pa.Table:
+    cols = ["turn_idx", "timestamp", "timestamp_nanos"]
+    return _table(_ok(_parsed(sf_dir)).select_columns(cols), cols)
+
+
+def q_parse_sd(sf_dir: str) -> pa.Table:
+    from ..functions.lookups import sd_get_batch
+
+    ds = _ok(_parsed(sf_dir)).map_batches(
+        lambda b: sd_get_batch(
+            sd_get_batch(b, "meta", "seq", out="sd_seq"), "meta", "user", out="sd_user"
+        ),
+        batch_format="pyarrow",
+    )
+    cols = ["turn_idx", "sd", "sd_seq", "sd_user"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_sink_counts(sf_dir: str) -> pa.Table:
+    return _table(sink_counts(_parsed(sf_dir)), ["facility", "severity", "n"])
+
+
+def q_reject_counts(sf_dir: str) -> pa.Table:
+    return _table(reject_counts(_parsed(sf_dir)), ["error", "n"])
+
+
+def q_host_app_histogram(sf_dir: str) -> pa.Table:
+    return _table(host_app_histogram(_parsed(sf_dir)), ["hostname", "appname", "n"])
+
+
+def q_enrich_names(sf_dir: str) -> pa.Table:
+    ds = _ok(parse_enrich(transcripts_from_events(sf_dir)))
+    cols = ["turn_idx", "facility_name", "severity_name"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_route_table(sf_dir: str) -> pa.Table:
+    routed = parse_enrich(transcripts_from_events(sf_dir)).map_batches(
+        add_route_columns, batch_format="pyarrow"
+    )
+    return _table(
+        grouped_counts(routed, ["route", "route_key"]), ["route", "route_key", "n"]
+    )
+
+
+def q_severity_filter(sf_dir: str) -> pa.Table:
+    ds = _ok(_parsed(sf_dir)).filter(expr="severity <= 3")
+    cols = ["turn_idx", "severity"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_conv_counts_salted(sf_dir: str) -> pa.Table:
+    return _table(salted_group_counts(_parsed(sf_dir), "conv_id", salt=8), ["conv_id", "n"])
+
+
+# --- text-analysis family (documents) --------------------------------------
+
+def _docs(sf_dir: str):
+    import os
+
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def q_token_counts(sf_dir: str) -> pa.Table:
+    from ..stages.text import token_count_batch
+
+    ds = _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+    return _table(ds.select_columns(["doc_id", "n_tokens"]), ["doc_id", "n_tokens"])
+
+
+def q_quality_scores(sf_dir: str) -> pa.Table:
+    from ..stages.text import quality_score_batch
+
+    ds = _docs(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
+    cols = ["doc_id", "len_chars", "n_tokens", "punct_ratio", "digit_ratio",
+            "upper_ratio", "avg_token_len", "quality_score"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_fingerprints(sf_dir: str) -> pa.Table:
+    from ..stages.text import fingerprint_batch
+
+    ds = _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    cols = ["doc_id", "content_md5", "fp16"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import exact_dedup_groups
+
+    return _table(exact_dedup_groups(_docs(sf_dir)),
+                  ["content_md5", "keep_doc_id", "n_dupes"])
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    from ..stages.text import LangId
+
+    ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    cols = ["doc_id", "lang_pred", "lang_conf"]
+    return _table(ds.select_columns(cols), cols)
+
+
+# --- similarity / dedup over embeddings ------------------------------------
+
+_N_ANN_QUERIES = 8
+_ANN_K = 10
+
+
+def _emb(sf_dir: str):
+    import os
+
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+
+
+def _query_matrix(sf_dir: str) -> np.ndarray:
+    """The first ``_N_ANN_QUERIES`` vectors by vec_id (query_idx == vec_id)."""
+    rows = (
+        _emb(sf_dir)
+        .filter(expr=f"vec_id < {_N_ANN_QUERIES}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return np.vstack(rows["embedding"].to_numpy())
+
+
+def q_ann_bruteforce(sf_dir: str) -> pa.Table:
+    from ..stages.similarity import ann_topk_bruteforce
+
+    out = ann_topk_bruteforce(_emb(sf_dir), _query_matrix(sf_dir), k=_ANN_K, round_to=6)
+    return _table(out, ["query_idx", "vec_id", "cosine"])
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    from ..stages.similarity import ann_topk_ivf
+
+    out = ann_topk_ivf(_emb(sf_dir), _query_matrix(sf_dir), k=_ANN_K)
+    return _table(out, ["query_idx", "vec_id", "cosine"])
+
+
+def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import minhash_dup_pairs
+
+    out = minhash_dup_pairs(_docs(sf_dir), threshold=0.8)
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.Table.from_pandas(pdf[["a", "b", "jaccard"]], preserve_index=False)
+
+
+def q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import simhash_dup_pairs
+
+    out = simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf[["a", "b", "hamming"]], preserve_index=False)
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
+    import os
+
+    import ray.data
+
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = embedding_dup_pairs(ds, threshold=0.95)
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return pa.Table.from_pandas(pdf[["a", "b", "cosine"]], preserve_index=False)
+
+
+def q_conformance(sf_dir: str) -> pa.Table:
+    """The reference crate's own test corpus through the batch parser
+    (FIXTURES.md; parser.rs:409-650) — rows-only driver check; exact
+    field-level assertions live in tests/test_parse_batch.py."""
+    import ray.data
+
+    from ..sources.corpus import MUST_PARSE, MUST_REJECT
+
+    lines = [line for line, _ in MUST_PARSE.values()]
+    lines += [line for line, _ in MUST_REJECT.values()]
+    ds = ray.data.from_items([{"case_idx": i, "text": t} for i, t in enumerate(lines)])
+    parsed = ds.map_batches(parse_batch, batch_format="pyarrow")
+    cols = ["case_idx", "ok", "error", "facility", "severity", "hostname", "sd", "msg"]
+    return _table(parsed.select_columns(cols), cols)
+
+
+# --- oracle SQL ------------------------------------------------------------
+
+def _case(expr: str, names: tuple | list) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(names))
+    return f"CASE {expr} {whens} END"
+
+
+_OK = "event_id % 23 <> 7"  # rows whose constructed line parses (others: PRI>=192)
+_FAC = "(event_id % 192) // 8"
+_SEV = "(event_id % 192) % 8"
+_HOST = "'host' || CAST(user_id % 50 AS VARCHAR)"
+_CONV = "'conv-' || CAST(user_id % 100 AS VARCHAR)"
+_TSSTR = "strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')"
+_LINE_GOOD = (
+    "'<' || CAST(event_id % 192 AS VARCHAR) || '>1 ' || " + _TSSTR +
+    " || ' ' || " + _HOST + " || ' ' || event_type"
+    " || ' ' || CAST(event_id % 65536 AS VARCHAR)"
+    " || ' m' || CAST(event_id % 1000 AS VARCHAR)"
+    " || ' [meta seq=\"' || CAST(event_id AS VARCHAR)"
+    " || '\" user=\"' || CAST(user_id AS VARCHAR) || '\"]'"
+    " || ' evt k=' || CAST(event_id % 7 AS VARCHAR)"
+)
+_LINE_BAD = "'<' || CAST(192 + event_id % 100 AS VARCHAR) || '>1 - - - - - -'"
+_ROLE = "CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END"
+
+# language-ID SQL mirror of sylk.stages.text.LangId (argmax tie-break =
+# first language in (en, de, fr, es) order; conf > 0.02 else 'und')
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "pour"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+}
+
+
+def _lang_conf(lang: str) -> str:
+    pat = r"(?i)\b(?:" + "|".join(_LANG_WORDS[lang]) + r")\b"
+    return (f"CAST(len(regexp_extract_all(text, '{pat}')) AS DOUBLE)"
+            f" / GREATEST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0)")
+
+
+_COS = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(v.embedding AS DOUBLE[]))")
+
+
+def build_oracle_sql() -> dict[str, str]:
+    fac_case = _case(_FAC, FACILITY_NAMES)
+    sev_case = _case(_SEV, SEVERITY_NAMES)
+    return {
+        "transcript_lines": f"""
+            SELECT {_CONV} AS conv_id, CAST(event_id AS BIGINT) AS turn_idx,
+                   {_ROLE} AS role,
+                   CASE WHEN {_OK} THEN {_LINE_GOOD} ELSE {_LINE_BAD} END AS text
+            FROM events""",
+        "parse_header": f"""
+            SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                   {_FAC} AS facility, {_SEV} AS severity,
+                   CAST(1 AS BIGINT) AS version,
+                   {_HOST} AS hostname, event_type AS appname,
+                   event_id % 65536 AS procid_pid,
+                   'm' || CAST(event_id % 1000 AS VARCHAR) AS msgid,
+                   'evt k=' || CAST(event_id % 7 AS VARCHAR) AS msg
+            FROM events WHERE {_OK}""",
+        "parse_timestamp": f"""
+            SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                   epoch_us(ts) // 1000000 AS "timestamp",
+                   (epoch_us(ts) % 1000000) * 1000 AS timestamp_nanos
+            FROM events WHERE {_OK}""",
+        "parse_sd": f"""
+            SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                   '{{"meta":{{"seq":"' || CAST(event_id AS VARCHAR)
+                     || '","user":"' || CAST(user_id AS VARCHAR) || '"}}}}' AS sd,
+                   CAST(event_id AS VARCHAR) AS sd_seq,
+                   CAST(user_id AS VARCHAR) AS sd_user
+            FROM events WHERE {_OK}""",
+        "sink_counts": f"""
+            SELECT {_FAC} AS facility, {_SEV} AS severity, COUNT(*) AS n
+            FROM events WHERE {_OK} GROUP BY 1, 2""",
+        "reject_counts": f"""
+            SELECT 'BadFacilityInPri' AS error, COUNT(*) AS n
+            FROM events WHERE NOT ({_OK}) GROUP BY 1""",
+        "host_app_histogram": f"""
+            SELECT {_HOST} AS hostname, event_type AS appname, COUNT(*) AS n
+            FROM events WHERE {_OK} GROUP BY 1, 2""",
+        "enrich_names": f"""
+            SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                   {fac_case} AS facility_name, {sev_case} AS severity_name
+            FROM events WHERE {_OK}""",
+        "route_table": f"""
+            SELECT CASE WHEN {_OK} THEN {fac_case} ELSE 'reject' END AS route,
+                   CASE WHEN {_OK} THEN {sev_case} ELSE 'BadFacilityInPri' END AS route_key,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2""",
+        "severity_filter": f"""
+            SELECT CAST(event_id AS BIGINT) AS turn_idx, {_SEV} AS severity
+            FROM events WHERE {_OK} AND {_SEV} <= 3""",
+        "conv_counts_salted": f"""
+            SELECT {_CONV} AS conv_id, COUNT(*) AS n
+            FROM events WHERE {_OK} GROUP BY 1""",
+        "token_counts": r"""
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens
+            FROM documents""",
+        "quality_scores": r"""
+            WITH f AS (
+              SELECT doc_id,
+                CAST(length(text) AS DOUBLE) AS chars,
+                CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+                CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS punct,
+                CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit,
+                CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper
+              FROM documents)
+            SELECT doc_id,
+                   CAST(chars AS BIGINT) AS len_chars,
+                   CAST(toks AS BIGINT) AS n_tokens,
+                   punct / GREATEST(chars, 1.0) AS punct_ratio,
+                   digit / GREATEST(chars, 1.0) AS digit_ratio,
+                   upper / GREATEST(chars, 1.0) AS upper_ratio,
+                   chars / GREATEST(toks, 1.0) AS avg_token_len,
+                   (1.0 - 2.0 * (punct / GREATEST(chars, 1.0)))
+                     - (digit / GREATEST(chars, 1.0)) AS quality_score
+            FROM f""",
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS content_md5,
+                   substring(md5(lower(text)), 1, 16) AS fp16
+            FROM documents""",
+        "exact_dedup": """
+            SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_dupes
+            FROM documents GROUP BY 1""",
+        "lang_id": f"""
+            WITH s AS (
+              SELECT doc_id,
+                {_lang_conf('en')} AS c_en, {_lang_conf('de')} AS c_de,
+                {_lang_conf('fr')} AS c_fr, {_lang_conf('es')} AS c_es
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN GREATEST(c_en, c_de, c_fr, c_es) <= 0.02 THEN 'und'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   GREATEST(c_en, c_de, c_fr, c_es) AS lang_conf
+            FROM s""",
+        "ann_bruteforce": f"""
+            SELECT CAST(q.vec_id AS BIGINT) AS query_idx,
+                   CAST(v.vec_id AS BIGINT) AS vec_id,
+                   round({_COS}, 6) AS cosine
+            FROM embeddings q, embeddings v
+            WHERE q.vec_id < {_N_ANN_QUERIES}
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {_COS} DESC, v.vec_id
+            ) <= {_ANN_K}""",
+    }
+
+
+QUERIES = {
+    "transcript_lines": q_transcript_lines,
+    "parse_header": q_parse_header,
+    "parse_timestamp": q_parse_timestamp,
+    "parse_sd": q_parse_sd,
+    "sink_counts": q_sink_counts,
+    "reject_counts": q_reject_counts,
+    "host_app_histogram": q_host_app_histogram,
+    "enrich_names": q_enrich_names,
+    "route_table": q_route_table,
+    "severity_filter": q_severity_filter,
+    "conv_counts_salted": q_conv_counts_salted,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "exact_dedup": q_exact_dedup,
+    "lang_id": q_lang_id,
+    "ann_bruteforce": q_ann_bruteforce,
+    # rows-only (not SQL-expressible: LSH/banded candidate generation,
+    # approximate IVF recall, the syslog conformance corpus)
+    "ann_ivf": q_ann_ivf,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "conformance": q_conformance,
+}

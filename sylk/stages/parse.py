@@ -315,14 +315,20 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     proc_nil = _np_bool(pc.equal(g["proc"], "-"))
     msgid_nil = _np_bool(pc.equal(g["msgid"], "-"))
 
-    # canonical-JSON SD: "{}" for nil/empty; python loop only over rows
-    # that matched with a bracket SD
+    # canonical-JSON SD: "{}" for nil/empty; the python transform runs
+    # once per UNIQUE sd string (dictionary-encode + take) — SD content
+    # repeats heavily in log data, so this is usually a large saving
     sd_vals = np.full(n, None, dtype=object)
     sd_vals[ok_fast & sd_nil] = "{}"
     sd_idx = np.flatnonzero(ok_fast & ~sd_nil)
     if len(sd_idx):
-        for i, sstr in zip(sd_idx, g["sd"].take(pa.array(sd_idx)).to_pylist()):
-            sd_vals[i] = _sd_json_fast(sstr)
+        de = g["sd"].take(pa.array(sd_idx)).dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        uniq_json = [_sd_json_fast(u) for u in de.dictionary.to_pylist()]
+        sd_vals[sd_idx] = pc.take(
+            pa.array(uniq_json, pa.string()), de.indices
+        ).to_numpy(zero_copy_only=False)
 
     cols = {
         "ok": ok_pa,

@@ -32,14 +32,18 @@ def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10, round_to: int 
     import ray
     import ray.data
 
-    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q = np.asarray(queries, dtype=np.float64)
     q_ref = ray.put(q)
 
     def _partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        vecs = _normalize(np.vstack(batch["embedding"].to_pylist()).astype(np.float64))
+        vecs = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = qm @ vecs.T  # (nq, nb)
+        # dot / sqrt(|a|^2 * |b|^2): exact 1.0 on identical vectors and
+        # bit-compatible with DuckDB's list_cosine_similarity
+        qq = (qm * qm).sum(axis=1)
+        vv = (vecs * vecs).sum(axis=1)
+        sims = (qm @ vecs.T) / np.sqrt(qq[:, None] * vv[None, :])  # (nq, nb)
         nq, nb = sims.shape
         kk = min(k, nb)
         out_q, out_id, out_s = [], [], []
