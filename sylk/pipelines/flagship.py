@@ -26,7 +26,7 @@ import time
 import ray.data
 
 from ..stages.aggregate import combined_counts, rollups_from_combined
-from ..stages.enrich import Enricher
+from ..stages.enrich import Enricher, enrich_batch
 from ..stages.parse import parse_batch
 from ..stages.router import route_and_write
 from ..state.manifest import Manifest
@@ -36,15 +36,34 @@ from ..state.manifest import Manifest
 _AGG_COLUMNS = ["ok", "facility", "severity", "error", "hostname", "appname"]
 
 
-def parse_enrich(ds, enrich_concurrency=(1, 8)):
+def parse_enrich(ds, enrich_concurrency=None, enrich_mode: str = "tasks"):
     """parse + enrich stages on any transcript Dataset.
 
     ``batch_size=None`` = whole Arrow blocks per call: the parse regex
     compiles once per block instead of once per 1024 rows, and the
-    vectorized kernels amortize."""
+    vectorized kernels amortize.
+
+    ``enrich_mode="tasks"`` (default): the enrich lookup runs as fused
+    stateless tasks with a per-worker cached table (see
+    ``enrich_batch``) — measured ~4x faster end-to-end than the actor
+    pool at this state size, because warm task workers are reused
+    across executions.  ``enrich_mode="actors"`` keeps the explicit
+    actor-pool stage (the pattern for expensive state); beware Ray
+    fuses the upstream stateless parse INTO the pool, so the pool
+    ceiling caps parse parallelism too — it defaults to the cluster
+    CPU count for that reason."""
     ds = ds.map_batches(
         parse_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    if enrich_mode == "tasks":
+        return ds.map_batches(
+            enrich_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    if enrich_concurrency is None:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+        enrich_concurrency = (1, max(2, n))
     return ds.map_batches(
         Enricher,
         batch_format="pyarrow",

@@ -146,6 +146,26 @@ def q_conv_counts_salted(sf_dir: str) -> pa.Table:
     return _table(salted_group_counts(_parsed(sf_dir), "conv_id", salt=8), ["conv_id", "n"])
 
 
+def q_serde_json(sf_dir: str) -> pa.Table:
+    """Full-message canonical serde JSON (message.rs golden format)."""
+    from ..stages.serialize import message_json_batch
+
+    ds = _ok(_parsed(sf_dir)).map_batches(message_json_batch, batch_format="pyarrow")
+    cols = ["turn_idx", "json"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_dedup_turns(sf_dir: str) -> pa.Table:
+    """Exact (conv_id, turn_idx) dedup over a deliberately DOUBLED input
+    (the resume-idempotence invariant: re-ingesting a shard is a no-op)."""
+    from ..stages.dedup import dedup_turns
+
+    ds = transcripts_from_events(sf_dir)
+    doubled = ds.union(transcripts_from_events(sf_dir))
+    out = dedup_turns(doubled).select_columns(["conv_id", "turn_idx", "role"])
+    return _table(out, ["conv_id", "turn_idx", "role"])
+
+
 # --- text-analysis family (documents) --------------------------------------
 
 def _docs(sf_dir: str):
@@ -390,6 +410,25 @@ def build_oracle_sql() -> dict[str, str]:
         "conv_counts_salted": f"""
             SELECT {_CONV} AS conv_id, COUNT(*) AS n
             FROM events WHERE {_OK} GROUP BY 1""",
+        "serde_json": f"""
+            SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                   '{{"severity":"' || {_case(_SEV, SEVERITY_NAMES)}
+                   || '","facility":"' || {_case(_FAC, FACILITY_NAMES)}
+                   || '","version":1,"timestamp":' || CAST(epoch_us(ts) // 1000000 AS VARCHAR)
+                   || ',"timestamp_nanos":' || CAST((epoch_us(ts) % 1000000) * 1000 AS VARCHAR)
+                   || ',"hostname":"host' || CAST(user_id % 50 AS VARCHAR)
+                   || '","appname":"' || event_type
+                   || '","procid":' || CAST(event_id % 65536 AS VARCHAR)
+                   || ',"msgid":"m' || CAST(event_id % 1000 AS VARCHAR)
+                   || '","sd":{{"meta":{{"seq":"' || CAST(event_id AS VARCHAR)
+                   || '","user":"' || CAST(user_id AS VARCHAR)
+                   || '"}}}},"msg":"evt k=' || CAST(event_id % 7 AS VARCHAR)
+                   || '"}}' AS json
+            FROM events WHERE {_OK}""",
+        "dedup_turns": f"""
+            SELECT {_CONV} AS conv_id, CAST(event_id AS BIGINT) AS turn_idx,
+                   {_ROLE} AS role
+            FROM events""",
         "token_counts": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                    AS n_tokens
@@ -459,6 +498,8 @@ QUERIES = {
     "route_table": q_route_table,
     "severity_filter": q_severity_filter,
     "conv_counts_salted": q_conv_counts_salted,
+    "serde_json": q_serde_json,
+    "dedup_turns": q_dedup_turns,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,

@@ -62,42 +62,67 @@ def host_app_histogram(parsed_ds):
     return grouped_counts(parsed_ds, ["hostname", "appname"], ok_filter=True)
 
 
-# the composite key behind ``combined_counts``: ONE parse pass feeds all
-# three north-rule rollups (per-sink counts, reject counts, host/app
-# histogram).  Shuffle volume == the host/app histogram's (the widest of
-# the three) — the sink/reject rollups ride along for free.
-_COMBINED_KEYS = ["ok", "facility", "severity", "error", "hostname", "appname"]
+# ``combined_counts``: ONE parse pass feeds all three north-rule rollups
+# (per-sink counts, reject counts, host/app histogram).  Each block emits
+# TWO narrow partial tables stacked in one schema — (ok, facility,
+# severity, error) and (ok, hostname, appname) — NOT one crossed
+# composite key: the cross product (sinks x hosts x apps) barely
+# compresses per block, which made partial volume scale linearly with
+# input and turned the final merge into the Amdahl bottleneck (measured:
+# 8->32 cpu efficiency 0.46 crossed vs >=0.8 stacked).
+_COMBINED_KEYS = ["kind", "ok", "facility", "severity", "error", "hostname", "appname"]
+_SINK_PART = ["ok", "facility", "severity", "error"]
+_HOST_PART = ["ok", "hostname", "appname"]
+
+
+def _clean_key(col):
+    if pa.types.is_boolean(col.type):
+        return col.cast(pa.int8())  # groupby-friendly key
+    if pa.types.is_string(col.type):
+        return pc.fill_null(col, "")
+    return pc.fill_null(col, -1)  # facility/severity are never negative
 
 
 def _partial_combined(batch: pa.Table) -> pa.Table:
-    cols = {}
-    for k in _COMBINED_KEYS:
-        col = batch.column(k)
-        if pa.types.is_boolean(col.type):
-            col = col.cast(pa.int8())  # groupby-friendly key
-        elif pa.types.is_string(col.type):
-            col = pc.fill_null(col, "")
-        elif pa.types.is_integer(col.type):
-            col = pc.fill_null(col, -1)  # facility/severity are never negative
-        cols[k] = col
+    cols = {k: _clean_key(batch.column(k)) for k in _COMBINED_KEYS[1:]}
     t = pa.table(cols)
-    out = t.group_by(_COMBINED_KEYS).aggregate([([], "count_all")])
-    return out.rename_columns(_COMBINED_KEYS + ["n"])
+    sink = t.group_by(_SINK_PART).aggregate([([], "count_all")])
+    host = t.group_by(_HOST_PART).aggregate([([], "count_all")])
+    n = {"sink": sink.column("count_all"), "host": host.column("count_all")}
+    stacked = {
+        "kind": pa.concat_arrays(
+            [pa.array([0] * len(sink), pa.int8()), pa.array([1] * len(host), pa.int8())]
+        )
+    }
+    for k in _COMBINED_KEYS[1:]:
+        parts = []
+        for which, tbl_part in (("sink", sink), ("host", host)):
+            if k in tbl_part.column_names:
+                parts.append(tbl_part.column(k).combine_chunks())
+            else:
+                typ = t.schema.field(k).type
+                parts.append(pa.nulls(len(tbl_part), typ))
+        stacked[k] = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+        )
+    stacked["n"] = pa.concat_arrays(
+        [n["sink"].combine_chunks(), n["host"].combine_chunks()]
+    )
+    return pa.table(stacked)
 
 
 def combined_counts(parsed_ds, distributed: bool = False):
-    """Single-execution partial+final count over the composite key ->
-    pandas DataFrame.  Use :func:`rollups_from_combined` on the result to
-    get the sink / reject / host-app aggregates without re-running the
-    pipeline.
+    """Single-execution partial+final count feeding all three rollups ->
+    pandas DataFrame (columns ``kind ok facility severity error hostname
+    appname n``).  Use :func:`rollups_from_combined` on the result.
 
-    Final merge strategy: per-block partials are (distinct keys per
-    block) rows — tiny relative to the input — so by default they stream
-    to the driver and merge in one pandas groupby (a tree-reduce whose
-    root is small).  When the composite key's global cardinality is too
-    large for one machine (host/app histograms over millions of hosts),
-    pass ``distributed=True`` to finalize with a Ray groupby shuffle
-    instead.
+    Final merge strategy: per-block partials are O(key cardinality) rows
+    — a few hundred per block — so by default they stream to the driver
+    and merge with pyarrow's multithreaded C++ ``group_by`` (a
+    tree-reduce whose root is small).  When a key's global cardinality
+    is too large for one machine (host/app histograms over millions of
+    hosts), pass ``distributed=True`` to finalize with a Ray groupby
+    shuffle instead.
     """
     partials = parsed_ds.map_batches(
         _partial_combined, batch_format="pyarrow", batch_size=None
@@ -105,18 +130,21 @@ def combined_counts(parsed_ds, distributed: bool = False):
     if distributed:
         final = partials.groupby(_COMBINED_KEYS).aggregate(Sum("n", alias_name="n"))
         return final.to_pandas()
-    pdf = partials.to_pandas()
-    return pdf.groupby(_COMBINED_KEYS, as_index=False).n.sum()
+    import ray
+
+    tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    merged = tbl.group_by(_COMBINED_KEYS).aggregate([("n", "sum")])
+    return merged.rename_columns(_COMBINED_KEYS + ["n"]).to_pandas()
 
 
 def rollups_from_combined(pdf):
     """(sink, reject, host_app) pandas rollups from a combined_counts
     result — each with the same columns the dedicated aggregates emit."""
-    ok = pdf[pdf.ok == 1]
-    bad = pdf[pdf.ok == 0]
-    sink = ok.groupby(["facility", "severity"], as_index=False).n.sum()
-    rej = bad.groupby(["error"], as_index=False).n.sum()
-    hostapp = ok.groupby(["hostname", "appname"], as_index=False).n.sum()
+    s = pdf[pdf.kind == 0]
+    h = pdf[pdf.kind == 1]
+    sink = s[s.ok == 1].groupby(["facility", "severity"], as_index=False).n.sum()
+    rej = s[s.ok == 0].groupby(["error"], as_index=False).n.sum()
+    hostapp = h[h.ok == 1].groupby(["hostname", "appname"], as_index=False).n.sum()
     return sink, rej, hostapp
 
 

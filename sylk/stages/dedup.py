@@ -188,6 +188,21 @@ def exact_dedup(docs_ds, text_col: str = "text"):
     return hashed.groupby("content_md5").map_groups(_first, batch_format="pandas")
 
 
+def dedup_turns(transcripts_ds):
+    """Exact dedup on the transcript key (conv_id, turn_idx) — the
+    resume-idempotence helper (SURVEY.md §2.3): re-ingesting an already
+    processed shard cannot double rows downstream.  Hash-partition
+    shuffle on the composite key; first row per key wins (rows with the
+    same key are identical by construction)."""
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return transcripts_ds.groupby(["conv_id", "turn_idx"]).map_groups(
+        _first, batch_format="pandas"
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash64(text: str) -> int:

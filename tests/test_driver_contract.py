@@ -1,0 +1,64 @@
+"""Driver-contract smoke + oracle parity at sf0.001 (the full sf0.01
+sweep lives in scripts/check_oracle.py; this keeps the contract from
+regressing inside the normal pytest run)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# representative slice of each family: parse grammar, aggregate shuffle,
+# enrich lookup, text analysis, dedup, ANN
+CHECKED = ["parse_header", "parse_timestamp", "parse_sd", "sink_counts",
+           "route_table", "token_counts", "exact_dedup", "ann_bruteforce"]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_every_oracle_key_has_a_query(contract):
+    qs, sql = contract
+    assert set(sql) <= set(qs)
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(contract, ddb, name):
+    qs, sql = contract
+    got = _canon(qs[name](SF).to_pandas())
+    exp = _canon(ddb.execute(sql[name]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = e.entry()
+    assert list(df.columns) == ["route", "route_key", "n"]
+    assert len(df) > 0 and df.n.sum() > 0
