@@ -97,15 +97,15 @@ def q_parse_timestamp(sf_dir: str) -> pa.Table:
 
 
 def q_parse_sd(sf_dir: str) -> pa.Table:
-    from ..functions.lookups import sd_get_batch
+    from ..functions.lookups import sd_find_sdid_batch, sd_get_batch
 
-    ds = _ok(_parsed(sf_dir)).map_batches(
-        lambda b: sd_get_batch(
-            sd_get_batch(b, "meta", "seq", out="sd_seq"), "meta", "user", out="sd_user"
-        ),
-        batch_format="pyarrow",
-    )
-    cols = ["turn_idx", "sd", "sd_seq", "sd_user"]
+    def _accessors(b):
+        b = sd_get_batch(b, "meta", "seq", out="sd_seq")
+        b = sd_get_batch(b, "meta", "user", out="sd_user")
+        return sd_find_sdid_batch(b, "meta", out="sd_element")
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_accessors, batch_format="pyarrow")
+    cols = ["turn_idx", "sd", "sd_seq", "sd_user", "sd_element"]
     return _table(ds.select_columns(cols), cols)
 
 
@@ -384,7 +384,9 @@ def build_oracle_sql() -> dict[str, str]:
                    '{{"meta":{{"seq":"' || CAST(event_id AS VARCHAR)
                      || '","user":"' || CAST(user_id AS VARCHAR) || '"}}}}' AS sd,
                    CAST(event_id AS VARCHAR) AS sd_seq,
-                   CAST(user_id AS VARCHAR) AS sd_user
+                   CAST(user_id AS VARCHAR) AS sd_user,
+                   '{{"seq":"' || CAST(event_id AS VARCHAR)
+                     || '","user":"' || CAST(user_id AS VARCHAR) || '"}}' AS sd_element
             FROM events WHERE {_OK}""",
         "sink_counts": f"""
             SELECT {_FAC} AS facility, {_SEV} AS severity, COUNT(*) AS n

@@ -41,29 +41,47 @@ from ..functions.canonical_json import sd_to_json
 from ..functions.reference_semantics import parse_line
 
 # ---------------------------------------------------------------------------
-# Vectorized fast path.
-#
-# One anchored RE2 pass (pc.extract_regex) recognizes the common well-formed
-# line shape; every sub-language is written so that "fast path accepts" =>
-# "oracle accepts with identical output", and anything else falls back to
-# the per-row oracle:
+# Vectorized fast path: split on the 6 header spaces, then validate each
+# field with a SMALL anchored RE2 — match-only (capture-free) wherever
+# possible, because RE2 answers capture-free matches with its DFA while
+# multi-capture extraction drops to the much slower NFA engines (measured
+# on this corpus: one 18-group whole-line extract = 398ms/65k rows; the
+# decomposed passes below total ~105ms).  Every sub-language is written
+# so that "fast path accepts" => "oracle accepts with identical output",
+# and anything else falls back to the per-row oracle:
 #
 # * PRI/VERSION digit runs are capped exactly like take_while
-#   (parser.rs:93-106): <4096> can't match `\d{1,3}>` so it falls back and
-#   gets the oracle's ExpectedTokenErr('>').
+#   (parser.rs:93-106): <4096> can't match `\d{1,3}>` so it falls back
+#   and gets the oracle's ExpectedTokenErr('>').  A field-0 PRI with
+#   facility > 23 is BadFacilityInPri regardless of the rest of the
+#   line, mirroring the oracle's eager PRI check (parser.rs:346-348).
 # * terms are ASCII 33..=126 runs with the reference's max lengths
-#   (parser.rs:353-362); over-long or oddly-terminated terms fail the match.
-# * the timestamp offset separator is any single ASCII byte ([\x00-\x7f]),
-#   mirroring the unchecked byte skip (parser.rs:300-302); multibyte
-#   separators fall back (byte-slicing there diverges from codepoints).
-# * SD ids/param names in the fast class are printable ASCII minus
+#   (parser.rs:353-362); over-long or oddly-terminated terms fail the
+#   match.  Consecutive separators yield empty fields, which fail the
+#   {1,N} bound — exactly the oracle's one-space grammar.
+# * the timestamp offset separator is any single ASCII byte
+#   ([\x00-\x7f]), mirroring the unchecked byte skip (parser.rs:300-302);
+#   multibyte separators fall back (byte-slicing there diverges from
+#   codepoints).  Date/time digits are read by fixed-position slices —
+#   the shape regex pins their offsets.
+# * SD boundary detection runs a LOOSE single-capture prefix regex
+#   (bracket blocks with quote-aware content — cheap for RE2), then the
+#   captured run is validated against the STRICT element grammar with a
+#   capture-free anchored match.  Loose and strict agree on element ends
+#   (both end an element at the first un-quoted `]`; quoted values
+#   protect `]` identically, parser.rs:130-154), so a strict-validated
+#   loose capture IS the oracle's greedy SD prefix (parser.rs:199-201).
+#   Anything loose cannot match (escapes outside quotes, multibyte
+#   oddities) falls back.
+# * SD ids / param names in the strict class are printable ASCII minus
 #   ' ' '=' ']' so the 128-char cap counts bytes exactly like the byte-
-#   indexed cap in parser.rs:109; param values exclude escapes (handled by
-#   the oracle fallback) and quotes.
-# * after a bracket SD, the oracle only ever yields msg following a space
-#   (parser.rs:199-201); a matched row with sd!='-', no separating space
-#   and nonempty msg is grammatically impossible in the oracle, so such
-#   regex matches are kicked to the fallback (which rejects them).
+#   indexed cap in parser.rs:109 (or any-codepoint up to 32 chars, <=128
+#   bytes worst case).
+# * after a bracket SD the oracle only ever yields msg following a space
+#   (parser.rs:199-201); a loose-matched row with sd!='-', no separating
+#   space and nonempty msg is therefore kicked to the fallback (which
+#   rejects it) — this also covers loose swallowing an element the
+#   strict grammar rejects.
 #
 # Calendar/offset range validation (month/day/hour/minute/second/offset,
 # parser.rs:256-316) is applied as vectorized masks; rows that fail go to
@@ -81,16 +99,16 @@ _SDID = rf"(?:{_SDCH}{{1,128}}|[^ =\]]{{1,32}})"
 # oracle's escape rule (parser.rs:130-154: backslash dropped, next char
 # kept verbatim)
 _SDVAL = r'(?:[^"\\]|\\(?s:.))*'
-_FAST_PATTERN = (
-    r"^<(?P<pri>\d{1,3})>(?P<ver>\d{1,2}) "
-    r"(?P<ts>-|(?P<y>\d{4})-(?P<mo>\d{2})-(?P<d>\d{2})"
-    r"T(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})"
-    r"(?:\.(?P<f>\d{1,9}))?(?P<off>Z|[+-]\d{2}[\x00-\x7f]\d{2})) "
-    rf"(?P<host>{_TERM}{{1,255}}) (?P<app>{_TERM}{{1,48}}) "
-    rf"(?P<proc>{_TERM}{{1,128}}) (?P<msgid>{_TERM}{{1,32}}) "
-    rf"(?P<sd>-|(?:\[{_SDID}(?: {_SDID}=\"{_SDVAL}\")*\])+)"
-    r"(?P<sp> ?)(?P<msg>(?s:.*))$"
-)
+
+_PRI_RE = r"^<(?P<pri>\d{1,3})>(?P<ver>\d{1,2})$"
+_TS_RE = (r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+          r"(?:\.\d{1,9})?(?:Z|[+-]\d{2}[\x00-\x7f]\d{2})$")
+_FRAC_OFF_RE = r"^(?:\.(?P<f>\d{1,9}))?(?P<off>Z|[+-]\d{2}[\x00-\x7f]\d{2})$"
+_TERM_RES = (("host", r"^[!-~]{1,255}$"), ("app", r"^[!-~]{1,48}$"),
+             ("proc", r"^[!-~]{1,128}$"), ("msgid", r"^[!-~]{1,32}$"))
+_SD_LOOSE_RE = (r'^(?P<sd>-|(?:\[[^\]"\\]*'
+                r'(?:"(?:[^"\\]|\\(?s:.))*"[^\]"\\]*)*\])+)')
+_SD_STRICT_RE = rf"^(?:\[{_SDID}(?: {_SDID}=\"{_SDVAL}\")*\])+$"
 
 _SD_ELEM_RE = re.compile(rf"\[({_SDID})((?: {_SDID}=\"{_SDVAL}\")*)\]")
 _SD_PARAM_RE = re.compile(rf" ({_SDID})=\"({_SDVAL})\"")
@@ -210,11 +228,19 @@ def _sd_json_fast(sd_str: str) -> str:
     return json.dumps(sd, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
 
 
+def _field(parts, i: int):
+    """Element ``i`` of each split row (null when the row has fewer)."""
+    return pc.list_flatten(
+        pc.list_slice(parts, i, i + 1, return_fixed_size_list=True)
+    )
+
+
 def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """The map_batches body: append parse-output columns to ``batch``.
 
-    Vectorized RE2 fast path + per-row oracle fallback; a seeded
-    differential test asserts this equals ``parse_batch_slow`` everywhere.
+    Vectorized split + small-RE2 fast path + per-row oracle fallback; a
+    seeded differential test asserts this equals ``parse_batch_slow``
+    everywhere.
     """
     texts = batch.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
@@ -226,31 +252,59 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             out = out.append_column(name, pa.array([], type=typ))
         return out
 
-    st = pc.extract_regex(texts, _FAST_PATTERN)
-    g = {f: pc.struct_field(st, f) for f in (
-        "pri", "ver", "ts", "y", "mo", "d", "h", "mi", "s", "f", "off",
-        "host", "app", "proc", "msgid", "sd", "sp", "msg")}
+    # fill nulls BEFORE the split: list_flatten drops null parents, which
+    # would misalign the field arrays (null texts go to the slow path,
+    # detected from the original column)
+    parts = pc.split_pattern(pc.fill_null(texts, ""), " ", max_splits=6)
+    seven = _np_bool(pc.equal(pc.list_value_length(parts), 7))
+    g = {}
+    pri_st = pc.extract_regex(_field(parts, 0), _PRI_RE)
+    g["pri"], g["ver"] = pc.struct_field(pri_st, "pri"), pc.struct_field(pri_st, "ver")
+    ts_f = _field(parts, 1)
+    for name, idx in (("host", 2), ("app", 3), ("proc", 4), ("msgid", 5)):
+        g[name] = _field(parts, idx)
+    tail = _field(parts, 6)
 
-    matched = _np_bool(pc.is_valid(st))
+    pri_ok = _np_bool(pc.is_valid(pri_st))
     pri = _np_int(g["pri"])
     facility = pri >> 3
     severity = pri & 0x7
-    fac_bad = matched & (facility > 23)
+    # the oracle checks PRI before any later field (parser.rs:346-348),
+    # so a parsed PRI with facility > 23 is an error row no matter what
+    # follows
+    fac_bad = pri_ok & (facility > 23)
+
+    terms_ok = seven.copy()
+    for name, pat in _TERM_RES:
+        terms_ok &= _np_bool(pc.match_substring_regex(g[name], pat))
 
     # --- timestamp validation + epoch (vectorized) ---
-    nil_ts = _np_bool(pc.equal(g["ts"], "-"))
-    y = _np_int(g["y"])
-    mo = _np_int(g["mo"])
-    d = _np_int(g["d"])
-    h = _np_int(g["h"])
-    mi = _np_int(g["mi"])
-    s = _np_int(g["s"])
+    nil_ts = _np_bool(pc.equal(ts_f, "-"))
+    ts_shape_pa = pc.match_substring_regex(pc.fill_null(ts_f, ""), _TS_RE)
+    ts_shape = _np_bool(ts_shape_pa)
+    # substitute a digit-shaped dummy where the shape failed so the
+    # fixed-position digit slices always cast (those rows are masked out)
+    safe_ts = pc.if_else(ts_shape_pa, ts_f, pa.scalar("0000-00-00T00:00:00Z"))
+
+    def _dig(a, b):
+        return _np_int(pc.utf8_slice_codeunits(safe_ts, a, b))
+
+    y = _dig(0, 4)
+    mo = _dig(5, 7)
+    d = _dig(8, 10)
+    h = _dig(11, 13)
+    mi = _dig(14, 16)
+    s = _dig(17, 19)
     leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
     mo_c = np.clip(mo, 1, 12)
     dim = _DIM_VEC[mo_c] + (leap & (mo_c == 2))
     cal_ok = (mo >= 1) & (mo <= 12) & (d >= 1) & (d <= dim) & (h <= 23) & (mi <= 59) & (s <= 59)
 
-    off = g["off"]
+    fo_st = pc.extract_regex(
+        pc.utf8_slice_codeunits(safe_ts, 19, 2**30), _FRAC_OFF_RE
+    )
+    g["f"] = pc.struct_field(fo_st, "f")
+    off = pc.struct_field(fo_st, "off")
     is_z = _np_bool(pc.equal(off, "Z"))
     off_sign_neg = _np_bool(pc.equal(pc.utf8_slice_codeunits(off, 0, 1), "-"))
     oh_s = pc.utf8_slice_codeunits(off, 1, 3)
@@ -261,7 +315,7 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     off_ok = is_z | ((oh <= 23) & (om <= 59))
     off_sec = np.where(is_z, 0, np.where(off_sign_neg, -1, 1) * (oh * 3600 + om * 60))
 
-    ts_ok = nil_ts | (cal_ok & off_ok)
+    ts_ok = nil_ts | (ts_shape & cal_ok & off_ok)
     # days-from-civil (proleptic Gregorian), vectorized
     yy = y - (mo_c <= 2)
     era = np.where(yy >= 0, yy, yy - 399) // 400
@@ -277,13 +331,23 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fr_val = _np_int(fr)
     nanos = fr_val * np.power(10, np.maximum(9 - np.maximum(fr_len, 1), 0))
 
-    # --- SD / msg boundary rule (see module comment) ---
+    # --- SD boundary (loose capture) + strict validation + msg rule ---
+    sd_st = pc.extract_regex(tail, _SD_LOOSE_RE + r"(?P<sp> ?)(?P<msg>(?s:.*))$")
+    for f_name in ("sd", "sp", "msg"):
+        g[f_name] = pc.struct_field(sd_st, f_name)
+    sd_matched = _np_bool(pc.is_valid(sd_st))
     sd_nil = _np_bool(pc.equal(g["sd"], "-"))
+    sd_strict_ok = sd_nil | _np_bool(
+        pc.match_substring_regex(g["sd"], _SD_STRICT_RE)
+    )
     sp_empty = _np_bool(pc.equal(g["sp"], ""))
     msg_empty = _np_bool(pc.equal(g["msg"], ""))
     sd_slow = (~sd_nil) & sp_empty & (~msg_empty)
 
-    ok_fast = matched & (~fac_bad) & ts_ok & (~sd_slow)
+    ok_fast = (
+        seven & pri_ok & (~fac_bad) & terms_ok & ts_ok
+        & sd_matched & sd_strict_ok & (~sd_slow)
+    )
     err_fast = fac_bad  # the only vectorized error: BadFacilityInPri
     slow = ~(ok_fast | err_fast)
     slow_idx = np.flatnonzero(slow)

@@ -17,18 +17,40 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.reference_semantics import ERROR_VARIANTS
+
+# error variant -> dense id, for the int sort key (order is arbitrary but
+# fixed; parser.rs:13-45 variant list)
+_ERROR_NAMES = sorted(ERROR_VARIANTS)
+
 
 def add_route_columns(batch: pa.Table) -> pa.Table:
-    """Append ``route`` / ``route_key`` partition columns.
+    """Append ``route`` / ``route_key`` partition columns and the dense
+    ``route_id`` clustering key.
 
-    ok rows   -> route=<facility_name>, route_key=<severity_name>
-    fail rows -> route=reject,          route_key=<error variant>
+    ok rows   -> route=<facility_name>, route_key=<severity_name>,
+                 route_id = facility*8 + severity (0..191)
+    fail rows -> route=reject, route_key=<error variant>,
+                 route_id = 192 + error_id
     """
     ok = batch.column("ok")
     route = pc.if_else(ok, batch.column("facility_name"), pa.scalar("reject"))
     route_key = pc.if_else(ok, batch.column("severity_name"), batch.column("error"))
+    sink_id = pc.add(
+        pc.multiply(
+            pc.cast(pc.fill_null(batch.column("facility"), 0), pa.int16()), 8
+        ),
+        pc.cast(pc.fill_null(batch.column("severity"), 0), pa.int16()),
+    )
+    err_idx = pc.index_in(
+        pc.fill_null(batch.column("error"), _ERROR_NAMES[0]),
+        pa.array(_ERROR_NAMES, pa.string()),
+    )
+    err_id = pc.add(pc.cast(err_idx, pa.int16()), 192)
+    route_id = pc.if_else(ok, sink_id, err_id)
     batch = batch.append_column("route", route)
-    return batch.append_column("route_key", route_key)
+    batch = batch.append_column("route_key", route_key)
+    return batch.append_column("route_id", route_id)
 
 
 def route_and_write(parsed_ds, out_dir: str, by_sink: bool = True, **write_kwargs):
@@ -41,10 +63,12 @@ def route_and_write(parsed_ds, out_dir: str, by_sink: bool = True, **write_kwarg
     block range instead of one file per (input block x sink): without
     it a uniform key mixture writes blocks x 193 tiny files, which at
     10^12 rows means millions of sub-MB objects per checkpoint unit.
-    Set ``by_sink=False`` to skip the exchange when the input is already
+    The sort key is the dense int16 ``route_id`` (same clustering as the
+    string pair, far cheaper to exchange/compare).  Set
+    ``by_sink=False`` to skip the exchange when the input is already
     clustered by key (e.g. re-routing previously routed data)."""
     ds = parsed_ds.map_batches(add_route_columns, batch_format="pyarrow")
     if by_sink:
-        ds = ds.sort(["route", "route_key"])
+        ds = ds.sort("route_id")
     ds.write_parquet(out_dir, partition_cols=["route", "route_key"], **write_kwargs)
     return out_dir

@@ -16,7 +16,8 @@ SF = "/root/testdata/sf0.001"
 # representative slice of each family: parse grammar, aggregate shuffle,
 # enrich lookup, text analysis, dedup, ANN
 CHECKED = ["parse_header", "parse_timestamp", "parse_sd", "sink_counts",
-           "route_table", "token_counts", "exact_dedup", "ann_bruteforce"]
+           "route_table", "token_counts", "exact_dedup", "ann_bruteforce",
+           "serde_json", "dedup_turns"]
 
 
 @pytest.fixture(scope="module")
