@@ -97,15 +97,30 @@ def q_parse_timestamp(sf_dir: str) -> pa.Table:
 
 
 def q_parse_sd(sf_dir: str) -> pa.Table:
-    from ..functions.lookups import sd_find_sdid_batch, sd_get_batch
+    from ..functions.lookups import sd_find_sdid_batch, sd_get_batch, sd_stats_batch
 
     def _accessors(b):
         b = sd_get_batch(b, "meta", "seq", out="sd_seq")
         b = sd_get_batch(b, "meta", "user", out="sd_user")
-        return sd_find_sdid_batch(b, "meta", out="sd_element")
+        b = sd_find_sdid_batch(b, "meta", out="sd_element")
+        return sd_stats_batch(b)
 
     ds = _ok(_parsed(sf_dir)).map_batches(_accessors, batch_format="pyarrow")
-    cols = ["turn_idx", "sd", "sd_seq", "sd_user", "sd_element"]
+    cols = ["turn_idx", "sd", "sd_seq", "sd_user", "sd_element",
+            "n_sd_elements", "n_sd_params", "sd_is_empty"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_sd_insert(sf_dir: str) -> pa.Table:
+    """insert_tuple surface: stamp a routing tag into each row's SD map
+    (message.rs:94-110 semantics; canonical JSON out)."""
+    from ..functions.lookups import sd_set_batch
+
+    ds = _ok(_parsed(sf_dir)).map_batches(
+        lambda b: sd_set_batch(b, "sylk@0", "tag", "routed", out="sd"),
+        batch_format="pyarrow",
+    )
+    cols = ["turn_idx", "sd"]
     return _table(ds.select_columns(cols), cols)
 
 
@@ -295,6 +310,52 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf[["a", "b", "cosine"]], preserve_index=False)
 
 
+def q_multimodal_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing over sf data: documents' text bytes stand in
+    for opaque media payloads; the ImageDecoder actor pool (stubbed
+    decode, real Ray plumbing) emits fixed-dim features.  Rows-only
+    check (the fake decoder is not SQL-expressible)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.multimodal import ImageDecoder
+
+    def _as_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": b.column("doc_id"),
+                "kind": pa.array(["image"] * len(b), pa.string()),
+                "payload": b.column("text").cast(pa.binary()),
+                "meta": pa.array(['{"width":64,"height":48}'] * len(b), pa.string()),
+            }
+        )
+
+    ds = (
+        _docs(sf_dir)
+        .map_batches(_as_media, batch_format="pyarrow")
+        .map_batches(
+            ImageDecoder,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+    )
+
+    def _stats(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = np.asarray(b.column("features").to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "feat_dim": pa.array([feats.shape[1]] * len(b), pa.int64()),
+                "feat_mean": pa.array(np.round(feats.mean(axis=1), 6)),
+            }
+        )
+
+    out = ds.map_batches(_stats, batch_format="pyarrow")
+    return _table(out, ["media_id", "feat_dim", "feat_mean"])
+
+
 def q_conformance(sf_dir: str) -> pa.Table:
     """The reference crate's own test corpus through the batch parser
     (FIXTURES.md; parser.rs:409-650) — rows-only driver check; exact
@@ -386,7 +447,16 @@ def build_oracle_sql() -> dict[str, str]:
                    CAST(event_id AS VARCHAR) AS sd_seq,
                    CAST(user_id AS VARCHAR) AS sd_user,
                    '{{"seq":"' || CAST(event_id AS VARCHAR)
-                     || '","user":"' || CAST(user_id AS VARCHAR) || '"}}' AS sd_element
+                     || '","user":"' || CAST(user_id AS VARCHAR) || '"}}' AS sd_element,
+                   CAST(1 AS BIGINT) AS n_sd_elements,
+                   CAST(2 AS BIGINT) AS n_sd_params,
+                   FALSE AS sd_is_empty
+            FROM events WHERE {_OK}""",
+        "sd_insert": f"""
+            SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                   '{{"meta":{{"seq":"' || CAST(event_id AS VARCHAR)
+                     || '","user":"' || CAST(user_id AS VARCHAR)
+                     || '"}},"sylk@0":{{"tag":"routed"}}}}' AS sd
             FROM events WHERE {_OK}""",
         "sink_counts": f"""
             SELECT {_FAC} AS facility, {_SEV} AS severity, COUNT(*) AS n
@@ -502,6 +572,8 @@ QUERIES = {
     "conv_counts_salted": q_conv_counts_salted,
     "serde_json": q_serde_json,
     "dedup_turns": q_dedup_turns,
+    "sd_insert": q_sd_insert,
+    "multimodal_features": q_multimodal_features,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
