@@ -73,6 +73,33 @@ def parse_enrich(ds, enrich_concurrency=None, enrich_mode: str = "tasks"):
     )
 
 
+def _unit_counts_from_footers(unit_dir: str):
+    """(sink_counts "fac/sev" -> n, reject_by_error -> n) from the Hive
+    layout + parquet footer metadata only — zero data pages read."""
+    import pyarrow.parquet as pq
+
+    from ..functions.reference_semantics import FACILITY_NAMES, SEVERITY_NAMES
+
+    fac_id = {n: i for i, n in enumerate(FACILITY_NAMES)}
+    sev_id = {n: i for i, n in enumerate(SEVERITY_NAMES)}
+    sinks: dict = {}
+    rejects: dict = {}
+    for f in glob.glob(os.path.join(unit_dir, "**", "*.parquet"), recursive=True):
+        parts = dict(
+            seg.split("=", 1)
+            for seg in f.split(os.sep)
+            if "=" in seg and not seg.endswith(".parquet")
+        )
+        n = pq.ParquetFile(f).metadata.num_rows
+        route, key = parts["route"], parts["route_key"]
+        if route == "reject":
+            rejects[key] = rejects.get(key, 0) + n
+        else:
+            k = f"{fac_id[route]}/{sev_id[key]}"
+            sinks[k] = sinks.get(k, 0) + n
+    return sinks, rejects
+
+
 def _merge_counts(acc: dict, pdf, keys):
     for row in pdf.itertuples(index=False):
         k = tuple(getattr(row, c) for c in keys)
@@ -121,12 +148,12 @@ def run_flagship(
         parsed = parse_enrich(ds, enrich_concurrency)
         route_and_write(parsed, unit_dir)
 
-        # per-unit metrics for the manifest: narrow column re-read, ONE
-        # combined aggregate execution feeds both rollups
-        back = ray.data.read_parquet(unit_dir, columns=_AGG_COLUMNS)
-        sc, rc, _ = rollups_from_combined(combined_counts(back))
-        rows = int(sc.n.sum() + rc.n.sum())
-        ok_rows = int(sc.n.sum())
+        # per-unit metrics for the manifest come FREE from the routed
+        # layout: the Hive dirs encode (route, route_key) and parquet
+        # footers carry row counts — a footer scan, no data re-read
+        sink_counts, reject_counts = _unit_counts_from_footers(unit_dir)
+        rows = sum(sink_counts.values()) + sum(reject_counts.values())
+        ok_rows = sum(sink_counts.values())
         totals["rows"] += rows
         totals["parse_ok"] += ok_rows
         totals["units_run"] += 1
@@ -135,8 +162,8 @@ def run_flagship(
             input_files=files,
             rows=rows,
             parse_ok=ok_rows,
-            sink_counts={f"{int(f)}/{int(s)}": int(n) for f, s, n in sc.itertuples(index=False)},
-            reject_by_error={str(e): int(n) for e, n in rc.itertuples(index=False)},
+            sink_counts=sink_counts,
+            reject_by_error=reject_counts,
             output_path=unit_dir,
             wall_s=round(time.time() - t0, 3),
         )

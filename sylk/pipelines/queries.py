@@ -161,6 +161,18 @@ def q_conv_counts_salted(sf_dir: str) -> pa.Table:
     return _table(salted_group_counts(_parsed(sf_dir), "conv_id", salt=8), ["conv_id", "n"])
 
 
+def q_hourly_counts(sf_dir: str) -> pa.Table:
+    """Windowed telemetry rollup: ok-message counts per UTC hour of the
+    parsed timestamp (two-phase count on the derived window key)."""
+    def _hour(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "hour", pc.cast(pc.divide(b.column("timestamp"), 3600), pa.int64())
+        )
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_hour, batch_format="pyarrow")
+    return _table(grouped_counts(ds, ["hour"], ok_filter=True), ["hour", "n"])
+
+
 def q_serde_json(sf_dir: str) -> pa.Table:
     """Full-message canonical serde JSON (message.rs golden format)."""
     from ..stages.serialize import message_json_batch
@@ -482,6 +494,9 @@ def build_oracle_sql() -> dict[str, str]:
         "conv_counts_salted": f"""
             SELECT {_CONV} AS conv_id, COUNT(*) AS n
             FROM events WHERE {_OK} GROUP BY 1""",
+        "hourly_counts": f"""
+            SELECT (epoch_us(ts) // 1000000) // 3600 AS hour, COUNT(*) AS n
+            FROM events WHERE {_OK} GROUP BY 1""",
         "serde_json": f"""
             SELECT CAST(event_id AS BIGINT) AS turn_idx,
                    '{{"severity":"' || {_case(_SEV, SEVERITY_NAMES)}
@@ -570,6 +585,7 @@ QUERIES = {
     "route_table": q_route_table,
     "severity_filter": q_severity_filter,
     "conv_counts_salted": q_conv_counts_salted,
+    "hourly_counts": q_hourly_counts,
     "serde_json": q_serde_json,
     "dedup_turns": q_dedup_turns,
     "sd_insert": q_sd_insert,
