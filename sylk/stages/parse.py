@@ -245,6 +245,10 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        # normalize: several kernels below lack (large_string, string)
+        # mixed signatures (e.g. replace_with_mask)
+        texts = texts.cast(pa.string())
     n = len(texts)
     if n == 0:
         out = batch
