@@ -114,6 +114,42 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def _pairs_from_triples(tbl: pa.Table) -> pd.DataFrame:
+    """Candidate (a, b) pairs from collected (doc_id, band, band_hash)
+    triples: sort by composite bucket key, find runs with numpy, expand
+    only multi-member runs.  Orders of magnitude faster than a per-group
+    pandas apply when buckets are small."""
+    band = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bh = tbl.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    key = (band << np.uint64(48)) ^ bh
+    order = np.lexsort((ids, key))
+    key, ids = key[order], ids[order]
+    boundaries = np.flatnonzero(np.diff(key) != 0) + 1
+    starts = np.concatenate(([0], boundaries))
+    stops = np.concatenate((boundaries, [len(key)]))
+    out = set()
+    for s, e in zip(starts, stops):
+        if e - s < 2:
+            continue
+        run = np.unique(ids[s:e])
+        for i in range(len(run)):
+            for j in range(i + 1, len(run)):
+                out.add((int(run[i]), int(run[j])))
+    if not out:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    a, b = zip(*sorted(out))
+    return pd.DataFrame({"a": list(a), "b": list(b)})
+
+
+# below this many (doc, band) triples the candidate generation collects
+# them to the driver (24B/row) and runs the numpy run-finder; above it,
+# fall back to the distributed groupby (the 100TB path: triples are the
+# ONLY payload shuffled)
+_DRIVER_TRIPLE_LIMIT = 20_000_000
+
+
 def minhash_dup_pairs(docs_ds, threshold: float = 0.8, text_col: str = "text"):
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
@@ -123,14 +159,17 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.8, text_col: str = "text"):
     import ray.data
 
     bands = docs_ds.map_batches(
-        lambda b: minhash_bands_batch(b, text_col), batch_format="pyarrow"
+        lambda b: minhash_bands_batch(b, text_col), batch_format="pyarrow",
+        batch_size=None,
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # candidate set: small by design (empty bucket frames coerce int64 ->
-    # float in concat, so re-cast)
-    cand = pairs.to_pandas().drop_duplicates().astype({"a": "int64", "b": "int64"})
+    triples = pa.concat_tables(ray.get(bands.to_arrow_refs()))
+    if len(triples) <= _DRIVER_TRIPLE_LIMIT:
+        cand = _pairs_from_triples(triples)
+    else:  # distributed path for corpus-scale runs
+        pairs = bands.groupby(["band", "band_hash"]).map_groups(
+            _bucket_pairs, batch_format="pandas"
+        )
+        cand = pairs.to_pandas().drop_duplicates().astype({"a": "int64", "b": "int64"})
     if len(cand) == 0:
         return ray.data.from_items([])
     # verification: broadcast the candidate docs' texts once (scale path:
@@ -256,9 +295,26 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
             {"a": "int64", "b": "int64", "hamming": "int64"}
         )
 
-    chunks = docs_ds.map_batches(_chunks, batch_format="pyarrow")
-    pairs = chunks.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
+    chunks = docs_ds.map_batches(_chunks, batch_format="pyarrow", batch_size=None)
+    import ray
+
+    tbl = pa.concat_tables(ray.get(chunks.to_arrow_refs()))
+    if len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+        cand = _pairs_from_triples(tbl)
+        sig = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("sig").to_pylist()))
+        rows = [
+            (a, b, bin(int(sig[a]) ^ int(sig[b])).count("1"))
+            for a, b in zip(cand["a"], cand["b"])
+        ]
+        pdf = pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"}
+        )
+        pdf = pdf[pdf.hamming <= max_hamming]
+    else:  # distributed path for corpus-scale runs
+        pairs = chunks.groupby(["band", "band_hash"]).map_groups(
+            _pairs, batch_format="pandas"
+        )
+        pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
     return ray.data.from_pandas(pdf) if len(pdf) else ray.data.from_items([])
 
 
@@ -288,14 +344,17 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_planes: int = 16, see
             }
         )
 
-    buckets = emb_ds.map_batches(_sign_buckets, batch_format="pyarrow")
-
-    def _bucket_pairs_v(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["vec_id"]))
-        out = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["a", "b"]).astype({"a": "int64", "b": "int64"})
-
-    cand = buckets.groupby("bucket").map_groups(_bucket_pairs_v, batch_format="pandas").to_pandas()
+    buckets = emb_ds.map_batches(_sign_buckets, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(ray.get(buckets.to_arrow_refs()))
+    cand = _pairs_from_triples(
+        pa.table(
+            {
+                "doc_id": tbl.column("vec_id"),
+                "band": pa.array(np.zeros(len(tbl), np.int32)),
+                "band_hash": tbl.column("bucket").cast(pa.uint64()),
+            }
+        )
+    )
     if len(cand) == 0:
         return ray.data.from_items([])
     need = set(cand["a"]).union(cand["b"])
