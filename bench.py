@@ -101,12 +101,14 @@ def bench_parse_agg(files: list[str]) -> dict:
 def bench_host_histogram(files: list[str]) -> dict:
     import ray.data
 
-    from sylk.stages.aggregate import host_app_histogram
+    from sylk.stages.aggregate import grouped_counts_local
     from sylk.stages.parse import parse_batch
 
-    ds = ray.data.read_parquet(files)
-    parsed = ds.map_batches(parse_batch, batch_format="pyarrow", zero_copy_batch=True)
-    h = host_app_histogram(parsed).to_pandas()
+    ds = ray.data.read_parquet(files, columns=["text"])
+    parsed = ds.map_batches(
+        parse_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    h = grouped_counts_local(parsed, ["hostname", "appname"], ok_filter=True)
     return {"groups": len(h)}
 
 

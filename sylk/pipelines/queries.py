@@ -26,13 +26,7 @@ import pyarrow.compute as pc
 
 from ..functions.reference_semantics import FACILITY_NAMES, SEVERITY_NAMES
 from ..sources.transcripts import transcripts_from_events
-from ..stages.aggregate import (
-    grouped_counts,
-    host_app_histogram,
-    reject_counts,
-    salted_group_counts,
-    sink_counts,
-)
+from ..stages.aggregate import grouped_counts_local, salted_group_counts
 from ..stages.parse import parse_batch
 from ..stages.router import add_route_columns
 from .flagship import parse_enrich
@@ -125,15 +119,24 @@ def q_sd_insert(sf_dir: str) -> pa.Table:
 
 
 def q_sink_counts(sf_dir: str) -> pa.Table:
-    return _table(sink_counts(_parsed(sf_dir)), ["facility", "severity", "n"])
+    return _table(
+        grouped_counts_local(_parsed(sf_dir), ["facility", "severity"], ok_filter=True),
+        ["facility", "severity", "n"],
+    )
 
 
 def q_reject_counts(sf_dir: str) -> pa.Table:
-    return _table(reject_counts(_parsed(sf_dir)), ["error", "n"])
+    return _table(
+        grouped_counts_local(_parsed(sf_dir), ["error"], ok_filter=False),
+        ["error", "n"],
+    )
 
 
 def q_host_app_histogram(sf_dir: str) -> pa.Table:
-    return _table(host_app_histogram(_parsed(sf_dir)), ["hostname", "appname", "n"])
+    return _table(
+        grouped_counts_local(_parsed(sf_dir), ["hostname", "appname"], ok_filter=True),
+        ["hostname", "appname", "n"],
+    )
 
 
 def q_enrich_names(sf_dir: str) -> pa.Table:
@@ -147,7 +150,8 @@ def q_route_table(sf_dir: str) -> pa.Table:
         add_route_columns, batch_format="pyarrow"
     )
     return _table(
-        grouped_counts(routed, ["route", "route_key"]), ["route", "route_key", "n"]
+        grouped_counts_local(routed, ["route", "route_key"]),
+        ["route", "route_key", "n"],
     )
 
 
@@ -170,7 +174,7 @@ def q_hourly_counts(sf_dir: str) -> pa.Table:
         )
 
     ds = _ok(_parsed(sf_dir)).map_batches(_hour, batch_format="pyarrow")
-    return _table(grouped_counts(ds, ["hour"], ok_filter=True), ["hour", "n"])
+    return _table(grouped_counts_local(ds, ["hour"], ok_filter=True), ["hour", "n"])
 
 
 def q_serde_json(sf_dir: str) -> pa.Table:

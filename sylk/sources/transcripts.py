@@ -227,7 +227,7 @@ def transcripts_from_events(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    return ds.map_batches(events_to_transcripts, batch_format="pandas")
+    return ds.map_batches(events_to_transcripts, batch_format="pandas", batch_size=None)
 
 
 def events_to_transcripts(df):

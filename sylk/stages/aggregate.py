@@ -47,6 +47,24 @@ def grouped_counts(parsed_ds, keys, ok_filter: bool | None = None):
     return partials.groupby(list(keys)).aggregate(Sum("n", alias_name="n"))
 
 
+def grouped_counts_local(parsed_ds, keys, ok_filter: bool | None = None):
+    """Same two-phase count, but the final merge runs on the driver with
+    pyarrow's multithreaded group_by -> pyarrow Table.  Use when the
+    global key cardinality fits one machine (counters, histograms);
+    Ray's sort-based groupby costs seconds even on tiny partial tables,
+    so this is the default for the query/metric rollups."""
+    import ray
+
+    partials = parsed_ds.map_batches(
+        lambda b: _partial_counts(b, keys, ok_filter),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    merged = tbl.group_by(list(keys)).aggregate([("n", "sum")])
+    return merged.rename_columns(list(keys) + ["n"])
+
+
 def sink_counts(parsed_ds):
     """Per-(facility, severity) routed message counts (ok rows)."""
     return grouped_counts(parsed_ds, ["facility", "severity"], ok_filter=True)
