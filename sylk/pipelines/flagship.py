@@ -114,12 +114,22 @@ def run_flagship(
     out_dir: str,
     files_per_unit: int = 16,
     enrich_concurrency=(1, 8),
+    concurrent_units: int = 2,
 ) -> dict:
     """Run the full pipeline over ``input_files`` with checkpoint/resume.
 
     Returns a summary dict: total rows, parse_ok, per-sink counts,
     reject counts, host/app histogram sizes, units run vs skipped.
+
+    ``concurrent_units`` > 1 overlaps that many unit pipelines (each a
+    full Ray Data execution) from driver threads: units are independent
+    (own output dir, own manifest commit line), so this preserves the
+    checkpoint/resume semantics while hiding per-unit barrier latency
+    (the sort→write tail of one unit overlaps the read→parse head of
+    the next).
     """
+    import concurrent.futures as cf
+
     mf = Manifest(out_dir)
     done = mf.completed()
     units = [
@@ -128,6 +138,7 @@ def run_flagship(
     ]
     totals = {"rows": 0, "parse_ok": 0, "units_run": 0, "units_skipped": 0}
     unit_dirs = []
+    pending = []
 
     for uid, files in units:
         unit_dir = os.path.join(out_dir, "data", f"unit={uid}")
@@ -138,7 +149,9 @@ def run_flagship(
             totals["rows"] += rec["rows"]
             totals["parse_ok"] += rec["parse_ok"]
             continue
+        pending.append((uid, files, unit_dir))
 
+    def _run_unit(uid, files, unit_dir):
         t0 = time.time()
         # a unit present on disk but absent from the manifest is a
         # crashed partial write: wipe it so the retry is idempotent
@@ -154,9 +167,6 @@ def run_flagship(
         sink_counts, reject_counts = _unit_counts_from_footers(unit_dir)
         rows = sum(sink_counts.values()) + sum(reject_counts.values())
         ok_rows = sum(sink_counts.values())
-        totals["rows"] += rows
-        totals["parse_ok"] += ok_rows
-        totals["units_run"] += 1
         mf.commit(
             uid,
             input_files=files,
@@ -167,6 +177,14 @@ def run_flagship(
             output_path=unit_dir,
             wall_s=round(time.time() - t0, 3),
         )
+        return rows, ok_rows
+
+    if pending:
+        with cf.ThreadPoolExecutor(max_workers=max(1, concurrent_units)) as ex:
+            for rows, ok_rows in ex.map(lambda a: _run_unit(*a), pending):
+                totals["rows"] += rows
+                totals["parse_ok"] += ok_rows
+                totals["units_run"] += 1
 
     # global aggregates over everything written (this run + resumed-from
     # runs): one narrow columnar read — correct under resume by design

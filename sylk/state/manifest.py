@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 
@@ -27,6 +28,7 @@ class Manifest:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, "manifest.jsonl")
+        self._lock = threading.Lock()  # concurrent units commit safely
         os.makedirs(out_dir, exist_ok=True)
 
     def completed(self) -> dict[str, dict]:
@@ -43,8 +45,8 @@ class Manifest:
 
     def commit(self, partition_id: str, **fields) -> dict:
         rec = {"partition_id": partition_id, "committed_at": time.time(), **fields}
-        # single-writer append; the line is the atomic commit point
-        with open(self.path, "a") as f:
+        # locked single-line append; the line is the atomic commit point
+        with self._lock, open(self.path, "a") as f:
             f.write(json.dumps(rec, sort_keys=True) + "\n")
             f.flush()
             os.fsync(f.fileno())
