@@ -88,7 +88,6 @@ from ..functions.reference_semantics import parse_line
 # the fallback so the exact ParseErr variant comes from the oracle.
 # ---------------------------------------------------------------------------
 
-_TERM = r"[!-~]"
 # SD id / param name: ASCII printable minus ' ' '=' ']' up to 128 chars
 # (= bytes), OR any-codepoint form up to 32 chars (<= 128 bytes at 4
 # bytes/char worst case) — either way the oracle's byte-indexed 128-cap
