@@ -165,6 +165,32 @@ def q_conv_counts_salted(sf_dir: str) -> pa.Table:
     return _table(salted_group_counts(_parsed(sf_dir), "conv_id", salt=8), ["conv_id", "n"])
 
 
+def q_props_extract(sf_dir: str) -> pa.Table:
+    """Grok-style field extraction from a semi-structured column: pull
+    the integer ``k`` out of the events ``props`` JSON with one
+    vectorized ``extract_regex`` (the same pattern-extraction shape the
+    north rule's 'grok/regex parse' names, applied to a real sf column)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+
+    def _extract(b: pa.Table) -> pa.Table:
+        st = pc.extract_regex(b.column("props"), r'"k"\s*:\s*(?P<v>-?\d+)')
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "k": pc.cast(pc.struct_field(st, "v"), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(_extract, batch_format="pyarrow", batch_size=None)
+    return _table(out, ["event_id", "k"])
+
+
 def q_hourly_counts(sf_dir: str) -> pa.Table:
     """Windowed telemetry rollup: ok-message counts per UTC hour of the
     parsed timestamp (two-phase count on the derived window key)."""
@@ -498,6 +524,10 @@ def build_oracle_sql() -> dict[str, str]:
         "conv_counts_salted": f"""
             SELECT {_CONV} AS conv_id, COUNT(*) AS n
             FROM events WHERE {_OK} GROUP BY 1""",
+        "props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events""",
         "hourly_counts": f"""
             SELECT (epoch_us(ts) // 1000000) // 3600 AS hour, COUNT(*) AS n
             FROM events WHERE {_OK} GROUP BY 1""",
@@ -590,6 +620,7 @@ QUERIES = {
     "severity_filter": q_severity_filter,
     "conv_counts_salted": q_conv_counts_salted,
     "hourly_counts": q_hourly_counts,
+    "props_extract": q_props_extract,
     "serde_json": q_serde_json,
     "dedup_turns": q_dedup_turns,
     "sd_insert": q_sd_insert,

@@ -119,6 +119,16 @@ def test_fuzz_arbitrary_text(s):
     _assert_agree([s])
 
 
+def test_differential_distant_index_windows():
+    """The generator mixture varies with the global row index; cover
+    windows far from the 0-4000 range the main differential test uses."""
+    from sylk.sources.transcripts import synth_batch
+
+    for start in (997_000, 76_543_210, 2**33):
+        t = synth_batch(np.arange(start, start + 1500, dtype=np.int64))
+        _assert_agree(t.column("text").to_pylist())
+
+
 def test_large_string_and_chunked_input():
     """Ray blocks sometimes arrive as large_string or multi-chunk."""
     lines = ["<34>1 - h a 1 m [s k=\"v\"] msg", "<999>1 - - - - - -", "junk"]
