@@ -227,17 +227,33 @@ def exact_dedup(docs_ds, text_col: str = "text"):
     return hashed.groupby("content_md5").map_groups(_first, batch_format="pandas")
 
 
-def dedup_turns(transcripts_ds):
+def dedup_turns(transcripts_ds, driver_limit: int = 5_000_000):
     """Exact dedup on the transcript key (conv_id, turn_idx) — the
     resume-idempotence helper (SURVEY.md §2.3): re-ingesting an already
-    processed shard cannot double rows downstream.  Hash-partition
-    shuffle on the composite key; first row per key wins (rows with the
-    same key are identical by construction)."""
+    processed shard cannot double rows downstream.  First row per key
+    wins (rows with the same key are identical by construction).
+
+    Two-phase: an in-block dedup shrinks each block first; the surviving
+    rows merge on the driver when they fit (pandas drop_duplicates),
+    else through the hash-partition groupby shuffle (the corpus-scale
+    path)."""
+    import ray
+    import ray.data
+
+    compact = transcripts_ds.map_batches(
+        lambda df: df.drop_duplicates(["conv_id", "turn_idx"]),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    tbl = pa.concat_tables(ray.get(compact.to_arrow_refs()))
+    if len(tbl) <= driver_limit:
+        pdf = tbl.to_pandas().drop_duplicates(["conv_id", "turn_idx"])
+        return ray.data.from_pandas(pdf.reset_index(drop=True))
 
     def _first(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return transcripts_ds.groupby(["conv_id", "turn_idx"]).map_groups(
+    return compact.groupby(["conv_id", "turn_idx"]).map_groups(
         _first, batch_format="pandas"
     )
 
