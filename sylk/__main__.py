@@ -1,0 +1,77 @@
+"""CLI entry point: run the flagship pipeline over transcript parquet.
+
+Usage (also works under `ray job submit -- python -m sylk ...`)::
+
+    python -m sylk run --input '/data/transcripts/*.parquet' --out /data/routed \
+        [--files-per-unit 16] [--concurrent-units 2] [--num-cpus N]
+    python -m sylk synth --out /tmp/corpus --rows 1000000
+
+``run`` streams parse -> enrich -> route -> aggregate with per-unit
+checkpointing; re-running with the same --out resumes (committed units
+skip).  Prints the summary JSON (sink counts, rejects, histogram sizes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sylk")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="flagship pipeline with checkpoint/resume")
+    run.add_argument("--input", required=True, help="glob of transcript parquet files")
+    run.add_argument("--out", required=True, help="output directory (routed sinks + manifest)")
+    run.add_argument("--files-per-unit", type=int, default=16)
+    run.add_argument("--concurrent-units", type=int, default=2)
+    run.add_argument("--num-cpus", type=int, default=None)
+
+    synth = sub.add_parser("synth", help="write the deterministic synthetic corpus")
+    synth.add_argument("--out", required=True)
+    synth.add_argument("--rows", type=int, required=True)
+    synth.add_argument("--rows-per-file", type=int, default=250_000)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if getattr(args, "num_cpus", None) else {}
+        ray.init(address="local", include_dashboard=False, **kw)
+    try:
+        if args.cmd == "synth":
+            from sylk.sources.transcripts import write_transcripts
+
+            write_transcripts(args.out, args.rows, rows_per_file=args.rows_per_file)
+            print(json.dumps({"out": args.out, "rows": args.rows}))
+            return 0
+
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"no files match {args.input!r}", file=sys.stderr)
+            return 2
+        from sylk.pipelines.flagship import run_flagship
+
+        summary = run_flagship(
+            files,
+            args.out,
+            files_per_unit=args.files_per_unit,
+            concurrent_units=args.concurrent_units,
+        )
+        # JSON-safe: tuple keys -> "f/s"
+        summary["sink_counts"] = {
+            f"{k[0]}/{k[1]}": v for k, v in summary["sink_counts"].items()
+        }
+        summary["host_app_histogram_size"] = len(summary.pop("host_app_histogram"))
+        print(json.dumps(summary, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

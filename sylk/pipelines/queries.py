@@ -42,6 +42,9 @@ _I64 = {
     "query_idx": pa.int64(),
     "n_tokens": pa.int64(),
     "len_chars": pa.int64(),
+    "n_turns": pa.int64(),
+    "first_turn": pa.int64(),
+    "last_turn": pa.int64(),
 }
 
 
@@ -201,6 +204,34 @@ def q_hourly_counts(sf_dir: str) -> pa.Table:
 
     ds = _ok(_parsed(sf_dir)).map_batches(_hour, batch_format="pyarrow")
     return _table(grouped_counts_local(ds, ["hour"], ok_filter=True), ["hour", "n"])
+
+
+def q_conversations(sf_dir: str) -> pa.Table:
+    """Sessionize: reconstruct each conversation in stable turn order
+    (the north rule's (conv_id, turn_idx) ordering invariant, proven
+    through the groupby shuffle by an order-SENSITIVE aggregation —
+    newline-joined transcript text)."""
+    import pandas as pd
+
+    ds = transcripts_from_events(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"]
+    )
+
+    def _sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "conv_id": [g.conv_id.iloc[0]],
+                "n_turns": [len(g)],
+                "first_turn": [int(g.turn_idx.iloc[0])],
+                "last_turn": [int(g.turn_idx.iloc[-1])],
+                "transcript": ["\n".join(g.text)],
+            }
+        )
+
+    out = ds.groupby("conv_id").map_groups(_sess, batch_format="pandas")
+    cols = ["conv_id", "n_turns", "first_turn", "last_turn", "transcript"]
+    return _table(out, cols)
 
 
 def q_serde_json(sf_dir: str) -> pa.Table:
@@ -531,6 +562,17 @@ def build_oracle_sql() -> dict[str, str]:
         "hourly_counts": f"""
             SELECT (epoch_us(ts) // 1000000) // 3600 AS hour, COUNT(*) AS n
             FROM events WHERE {_OK} GROUP BY 1""",
+        "conversations": f"""
+            WITH turns AS (
+              SELECT {_CONV} AS conv_id, CAST(event_id AS BIGINT) AS turn_idx,
+                     CASE WHEN {_OK} THEN {_LINE_GOOD} ELSE {_LINE_BAD} END AS text
+              FROM events)
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   MIN(turn_idx) AS first_turn,
+                   MAX(turn_idx) AS last_turn,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
+            FROM turns GROUP BY conv_id""",
         "serde_json": f"""
             SELECT CAST(event_id AS BIGINT) AS turn_idx,
                    '{{"severity":"' || {_case(_SEV, SEVERITY_NAMES)}
@@ -621,6 +663,7 @@ QUERIES = {
     "conv_counts_salted": q_conv_counts_salted,
     "hourly_counts": q_hourly_counts,
     "props_extract": q_props_extract,
+    "conversations": q_conversations,
     "serde_json": q_serde_json,
     "dedup_turns": q_dedup_turns,
     "sd_insert": q_sd_insert,

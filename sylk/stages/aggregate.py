@@ -160,7 +160,13 @@ def rollups_from_combined(pdf):
     result — each with the same columns the dedicated aggregates emit."""
     s = pdf[pdf.kind == 0]
     h = pdf[pdf.kind == 1]
-    sink = s[s.ok == 1].groupby(["facility", "severity"], as_index=False).n.sum()
+    ok = s[s.ok == 1]
+    # pandas promotes int8-with-null to float64 across the stacked frame;
+    # ok rows always carry facility/severity, so restore integer keys
+    ok = ok.assign(
+        facility=ok.facility.astype("int64"), severity=ok.severity.astype("int64")
+    )
+    sink = ok.groupby(["facility", "severity"], as_index=False).n.sum()
     rej = s[s.ok == 0].groupby(["error"], as_index=False).n.sum()
     hostapp = h[h.ok == 1].groupby(["hostname", "appname"], as_index=False).n.sum()
     return sink, rej, hostapp
