@@ -90,9 +90,13 @@ def bench_parse_agg(files: list[str]) -> dict:
     from sylk.pipelines.flagship import parse_enrich
     from sylk.stages.aggregate import combined_counts, rollups_from_combined
 
-    # prune at the read: the aggregate consumes parse output only, so
-    # only the text column leaves storage
-    ds = ray.data.read_parquet(files, columns=["text"])
+    # prune at the read (only text leaves storage) and pin one block per
+    # file: without SplitBlocks the planner FUSES ReadParquet into the
+    # parse chain — one task per block end-to-end, no extra object-store
+    # hop for the raw text
+    ds = ray.data.read_parquet(
+        files, columns=["text"], override_num_blocks=len(files)
+    )
     parsed = parse_enrich(ds)
     sc, rc, _ = rollups_from_combined(combined_counts(parsed))
     return {"rows": int(sc.n.sum() + rc.n.sum())}
