@@ -157,7 +157,9 @@ def run_flagship(
         # crashed partial write: wipe it so the retry is idempotent
         # (Ray writes uniquely-named files; append would duplicate)
         shutil.rmtree(unit_dir, ignore_errors=True)
-        ds = ray.data.read_parquet(files)
+        # one block per input file -> the planner fuses the read into the
+        # parse/enrich/route chain (no SplitBlocks, no extra plasma hop)
+        ds = ray.data.read_parquet(files, override_num_blocks=len(files))
         parsed = parse_enrich(ds, enrich_concurrency)
         route_and_write(parsed, unit_dir)
 
