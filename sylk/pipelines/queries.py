@@ -429,6 +429,24 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     return _table(out, ["media_id", "feat_dim", "feat_mean"])
 
 
+def q_approx_distinct_hosts(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct-hostname estimate alongside the exact count
+    (mergeable combiner-state aggregate; rows-only — approximate by
+    design, the test suite asserts the error bound)."""
+    from ..stages.sketch import approx_distinct
+
+    parsed = _ok(_parsed(sf_dir))
+    est = approx_distinct(parsed, "hostname")["estimate"]
+    exact = len(grouped_counts_local(parsed, ["hostname"], ok_filter=True))
+    return pa.table(
+        {
+            "metric": pa.array(["distinct_hostname"], pa.string()),
+            "estimate": pa.array([round(est, 2)], pa.float64()),
+            "exact": pa.array([exact], pa.int64()),
+        }
+    )
+
+
 def q_conformance(sf_dir: str) -> pa.Table:
     """The reference crate's own test corpus through the batch parser
     (FIXTURES.md; parser.rs:409-650) — rows-only driver check; exact
@@ -668,6 +686,7 @@ QUERIES = {
     "dedup_turns": q_dedup_turns,
     "sd_insert": q_sd_insert,
     "multimodal_features": q_multimodal_features,
+    "approx_distinct_hosts": q_approx_distinct_hosts,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
