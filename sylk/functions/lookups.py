@@ -66,6 +66,25 @@ def sd_set_batch(
     return batch.append_column(out, col)
 
 
+SD_MAP_TYPE = pa.map_(pa.string(), pa.map_(pa.string(), pa.string()))
+
+
+def sd_as_map_batch(batch: pa.Table, out: str = "sd_map") -> pa.Table:
+    """Append ``out``: the SD column as a typed Arrow
+    ``map<string, map<string, string>>`` (SURVEY.md §1.4's typed-map
+    representation; the canonical-JSON string stays the shuffle/oracle
+    format).  Key order inside the map mirrors the sorted-JSON order,
+    matching the reference's BTreeMap iteration (message.rs:55-70)."""
+    vals = []
+    for s in batch.column("sd").to_pylist():
+        if s is None:
+            vals.append(None)
+            continue
+        sd = json.loads(s)
+        vals.append([(k, list(v.items())) for k, v in sd.items()])
+    return batch.append_column(out, pa.array(vals, SD_MAP_TYPE))
+
+
 def sd_find_sdid_batch(batch: pa.Table, sd_id: str, out: str = "sd_element") -> pa.Table:
     """Append ``out``: canonical JSON of sd[sd_id] (null when absent)."""
     vals = []

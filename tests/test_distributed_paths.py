@@ -1,0 +1,68 @@
+"""The driver-merge aggregates all document a distributed fallback for
+larger-than-one-machine cardinality; these tests force those branches
+and assert equivalence with the default paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import sylk.stages.dedup as dedup
+from sylk.sources.transcripts import synth_batch
+from sylk.stages.aggregate import combined_counts, grouped_counts, rollups_from_combined
+from sylk.stages.parse import parse_batch
+
+
+@pytest.fixture(scope="module")
+def parsed(ray_session):
+    import ray.data
+
+    t = synth_batch(np.arange(4000, dtype=np.int64))
+    return ray.data.from_arrow(t).repartition(4).map_batches(
+        parse_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _norm(df, keys):
+    return df.sort_values(keys).reset_index(drop=True)
+
+
+def test_combined_counts_distributed_equals_driver_merge(parsed):
+    local = combined_counts(parsed)
+    dist = combined_counts(parsed, distributed=True)
+    for a, b in zip(rollups_from_combined(local), rollups_from_combined(dist)):
+        keys = [c for c in a.columns if c != "n"]
+        pd.testing.assert_frame_equal(
+            _norm(a, keys), _norm(b, keys), check_dtype=False
+        )
+
+
+def test_grouped_counts_dataset_equals_local(parsed):
+    from sylk.stages.aggregate import grouped_counts_local
+
+    dist = grouped_counts(parsed, ["facility", "severity"], ok_filter=True).to_pandas()
+    local = grouped_counts_local(parsed, ["facility", "severity"], ok_filter=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(dist, ["facility", "severity"]),
+        _norm(local, ["facility", "severity"]),
+        check_dtype=False,
+    )
+
+
+def test_minhash_distributed_branch(ray_session, monkeypatch):
+    """Force the groupby candidate path and compare with the numpy
+    run-finder path."""
+    import ray.data
+
+    docs = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 2, "text": "completely different content with no overlap at all"},
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat today"},
+    ]
+    ds = ray.data.from_items(docs)
+    fast = dedup.minhash_dup_pairs(ds, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_DRIVER_TRIPLE_LIMIT", 0)
+    dist = dedup.minhash_dup_pairs(ray.data.from_items(docs), threshold=0.5).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(_norm(fast, key), _norm(dist, key), check_dtype=False)
+    assert {(0, 1)} <= set(zip(fast.a, fast.b))

@@ -76,3 +76,20 @@ def test_batch_carries_input_columns():
     for c in ("conv_id", "turn_idx", "role", "tool", "ts"):
         assert c in out.column_names
     assert out.column("conv_id").to_pylist() == t.column("conv_id").to_pylist()
+
+
+def test_sd_typed_map_emitter():
+    """SURVEY §1.4 typed-map representation: sorted keys at both levels,
+    empty map for nil SD, null for failed rows."""
+    from sylk.functions.lookups import SD_MAP_TYPE, sd_as_map_batch
+
+    lines = ['<34>1 - - - - - [b k="2"][a x="1" y="z"] m',
+             "<1>1 - - - - - -", "junk"]
+    out = sd_as_map_batch(parse_batch(pa.table({"text": lines})))
+    col = out.column("sd_map")
+    assert col.type == SD_MAP_TYPE
+    assert col.to_pylist() == [
+        [("a", [("x", "1"), ("y", "z")]), ("b", [("k", "2")])],
+        [],
+        None,
+    ]
