@@ -269,7 +269,8 @@ def q_token_counts(sf_dir: str) -> pa.Table:
     from ..stages.text import token_count_batch
 
     ds = _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
-    return _table(ds.select_columns(["doc_id", "n_tokens"]), ["doc_id", "n_tokens"])
+    cols = ["doc_id", "n_tokens", "n_bpe_tokens"]
+    return _table(ds.select_columns(cols), cols)
 
 
 def q_quality_scores(sf_dir: str) -> pa.Table:
@@ -611,8 +612,12 @@ def build_oracle_sql() -> dict[str, str]:
                    {_ROLE} AS role
             FROM events""",
         "token_counts": r"""
-            SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
-                   AS n_tokens
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+                   AS BIGINT) AS n_bpe_tokens
             FROM documents""",
         "quality_scores": r"""
             WITH f AS (

@@ -33,10 +33,22 @@ _LANG_PROFILES = {
 }
 
 
+# GPT-2-style pre-tokenizer classes, RE2-compatible (no lookarounds):
+# contraction suffixes, space-prefixed letter/digit/punct runs, whitespace
+# runs.  Counts approximate BPE pre-token counts for budgeting.
+_BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+           r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append ``n_tokens``: count of whitespace-separated tokens."""
-    n = pc.count_substring_regex(batch.column(text_col), _TOKEN_RE)
-    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+    """Append ``n_tokens`` (whitespace tokens) and ``n_bpe_tokens``
+    (GPT-2-ish pre-tokenizer segments — the budgeting proxy a training
+    pipeline uses before real BPE)."""
+    col = batch.column(text_col)
+    n = pc.count_substring_regex(col, _TOKEN_RE)
+    nb = pc.count_substring_regex(col, _BPE_RE)
+    batch = batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+    return batch.append_column("n_bpe_tokens", pc.cast(nb, pa.int64()))
 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
