@@ -367,6 +367,17 @@ def q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf[["a", "b", "hamming"]], preserve_index=False)
 
 
+def q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import winnow_dup_pairs
+
+    out = winnow_dup_pairs(_docs(sf_dir), min_shared=8)
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "shared_fps": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf[["a", "b", "shared_fps"]], preserve_index=False)
+
+
 def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     import os
 
@@ -703,6 +714,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "conformance": q_conformance,
 }

@@ -334,6 +334,83 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
     return ray.data.from_pandas(pdf) if len(pdf) else ray.data.from_items([])
 
 
+# --- winnowing (rolling-hash document fingerprints) ------------------------
+
+_WIN_BASE = np.uint64(1000003)
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 16) -> np.ndarray:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling
+    polynomial hash over byte k-grams, keep the minimum of each
+    w-window (rightmost on ties), dedupe consecutive picks.  Guarantee:
+    two documents sharing any substring of length >= w + k - 1 share at
+    least one fingerprint.  Fully vectorized (sliding_window_view)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return np.unique(_mix64(np.frombuffer(
+            hashlib.blake2b(bytes(b), digest_size=8).digest(), dtype=np.uint64)))
+    with np.errstate(over="ignore"):
+        powers = _WIN_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        hashes = _mix64((grams * powers).sum(axis=1, dtype=np.uint64))
+    if len(hashes) <= w:
+        return np.unique(hashes[[int(hashes.argmin())]])
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    # rightmost minimum per window: argmin on the reversed window
+    rev_arg = wins[:, ::-1].argmin(axis=1)
+    pick = np.arange(len(wins)) + (w - 1 - rev_arg)
+    return np.unique(hashes[np.unique(pick)])
+
+
+def winnow_dup_pairs(docs_ds, min_shared: int = 3, k: int = 8, w: int = 16,
+                     text_col: str = "text"):
+    """Fingerprint-overlap near-dup pairs: docs sharing >= ``min_shared``
+    winnowing fingerprints.  Shuffle payload = (doc_id, fingerprint)
+    pairs only; counting shared fingerprints per candidate pair runs on
+    the collected triples (documented scale path: hash-partition by
+    fingerprint, count per bucket, merge)."""
+    import collections
+
+    import ray
+    import ray.data
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+            for fp in winnow_fingerprints(t or "", k=k, w=w):
+                ids.append(i)
+                fps.append(fp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(np.array(fps, dtype=np.uint64))})
+
+    tbl = pa.concat_tables(ray.get(
+        docs_ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    ))
+    fp = tbl.column("fp").to_numpy(zero_copy_only=False)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, fp))
+    fp, ids = fp[order], ids[order]
+    bounds = np.flatnonzero(np.diff(fp) != 0) + 1
+    cnt: collections.Counter = collections.Counter()
+    for s, e in zip(np.concatenate(([0], bounds)), np.concatenate((bounds, [len(fp)]))):
+        if e - s < 2:
+            continue
+        run = np.unique(ids[s:e])
+        for i in range(len(run)):
+            for j in range(i + 1, len(run)):
+                cnt[(int(run[i]), int(run[j]))] += 1
+    rows = [(a, b, n) for (a, b), n in sorted(cnt.items()) if n >= min_shared]
+    if not rows:
+        return ray.data.from_items([])
+    a, b, n = zip(*rows)
+    return ray.data.from_pandas(
+        pd.DataFrame({"a": a, "b": b, "shared_fps": n}).astype(
+            {"a": "int64", "b": "int64", "shared_fps": "int64"}
+        )
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_planes: int = 16, seed: int = 42):

@@ -214,3 +214,22 @@ def test_multimodal_strict_raises():
     dec = ImageDecoder(strict=True)
     with _pytest.raises(NotImplementedError):
         dec(synth_media(3).filter(pa.array([True, False, False])))
+
+
+def test_winnow_dup_pairs(ray_session):
+    """Winnowing fingerprint-overlap dedup: planted near-dup found,
+    unrelated docs produce no pair (rolling-hash guarantee)."""
+    import ray.data
+
+    from sylk.stages.dedup import winnow_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark woods tonight while the moon rises slowly")
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("moon", "sun")},
+        {"doc_id": 2, "text": "entirely different content sharing no long substring with anything here"},
+    ]
+    pairs = winnow_dup_pairs(ray.data.from_items(docs), min_shared=3).to_pandas()
+    assert (0, 1) in set(zip(pairs.a, pairs.b))
+    assert not any((2 in p) for p in zip(pairs.a, pairs.b))
