@@ -290,6 +290,16 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
     return _table(ds.select_columns(cols), cols)
 
 
+def q_deterministic_sample(sf_dir: str) -> pa.Table:
+    """20% content-hash sample of documents — reproducible across runs
+    and cluster sizes; DuckDB recomputes the identical membership via
+    md5_number_lower."""
+    from ..stages.sample import deterministic_sample
+
+    ds = deterministic_sample(_docs(sf_dir), "text", percent=20)
+    return _table(ds.select_columns(["doc_id"]), ["doc_id"])
+
+
 def q_exact_dedup(sf_dir: str) -> pa.Table:
     from ..stages.dedup import exact_dedup_groups
 
@@ -653,6 +663,9 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS content_md5,
                    substring(md5(lower(text)), 1, 16) AS fp16
             FROM documents""",
+        "deterministic_sample": """
+            SELECT doc_id FROM documents
+            WHERE md5_number_lower(text) % 100 < 20""",
         "exact_dedup": """
             SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_dupes
@@ -706,6 +719,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "deterministic_sample": q_deterministic_sample,
     "exact_dedup": q_exact_dedup,
     "lang_id": q_lang_id,
     "ann_bruteforce": q_ann_bruteforce,

@@ -233,3 +233,27 @@ def test_winnow_dup_pairs(ray_session):
     pairs = winnow_dup_pairs(ray.data.from_items(docs), min_shared=3).to_pandas()
     assert (0, 1) in set(zip(pairs.a, pairs.b))
     assert not any((2 in p) for p in zip(pairs.a, pairs.b))
+
+
+def test_deterministic_sample(ray_session):
+    """Content-hash sampling: reproducible, correct rate, DuckDB-parity
+    hash (md5_number_lower = little-endian digest bytes 8..16)."""
+    import duckdb
+    import ray.data
+
+    from sylk.stages.sample import content_hash64, deterministic_sample
+
+    con = duckdb.connect()
+    assert con.execute("SELECT md5_number_lower('abc')").fetchone()[0] == int(
+        content_hash64(["abc"])[0]
+    )
+    docs = [{"doc_id": i, "text": f"document number {i} content"} for i in range(2000)]
+    ds = ray.data.from_items(docs)
+    s1 = sorted(r["doc_id"] for r in deterministic_sample(ds, "text", 20).take_all())
+    s2 = sorted(r["doc_id"] for r in deterministic_sample(
+        ray.data.from_items(docs), "text", 20).take_all())
+    assert s1 == s2                       # reproducible
+    assert 0.15 < len(s1) / 2000 < 0.25   # ~20%
+    salted = sorted(r["doc_id"] for r in deterministic_sample(
+        ray.data.from_items(docs), "text", 20, salt="x").take_all())
+    assert salted != s1                   # independent sample per salt
