@@ -257,3 +257,35 @@ def test_deterministic_sample(ray_session):
     salted = sorted(r["doc_id"] for r in deterministic_sample(
         ray.data.from_items(docs), "text", 20, salt="x").take_all())
     assert salted != s1                   # independent sample per salt
+
+
+def test_ivf_partitioned_store(ray_session, tmp_path):
+    """Cell-partitioned IVF store: scan pruning reads only probed cell
+    dirs; recall vs brute force stays high."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from sylk.stages.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_partitioned,
+        ivf_write_partitioned,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = str(tmp_path / "ivf_store")
+    index = ivf_write_partitioned(ds, out, n_cells=8)
+    assert len([d for d in os.listdir(out) if d.startswith("cell=")]) >= 4
+
+    q = np.vstack(ds.filter(expr="vec_id < 4").to_pandas()
+                  .sort_values("vec_id")["embedding"].to_numpy())
+    exact = ann_topk_bruteforce(ds, q, k=10).to_pandas()
+    approx = ann_topk_ivf_partitioned(out, index, q, k=10, nprobe=4).to_pandas()
+    hits = 0
+    for qi in range(4):
+        e = set(exact[exact.query_idx == qi].vec_id)
+        a = set(approx[approx.query_idx == qi].vec_id)
+        hits += len(e & a)
+    assert hits / 40 >= 0.5  # nprobe=4 of 8 cells: recall well above chance
