@@ -209,27 +209,16 @@ def q_hourly_counts(sf_dir: str) -> pa.Table:
 def q_conversations(sf_dir: str) -> pa.Table:
     """Sessionize: reconstruct each conversation in stable turn order
     (the north rule's (conv_id, turn_idx) ordering invariant, proven
-    through the groupby shuffle by an order-SENSITIVE aggregation —
-    newline-joined transcript text)."""
-    import pandas as pd
+    through BOTH exchanges by an order-SENSITIVE aggregation —
+    newline-joined transcript text).  Skew-safe streaming shape: sort +
+    per-block segmented reduce + chunk merge (sylk/stages/sessionize.py)
+    — no task ever materializes a whole conversation's rows."""
+    from ..stages.sessionize import sessionize
 
     ds = transcripts_from_events(sf_dir).select_columns(
         ["conv_id", "turn_idx", "text"]
     )
-
-    def _sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="mergesort")
-        return pd.DataFrame(
-            {
-                "conv_id": [g.conv_id.iloc[0]],
-                "n_turns": [len(g)],
-                "first_turn": [int(g.turn_idx.iloc[0])],
-                "last_turn": [int(g.turn_idx.iloc[-1])],
-                "transcript": ["\n".join(g.text)],
-            }
-        )
-
-    out = ds.groupby("conv_id").map_groups(_sess, batch_format="pandas")
+    out = sessionize(ds)
     cols = ["conv_id", "n_turns", "first_turn", "last_turn", "transcript"]
     return _table(out, cols)
 
@@ -389,20 +378,22 @@ def q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
-    import os
-
-    import ray.data
-
+    """Embedding near-dup pairs via 16x8 multi-band hyperplane LSH +
+    exact cosine verify.  The DuckDB oracle recomputes the EXACT
+    all-pairs answer — at the 16x8 banding the miss probability at the
+    0.95 threshold is ~2e-4 per boundary pair (and the sf corpus has a
+    wide margin: max pairwise cosine ~0.51), so LSH+verify reproduces
+    the exact result."""
     from ..stages.dedup import embedding_dup_pairs
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
-    out = embedding_dup_pairs(ds, threshold=0.95)
+    out = embedding_dup_pairs(_emb(sf_dir), threshold=0.95)
     pdf = out.to_pandas()
     if len(pdf) == 0:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
-    return pa.Table.from_pandas(pdf[["a", "b", "cosine"]], preserve_index=False)
+    pdf = pdf[["a", "b", "cosine"]].astype(
+        {"a": "int64", "b": "int64", "cosine": "float64"})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 def q_multimodal_features(sf_dir: str) -> pa.Table:
@@ -471,8 +462,10 @@ def q_approx_distinct_hosts(sf_dir: str) -> pa.Table:
 
 def q_conformance(sf_dir: str) -> pa.Table:
     """The reference crate's own test corpus through the batch parser
-    (FIXTURES.md; parser.rs:409-650) — rows-only driver check; exact
-    field-level assertions live in tests/test_parse_batch.py."""
+    (FIXTURES.md; parser.rs:409-650) — hash-checked against a SQL VALUES
+    table of the transcribed goldens (see _conformance_oracle_sql);
+    field-level pytest assertions live in tests/test_parse_batch.py and
+    tests/test_reference_semantics.py."""
     import ray.data
 
     from ..sources.corpus import MUST_PARSE, MUST_REJECT
@@ -528,6 +521,44 @@ def _lang_conf(lang: str) -> str:
 
 _COS = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
         "CAST(v.embedding AS DOUBLE[]))")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _conformance_oracle_sql() -> str:
+    """VALUES table of the transcribed conformance goldens (corpus.py,
+    itself transcribed from parser.rs:409-650 / message.rs:174-252 /
+    examples/bench.rs) — the driver gate then pins the batch parser
+    directly to the reference's own test expectations.  Generated from
+    the SAME constants the pytest goldens assert, never from running
+    the parser."""
+    from ..functions.canonical_json import sd_to_json
+    from ..sources.corpus import MUST_PARSE, MUST_REJECT
+
+    rows = []
+    idx = 0
+    for _name, (_line, exp) in MUST_PARSE.items():
+        host = (_sql_str(exp["hostname"]) if exp["hostname"] is not None
+                else "CAST(NULL AS VARCHAR)")
+        rows.append(
+            f"(CAST({idx} AS BIGINT), TRUE, CAST(NULL AS VARCHAR), "
+            f"CAST({exp['facility']} AS BIGINT), CAST({exp['severity']} AS BIGINT), "
+            f"{host}, {_sql_str(sd_to_json(exp['sd']))}, {_sql_str(exp['msg'])})"
+        )
+        idx += 1
+    for _name, (_line, err) in MUST_REJECT.items():
+        rows.append(
+            f"(CAST({idx} AS BIGINT), FALSE, {_sql_str(err)}, "
+            "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))"
+        )
+        idx += 1
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows)
+        + "\n) AS t(case_idx, ok, error, facility, severity, hostname, sd, msg)"
+    )
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -693,6 +724,15 @@ def build_oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, v.vec_id
             ) <= {_ANN_K}""",
+        # exact all-pairs near-dup: the LSH+verify pipeline must reproduce
+        # this exactly (see q_embedding_dup_pairs for the recall argument)
+        "embedding_dup_pairs": f"""
+            SELECT CAST(q.vec_id AS BIGINT) AS a,
+                   CAST(v.vec_id AS BIGINT) AS b,
+                   round({_COS}, 6) AS cosine
+            FROM embeddings q, embeddings v
+            WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "conformance": _conformance_oracle_sql(),
     }
 
 
@@ -723,12 +763,12 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "lang_id": q_lang_id,
     "ann_bruteforce": q_ann_bruteforce,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "conformance": q_conformance,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
-    # approximate IVF recall, the syslog conformance corpus)
+    # approximate IVF recall)
     "ann_ivf": q_ann_ivf,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "conformance": q_conformance,
 }

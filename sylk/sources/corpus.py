@@ -40,17 +40,31 @@ MUST_PARSE: dict[str, tuple[str, dict]] = {
         },
     ),
     # parser.rs:434-438
-    "time_zulu": ("<1>1 2015-01-01T00:00:00Z host - - - -", {"timestamp": 1420070400}),
+    "time_zulu": ("<1>1 2015-01-01T00:00:00Z host - - - -",
+                  {"timestamp": 1420070400, "facility": 0, "severity": 1,
+                   "hostname": "host", "sd": {}, "msg": ""}),
     # parser.rs:441-445
-    "time_offset": ("<1>1 2015-01-01T00:00:00+00:00 - - - - -", {"timestamp": 1420070400}),
+    "time_offset": ("<1>1 2015-01-01T00:00:00+00:00 - - - - -",
+                    {"timestamp": 1420070400, "facility": 0, "severity": 1,
+                     "hostname": None, "sd": {}, "msg": ""}),
     # parser.rs:448-451
-    "offset_nonzero": ("<1>1 2015-01-01T00:00:00-10:00 - - - - -", {"timestamp": 1420106400}),
+    "offset_nonzero": ("<1>1 2015-01-01T00:00:00-10:00 - - - - -",
+                       {"timestamp": 1420106400, "facility": 0, "severity": 1,
+                        "hostname": None, "sd": {}, "msg": ""}),
     # parser.rs:453-457 (equal pair)
-    "offset_pair_a": ("<1>1 2015-01-01T18:50:00-04:00 - - - - -", {"timestamp": 1420152600}),
-    "offset_pair_b": ("<1>1 2015-01-01T22:50:00Z - - - - -", {"timestamp": 1420152600}),
+    "offset_pair_a": ("<1>1 2015-01-01T18:50:00-04:00 - - - - -",
+                      {"timestamp": 1420152600, "facility": 0, "severity": 1,
+                       "hostname": None, "sd": {}, "msg": ""}),
+    "offset_pair_b": ("<1>1 2015-01-01T22:50:00Z - - - - -",
+                      {"timestamp": 1420152600, "facility": 0, "severity": 1,
+                       "hostname": None, "sd": {}, "msg": ""}),
     # parser.rs:459-463 (equal pair, fractional-hour offset)
-    "frac_minutes_a": ("<1>1 2019-01-20T00:46:39+05:45 - - - - -", {"timestamp": 1547924499}),
-    "frac_minutes_b": ("<1>1 2019-01-19T11:01:39-08:00 - - - - -", {"timestamp": 1547924499}),
+    "frac_minutes_a": ("<1>1 2019-01-20T00:46:39+05:45 - - - - -",
+                       {"timestamp": 1547924499, "facility": 0, "severity": 1,
+                        "hostname": None, "sd": {}, "msg": ""}),
+    "frac_minutes_b": ("<1>1 2019-01-19T11:01:39-08:00 - - - - -",
+                       {"timestamp": 1547924499, "facility": 0, "severity": 1,
+                        "hostname": None, "sd": {}, "msg": ""}),
     # parser.rs:467-482
     "complex": (
         '<78>1 2016-01-15T00:04:01+00:00 host1 CROND 10391 - [meta sequenceId="29"] some_message',
@@ -75,7 +89,7 @@ MUST_PARSE: dict[str, tuple[str, dict]] = {
         '[meta sequenceId="29" sequenceBlah="foo"][my key="value"]'
         '[meta bar="baz="] some_message',
         {
-            "facility": 9, "severity": 6,
+            "facility": 9, "severity": 6, "hostname": "host1",
             "sd": {
                 "meta": {"sequenceId": "29", "sequenceBlah": "foo", "bar": "baz="},
                 "my": {"key": "value"},
@@ -86,28 +100,44 @@ MUST_PARSE: dict[str, tuple[str, dict]] = {
     # parser.rs:525-534
     "escaped_quote": (
         r'<1>1 - - - - - [meta key="val\"ue"] message',
-        {"sd": {"meta": {"key": 'val"ue'}}, "msg": "message"},
+        {"facility": 0, "severity": 1, "hostname": None,
+         "sd": {"meta": {"key": 'val"ue'}}, "msg": "message"},
     ),
     # parser.rs:537-540
     "long_msg": (
         '<190>1 2016-02-21T01:19:11+00:00 batch6sj - - - '
         '[meta sequenceId="21881798" x-group="37051387"]'
         '[origin x-service="tracking"] ' + LONG_MSG_BODY,
-        {"facility": 23, "severity": 6, "msg": LONG_MSG_BODY},
+        {"facility": 23, "severity": 6, "hostname": "batch6sj",
+         "sd": {"meta": {"sequenceId": "21881798", "x-group": "37051387"},
+                "origin": {"x-service": "tracking"}},
+         "msg": LONG_MSG_BODY},
     ),
     # parser.rs:559-587 — the RFC's example timestamps
     "ts_frac_1": ("<1>1 1985-04-12T23:20:50.52Z host - - - -",
-                  {"timestamp": 482196050, "timestamp_nanos": 520000000}),
+                  {"timestamp": 482196050, "timestamp_nanos": 520000000,
+                   "facility": 0, "severity": 1, "hostname": "host",
+                   "sd": {}, "msg": ""}),
     "ts_frac_2": ("<1>1 1985-04-12T19:20:50.52+04:00 host - - - -",
-                  {"timestamp": 482167250, "timestamp_nanos": 520000000}),
+                  {"timestamp": 482167250, "timestamp_nanos": 520000000,
+                   "facility": 0, "severity": 1, "hostname": "host",
+                   "sd": {}, "msg": ""}),
     "ts_frac_3": ("<1>1 1985-04-12T19:20:50+04:00 host - - - -",
-                  {"timestamp": 482167250, "timestamp_nanos": 0}),
+                  {"timestamp": 482167250, "timestamp_nanos": 0,
+                   "facility": 0, "severity": 1, "hostname": "host",
+                   "sd": {}, "msg": ""}),
     "ts_frac_4": ("<1>1 2003-08-24T05:14:15.000003+07:00 host - - - -",
-                  {"timestamp": 1061676855, "timestamp_nanos": 3000}),
+                  {"timestamp": 1061676855, "timestamp_nanos": 3000,
+                   "facility": 0, "severity": 1, "hostname": "host",
+                   "sd": {}, "msg": ""}),
     "ts_frac_9a": ("<1>1 2003-08-24T05:14:15.000000003+07:00 host - - - -",
-                   {"timestamp": 1061676855, "timestamp_nanos": 3}),
+                   {"timestamp": 1061676855, "timestamp_nanos": 3,
+                    "facility": 0, "severity": 1, "hostname": "host",
+                    "sd": {}, "msg": ""}),
     "ts_frac_9b": ("<1>1 2003-08-24T05:14:15.123456789+07:00 host - - - -",
-                   {"timestamp": 1061676855, "timestamp_nanos": 123456789}),
+                   {"timestamp": 1061676855, "timestamp_nanos": 123456789,
+                    "facility": 0, "severity": 1, "hostname": "host",
+                    "sd": {}, "msg": ""}),
     # parser.rs:594-621
     "empty_sd_value": (
         '<29>1 2018-05-14T08:23:01.520Z leyal_test4 mgd 13894 UI_CHILD_EXITED '
@@ -136,7 +166,9 @@ MUST_PARSE: dict[str, tuple[str, dict]] = {
         },
     ),
     # message.rs:246-251 (FromStr path — same grammar)
-    "fromstr": ("<1>1 1985-04-12T23:20:50.52Z host - - - -", {"timestamp": 482196050}),
+    "fromstr": ("<1>1 1985-04-12T23:20:50.52Z host - - - -",
+                {"timestamp": 482196050, "facility": 0, "severity": 1,
+                 "hostname": "host", "sd": {}, "msg": ""}),
     # examples/bench.rs:42 — quoted strings inside MSG untouched
     "bench_avg": (
         '<29>1 2016-02-21T04:32:57+00:00 web1 someservice - - '
@@ -146,6 +178,8 @@ MUST_PARSE: dict[str, tuple[str, dict]] = {
         {
             "facility": 3, "severity": 5, "hostname": "web1",
             "appname": "someservice",
+            "sd": {"origin": {"x-service": "someservice"},
+                   "meta": {"sequenceId": "14125553"}},
             "msg": '127.0.0.1 - - 1456029177 "GET /v1/ok HTTP/1.1" 200 145 '
                    '"-" "hacheck 0.9.0" 24306 127.0.0.1:40124 575',
         },
@@ -158,6 +192,7 @@ MUST_PARSE: dict[str, tuple[str, dict]] = {
             "facility": 1, "severity": 6, "hostname": "my_hostname",
             "appname": "custom_appname", "procid_pid": 5678,
             "msgid": "some_unique_msgid", "msg": "﻿Some other message",
+            "sd": {},
             "timestamp": 1501060655, "timestamp_nanos": 869952000,
         },
     ),
@@ -170,7 +205,9 @@ MUST_REJECT: dict[str, tuple[str, str | None]] = {
     # parser.rs:206-210 / facility.rs:75 — fac 24 > 23
     "bad_facility": ("<192>1 - - - - - -", "BadFacilityInPri"),
     # parser.rs:549-553 — RFC3164 must not parse
-    "rfc3164": ("<134>Feb 18 20:53:31 haproxy[376]: I am a message", None),
+    # the crate test only asserts is_err; the variant follows from the
+    # grammar: version parse_num sees 'F' (no digit) -> TooFewDigits
+    "rfc3164": ("<134>Feb 18 20:53:31 haproxy[376]: I am a message", "TooFewDigits"),
     # parser.rs:588-590 — 10th frac digit leaks into the offset parser
     "frac_10_digits": ("<1>1 2003-08-24T05:14:15.1122334455+07:00 host - - - -",
                        "InvalidUTCOffset"),

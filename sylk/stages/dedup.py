@@ -7,52 +7,56 @@ Five families, each expressed Ray-Data-first:
   candidate pairs -> exact-Jaccard verification.
 * SimHash: 64-bit signatures -> chunk-banded buckets -> Hamming verify.
 * n-gram Jaccard: exact similarity on candidate pairs.
-* embedding cosine: random-hyperplane LSH buckets -> cosine verify.
+* embedding cosine: multi-band random-hyperplane LSH (OR-amplified)
+  -> cosine verify.
 
-Partitioning assumptions (documented per north-rule): candidate
-generation shuffles only (band_id, band_hash, doc_id) triples — tiny vs
-the corpus; pair verification here rehydrates text/embeddings from a
-broadcast lookup (``ray.put`` once), which holds while the *candidate*
-id set fits in memory; at 100 TB swap the broadcast for a bucket join on
-doc_id (hash-partition both sides on doc_id, verify per bucket) — the
-band structure is unchanged.
+Shared machinery and partitioning assumptions (documented per
+north-rule):
 
-All hashing is explicit (blake2b / seeded numpy), never Python ``hash``
-(PYTHONHASHSEED varies across Ray workers).
+* Candidate generation shuffles only (doc_id, band, band_hash) triples —
+  tiny vs the corpus.  Below ``_DRIVER_TRIPLE_LIMIT`` triples the driver
+  runs a numpy run-finder over the collected triples; above it the
+  buckets go through a hash-partitioned ``groupby`` (the corpus-scale
+  path — triples are the ONLY payload shuffled).
+* Pair verification attaches the source values (text / signature /
+  vector) to each candidate pair.  Below ``_DRIVER_PAIR_LIMIT``
+  candidates, the needed rows are filtered WORKER-side against a
+  broadcast id set (``ray.put`` once) so only candidate rows ever reach
+  the driver.  Above it, :func:`_verify_pairs_join` runs the fully
+  distributed path: explode each pair into two edge rows, hash-JOIN the
+  edges with the source on doc_id (the corpus is shuffled exactly once),
+  then assemble per pair with a groupby on (a, b) (only candidate-sized
+  data moves).  ``distributed=True`` forces the join path end-to-end
+  (exercised by tests/test_distributed_paths.py).
+
+All hashing is explicit (blake2b / seeded numpy / splitmix64), never
+Python ``hash`` (PYTHONHASHSEED varies across Ray workers).
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable
+from typing import Callable
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-_MERSENNE = (1 << 61) - 1
 _N_PERM = 64
 _BANDS = 16  # 16 bands x 4 rows
+
+# below this many (doc, band) triples, candidate generation collects them
+# to the driver (24B/row) and runs the numpy run-finder; above it, the
+# hash-partitioned groupby (the 100TB path).
+_DRIVER_TRIPLE_LIMIT = 20_000_000
+# below this many candidate pairs, verification uses the broadcast-filter
+# lookup; above it, the distributed edge-join.
+_DRIVER_PAIR_LIMIT = 2_000_000
 
 
 def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle -> uint64 hash array (deterministic)."""
-    toks = text.split()
-    if len(toks) < k:
-        src: Iterable[str] = [" ".join(toks)] if toks else []
-    else:
-        src = (" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
-    hs = [_hash64(s.encode("utf-8")) for s in src]
-    return np.unique(np.array(hs, dtype=np.uint64))
-
-
-_PERM_SEEDS = np.random.default_rng(42).integers(
-    0, np.iinfo(np.uint64).max, size=_N_PERM, dtype=np.uint64
-)
 
 
 def _mix64(z: np.ndarray) -> np.ndarray:
@@ -64,6 +68,54 @@ def _mix64(z: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+# --- shingle hashing (vectorized) ------------------------------------------
+
+# Per-worker token-hash cache: corpora repeat tokens heavily, so blake2b
+# runs once per DISTINCT token per worker; shingle combination is then
+# pure numpy.  Bounded: cleared wholesale at the cap (simple, rare).
+_TOKEN_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 1 << 22
+
+_SHINGLE_BASE = np.uint64(0x9E3779B97F4A7C15)  # odd => bijective per position
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    cache = _TOKEN_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _TOKEN_CACHE_MAX:
+                cache.clear()
+            h = cache[t] = _hash64(t.encode("utf-8"))
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle -> unique uint64 hash array (deterministic).
+
+    Vectorized: one blake2b per distinct token (cached), then a rolling
+    positional-polynomial combine over token hashes + splitmix64 finish
+    (same pattern as :func:`winnow_fingerprints`).  Texts shorter than k
+    tokens produce one whole-text shingle."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(toks)
+    kk = min(k, len(th))
+    with np.errstate(over="ignore"):
+        powers = _SHINGLE_BASE ** np.arange(kk - 1, -1, -1, dtype=np.uint64)
+        wins = np.lib.stride_tricks.sliding_window_view(th, kk)
+        combined = (wins * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique(_mix64(combined))
+
+
+_PERM_SEEDS = np.random.default_rng(42).integers(
+    0, np.iinfo(np.uint64).max, size=_N_PERM, dtype=np.uint64
+)
+
+
 def minhash_signature(text: str) -> np.ndarray:
     """64-permutation minhash signature (uint64[64])."""
     hs = _shingle_hashes(text)
@@ -72,36 +124,40 @@ def minhash_signature(text: str) -> np.ndarray:
     return _mix64(hs[None, :] ^ _PERM_SEEDS[:, None]).min(axis=1)
 
 
+_BAND_SALT = np.uint64(0xD6E8FEB86659FD93)
+
+
+def _band_hashes(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, n_perm) signatures -> (n_docs, n_bands) band hashes.
+    Positional polynomial over each band's rows, band index salted in so
+    equal chunks in different bands never collide, splitmix64 finish —
+    all numpy, no per-chunk digests."""
+    n, width = sigs.shape
+    rows = width // n_bands
+    chunks = sigs.reshape(n, n_bands, rows)
+    with np.errstate(over="ignore"):
+        powers = _SHINGLE_BASE ** np.arange(rows, dtype=np.uint64)
+        mixed = (chunks * powers).sum(axis=2, dtype=np.uint64)
+        salt = np.arange(n_bands, dtype=np.uint64) * _BAND_SALT
+        return _mix64(mixed ^ salt[None, :])
+
+
 def minhash_bands_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Explode each doc into (doc_id, band, band_hash) rows — the ONLY
     payload that enters the LSH shuffle."""
-    ids = batch.column(id_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     texts = batch.column(text_col).to_pylist()
-    out_id, out_band, out_hash = [], [], []
-    rows_per_band = _N_PERM // _BANDS
-    for i, t in zip(ids, texts):
-        sig = minhash_signature(t or "")
-        for b in range(_BANDS):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            out_id.append(i)
-            out_band.append(b)
-            out_hash.append(_hash64(chunk.tobytes()))
+    sigs = np.empty((len(texts), _N_PERM), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sigs[i] = minhash_signature(t or "")
+    bh = _band_hashes(sigs, _BANDS)
     return pa.table(
         {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, _BANDS), pa.int64()),
+            "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), len(texts))),
+            "band_hash": pa.array(bh.reshape(-1)),
         }
     )
-
-
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket."""
-    ids = sorted(set(group["doc_id"].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-    return pd.DataFrame({"a": list(a), "b": list(b)})
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -112,6 +168,40 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     inter = np.intersect1d(ha, hb, assume_unique=True).size
     union = len(ha) + len(hb) - inter
     return inter / union if union else 0.0
+
+
+# --- candidate generation ---------------------------------------------------
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                         "b": pd.Series([], dtype="int64")})
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one (band, band_hash) bucket."""
+    ids = sorted(set(group["doc_id"].tolist()))
+    if len(ids) < 2:
+        return _empty_pairs()
+    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+    return pd.DataFrame({"a": list(a), "b": list(b)})
+
+
+def _edges_from_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """(a, b) pairs -> two edge rows per pair, keyed by the member id.
+    Every frame — including the empty ones singleton buckets produce —
+    carries the full edge schema: Ray map stages skip 0-row blocks, so
+    a 0-row block with a NARROWER schema would poison the downstream
+    hash-join (observed: ArrowInvalid on the join key)."""
+    e0 = df.assign(join_id=df["a"], side=0)
+    e1 = df.assign(join_id=df["b"], side=1)
+    out = pd.concat([e0, e1], ignore_index=True)[["a", "b", "side", "join_id"]]
+    return out.astype({"a": "int64", "b": "int64", "side": "int64",
+                       "join_id": "int64"})
+
+
+def _bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
+    """Edge rows for all candidate pairs within one bucket."""
+    return _edges_from_pairs(_bucket_pairs(group))
 
 
 def _pairs_from_triples(tbl: pa.Table) -> pd.DataFrame:
@@ -137,62 +227,166 @@ def _pairs_from_triples(tbl: pa.Table) -> pd.DataFrame:
             for j in range(i + 1, len(run)):
                 out.add((int(run[i]), int(run[j])))
     if not out:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
+        return _empty_pairs()
     a, b = zip(*sorted(out))
     return pd.DataFrame({"a": list(a), "b": list(b)})
 
 
-# below this many (doc, band) triples the candidate generation collects
-# them to the driver (24B/row) and runs the numpy run-finder; above it,
-# fall back to the distributed groupby (the 100TB path: triples are the
-# ONLY payload shuffled)
-_DRIVER_TRIPLE_LIMIT = 20_000_000
+def _candidate_pairs(triples_ds, distributed: bool | None = None):
+    """(doc_id, band, band_hash) Dataset -> unique candidate pairs.
 
-
-def minhash_dup_pairs(docs_ds, threshold: float = 0.8, text_col: str = "text"):
-    """MinHash-LSH near-duplicate pairs, Jaccard-verified.
-
-    Returns Dataset[(a, b, jaccard)] with a < b, jaccard >= threshold.
-    """
+    Returns a pandas DataFrame (driver path) or a Dataset (distributed
+    path).  ``distributed=None`` auto-selects by triple count."""
     import ray
     import ray.data
 
+    if distributed is None or not distributed:
+        tbl = pa.concat_tables(ray.get(triples_ds.to_arrow_refs()))
+        if distributed is False or len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+            return _pairs_from_triples(tbl)
+        triples_ds = ray.data.from_arrow(tbl)
+    # per-bucket pair EDGES; a pair colliding in d bands appears d times
+    # across buckets — deduped at assemble time in the join path
+    # (groupby (a, b) merges them; see _verify_pairs_join)
+    return triples_ds.groupby(["band", "band_hash"]).map_groups(
+        _bucket_edges, batch_format="pandas"
+    )
+
+
+# --- pair verification ------------------------------------------------------
+
+def _collect_needed(source_ds, id_col: str, val_col: str, need_ids) -> dict:
+    """Broadcast the candidate id set, filter WORKER-side, collect only
+    the matching (id, value) rows — the driver never streams the corpus."""
+    import ray
+
+    need_arr = pa.array(sorted(int(i) for i in need_ids), pa.int64())
+    need_ref = ray.put(need_arr)
+
+    def _filt(b: pa.Table) -> pa.Table:
+        ns = ray.get(need_ref)
+        mask = pc.is_in(b.column(id_col).cast(pa.int64()), value_set=ns)
+        return b.filter(mask).select([id_col, val_col])
+
+    small = source_ds.map_batches(_filt, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(ray.get(small.to_arrow_refs()))
+    return dict(zip(tbl.column(id_col).to_pylist(), tbl.column(val_col).to_pylist()))
+
+
+def _verify_broadcast(cand: pd.DataFrame, source_ds, id_col: str, val_col: str,
+                      pair_fn: Callable, out_col: str):
+    """Verify candidates against a broadcast value lookup (``ray.put``
+    once, read per task).  Holds while the candidate id set fits in one
+    object; the join path takes over beyond that."""
+    import ray
+    import ray.data
+
+    need = set(cand["a"]).union(cand["b"])
+    ref = ray.put(_collect_needed(source_ds, id_col, val_col, need))
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out_a, out_b, out_v = [], [], []
+        for x, y in zip(batch["a"], batch["b"]):
+            r = pair_fn(lookup.get(x), lookup.get(y))
+            if r is not None:
+                out_a.append(x)
+                out_b.append(y)
+                out_v.append(r)
+        return pd.DataFrame({"a": out_a, "b": out_b, out_col: out_v})
+
+    return ray.data.from_pandas(cand).map_batches(_verify, batch_format="pandas")
+
+
+def _verify_pairs_join(edges_ds, source_ds, id_col: str, val_col: str,
+                       pair_fn: Callable, out_col: str,
+                       num_partitions: int | None = None):
+    """Distributed pair verification (the 100 TB path): each candidate
+    (a, b) arrives as two edge rows keyed by the member doc_id
+    (:func:`_edges_from_pairs`); hash-join the edges with the source
+    table on doc_id (the corpus is shuffled exactly ONCE), then
+    reassemble per pair with a groupby on (a, b) — only candidate-sized
+    data moves after the join.
+
+    ``num_partitions`` defaults to the cluster CPU count (the join's
+    aggregator pool must fit the cluster or the stage starves upstream
+    operators); at real corpus scale pass blocks-per-node x nodes."""
+    import ray
+    import ray.data
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    # Sanitize: groupby partitions that received no groups emit 0-row
+    # blocks with NO schema, and those poison the hash-join's per-
+    # partition pyarrow join (FieldRef join_id unresolvable).  Union
+    # with a schema'd empty seed + repartition concatenates them away —
+    # a shuffle of candidate-sized data only.
+    seed = ray.data.from_pandas(_edges_from_pairs(_empty_pairs()))
+    edges_ds = seed.union(edges_ds).repartition(num_partitions)
+    src = source_ds.select_columns([id_col, val_col])
+    joined = edges_ds.join(src, "inner", num_partitions,
+                           on=("join_id",), right_on=(id_col,))
+
+    def _assemble(g: pd.DataFrame) -> pd.DataFrame:
+        # a pair found in d bands carries d duplicate edge rows per side
+        g = g.sort_values("side").drop_duplicates("side")
+        if len(g) != 2:  # member missing from source: not verifiable
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="float64")})
+        r = pair_fn(g[val_col].iloc[0], g[val_col].iloc[1])
+        if r is None:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="float64")})
+        return pd.DataFrame({"a": [g["a"].iloc[0]], "b": [g["b"].iloc[0]],
+                             out_col: [r]})
+
+    return joined.groupby(["a", "b"]).map_groups(_assemble, batch_format="pandas")
+
+
+def _verify_pairs(cand, source_ds, id_col: str, val_col: str, pair_fn: Callable,
+                  out_col: str, distributed: bool | None = None):
+    """Route a candidate set (DataFrame or Dataset) through the broadcast
+    or join verification path."""
+    import ray.data
+
+    if isinstance(cand, pd.DataFrame):
+        if distributed or len(cand) > _DRIVER_PAIR_LIMIT:
+            if len(cand) == 0:
+                return ray.data.from_pandas(
+                    pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                  "b": pd.Series([], dtype="int64"),
+                                  out_col: pd.Series([], dtype="float64")}))
+            return _verify_pairs_join(
+                ray.data.from_pandas(_edges_from_pairs(cand)), source_ds,
+                id_col, val_col, pair_fn, out_col)
+        return _verify_broadcast(cand, source_ds, id_col, val_col, pair_fn, out_col)
+    # Dataset input = edge rows from the distributed candidate path
+    return _verify_pairs_join(cand, source_ds, id_col, val_col, pair_fn, out_col)
+
+
+# --- MinHash-LSH near-dup ---------------------------------------------------
+
+def minhash_dup_pairs(docs_ds, threshold: float = 0.8, text_col: str = "text",
+                      distributed: bool | None = None):
+    """MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    Returns Dataset[(a, b, jaccard)] with a < b, jaccard >= threshold.
+    ``distributed=True`` forces the groupby candidate path and the
+    edge-join verification (the corpus-scale shape)."""
     bands = docs_ds.map_batches(
         lambda b: minhash_bands_batch(b, text_col), batch_format="pyarrow",
         batch_size=None,
     )
-    triples = pa.concat_tables(ray.get(bands.to_arrow_refs()))
-    if len(triples) <= _DRIVER_TRIPLE_LIMIT:
-        cand = _pairs_from_triples(triples)
-    else:  # distributed path for corpus-scale runs
-        pairs = bands.groupby(["band", "band_hash"]).map_groups(
-            _bucket_pairs, batch_format="pandas"
-        )
-        cand = pairs.to_pandas().drop_duplicates().astype({"a": "int64", "b": "int64"})
-    if len(cand) == 0:
-        return ray.data.from_items([])
-    # verification: broadcast the candidate docs' texts once (scale path:
-    # bucket join on doc_id instead — see module docstring)
-    need = set(cand["a"]).union(cand["b"])
-    texts = {}
-    for b in docs_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for i, t in zip(b["doc_id"].to_pylist(), b[text_col].to_pylist()):
-            if i in need:
-                texts[i] = t
-    ref = ray.put(texts)
-    cand_ds = ray.data.from_pandas(cand)
+    cand = _candidate_pairs(bands, distributed)
 
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        jac = [
-            ngram_jaccard(lookup.get(x, ""), lookup.get(y, ""))
-            for x, y in zip(batch["a"], batch["b"])
-        ]
-        batch = batch.assign(jaccard=jac)
-        return batch[batch["jaccard"] >= threshold]
+    def _jac(ta, tb):
+        j = ngram_jaccard(ta or "", tb or "")
+        return j if j >= threshold else None
 
-    return cand_ds.map_batches(_verify, batch_format="pandas")
+    return _verify_pairs(cand, docs_ds, "doc_id", text_col, _jac, "jaccard",
+                         distributed)
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -264,7 +458,7 @@ def simhash64(text: str) -> int:
     toks = text.split()
     if not toks:
         return 0
-    hs = np.array([_hash64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    hs = _token_hashes(toks)
     bits = np.unpackbits(hs.view(np.uint8)).reshape(len(hs), 64)
     votes = bits.sum(axis=0) * 2 - len(hs)  # +1 for set bits, -1 for unset
     out = np.packbits((votes > 0).astype(np.uint8))
@@ -276,62 +470,45 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(np.array(vals, dtype=np.uint64)))
 
 
-def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
+def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text",
+                      distributed: bool | None = None):
     """SimHash near-dups: 4x16-bit chunk banding, Hamming-verified.
-    Returns Dataset[(a, b, hamming)]."""
-    import ray.data
+    Returns Dataset[(a, b, hamming)].  Verification attaches the 64-bit
+    signatures (not the text) to each candidate — the cheapest possible
+    join payload."""
 
     def _chunks(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, sigs = [], [], [], []
-        for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
-            sh = simhash64(t or "")
-            for c in range(4):
-                ids.append(i)
-                bands.append(c)
-                keys.append((sh >> (16 * c)) & 0xFFFF)
-                sigs.append(sh)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = np.array(
+            [simhash64(t or "") for t in batch[text_col].to_pylist()],
+            dtype=np.uint64,
+        )
+        shifts = np.arange(4, dtype=np.uint64) * np.uint64(16)
+        keys = (sigs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(keys, pa.int64()),
-                "sig": pa.array(np.array(sigs, dtype=np.uint64)),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), len(ids))),
+                "band_hash": pa.array(keys.reshape(-1).astype(np.int64)),
             }
         )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["doc_id"], g["sig"])))
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                if ham <= max_hamming:
-                    out.append((rows[i][0], rows[j][0], ham))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"]).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"}
-        )
-
     chunks = docs_ds.map_batches(_chunks, batch_format="pyarrow", batch_size=None)
-    import ray
+    cand = _candidate_pairs(chunks, distributed)
+    sig_ds = docs_ds.map_batches(
+        simhash_batch, batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "simhash"])
 
-    tbl = pa.concat_tables(ray.get(chunks.to_arrow_refs()))
-    if len(tbl) <= _DRIVER_TRIPLE_LIMIT:
-        cand = _pairs_from_triples(tbl)
-        sig = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("sig").to_pylist()))
-        rows = [
-            (a, b, bin(int(sig[a]) ^ int(sig[b])).count("1"))
-            for a, b in zip(cand["a"], cand["b"])
-        ]
-        pdf = pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"}
-        )
-        pdf = pdf[pdf.hamming <= max_hamming]
-    else:  # distributed path for corpus-scale runs
-        pairs = chunks.groupby(["band", "band_hash"]).map_groups(
-            _pairs, batch_format="pandas"
-        )
-        pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
-    return ray.data.from_pandas(pdf) if len(pdf) else ray.data.from_items([])
+    def _ham(sa, sb):
+        h = bin(int(sa) ^ int(sb)).count("1")
+        return h if h <= max_hamming else None
+
+    out = _verify_pairs(cand, sig_ds, "doc_id", "simhash", _ham, "hamming",
+                        distributed)
+    return out.map_batches(
+        lambda df: df.astype({"a": "int64", "b": "int64", "hamming": "int64"}),
+        batch_format="pandas",
+    )
 
 
 # --- winnowing (rolling-hash document fingerprints) ------------------------
@@ -362,111 +539,177 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 16) -> np.ndarray:
     return np.unique(hashes[np.unique(pick)])
 
 
+def _winnow_explode(batch: pa.Table, text_col: str, k: int, w: int) -> pa.Table:
+    ids, fps = [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
+        for fp in winnow_fingerprints(t or "", k=k, w=w):
+            ids.append(i)
+            fps.append(fp)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "fp": pa.array(np.array(fps, dtype=np.uint64))})
+
+
 def winnow_dup_pairs(docs_ds, min_shared: int = 3, k: int = 8, w: int = 16,
-                     text_col: str = "text"):
+                     text_col: str = "text", distributed: bool | None = None):
     """Fingerprint-overlap near-dup pairs: docs sharing >= ``min_shared``
     winnowing fingerprints.  Shuffle payload = (doc_id, fingerprint)
-    pairs only; counting shared fingerprints per candidate pair runs on
-    the collected triples (documented scale path: hash-partition by
-    fingerprint, count per bucket, merge)."""
+    pairs only.  Counting shared fingerprints per candidate pair runs on
+    the collected triples below ``_DRIVER_TRIPLE_LIMIT``; above it (or
+    with ``distributed=True``) the scale path runs: hash-partition by
+    fingerprint, emit the per-bucket pairs, count per (a, b) with a
+    two-phase groupby — no driver materialization anywhere."""
     import collections
 
     import ray
     import ray.data
 
-    def _explode(batch: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for i, t in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
-            for fp in winnow_fingerprints(t or "", k=k, w=w):
-                ids.append(i)
-                fps.append(fp)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "fp": pa.array(np.array(fps, dtype=np.uint64))})
+    exploded = docs_ds.map_batches(
+        lambda b: _winnow_explode(b, text_col, k, w),
+        batch_format="pyarrow", batch_size=None,
+    )
 
-    tbl = pa.concat_tables(ray.get(
-        docs_ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
-        .to_arrow_refs()
-    ))
-    fp = tbl.column("fp").to_numpy(zero_copy_only=False)
-    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, fp))
-    fp, ids = fp[order], ids[order]
-    bounds = np.flatnonzero(np.diff(fp) != 0) + 1
-    cnt: collections.Counter = collections.Counter()
-    for s, e in zip(np.concatenate(([0], bounds)), np.concatenate((bounds, [len(fp)]))):
-        if e - s < 2:
-            continue
-        run = np.unique(ids[s:e])
-        for i in range(len(run)):
-            for j in range(i + 1, len(run)):
-                cnt[(int(run[i]), int(run[j]))] += 1
-    rows = [(a, b, n) for (a, b), n in sorted(cnt.items()) if n >= min_shared]
-    if not rows:
-        return ray.data.from_items([])
-    a, b, n = zip(*rows)
-    return ray.data.from_pandas(
-        pd.DataFrame({"a": a, "b": b, "shared_fps": n}).astype(
-            {"a": "int64", "b": "int64", "shared_fps": "int64"}
-        )
+    if not distributed:
+        tbl = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
+        if len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+            fp = tbl.column("fp").to_numpy(zero_copy_only=False)
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, fp))
+            fp, ids = fp[order], ids[order]
+            bounds = np.flatnonzero(np.diff(fp) != 0) + 1
+            cnt: collections.Counter = collections.Counter()
+            for s, e in zip(np.concatenate(([0], bounds)),
+                            np.concatenate((bounds, [len(fp)]))):
+                if e - s < 2:
+                    continue
+                run = np.unique(ids[s:e])
+                for i in range(len(run)):
+                    for j in range(i + 1, len(run)):
+                        cnt[(int(run[i]), int(run[j]))] += 1
+            rows = [(a, b, n) for (a, b), n in sorted(cnt.items()) if n >= min_shared]
+            if not rows:
+                return ray.data.from_items([])
+            a, b, n = zip(*rows)
+            return ray.data.from_pandas(
+                pd.DataFrame({"a": a, "b": b, "shared_fps": n}).astype(
+                    {"a": "int64", "b": "int64", "shared_fps": "int64"}
+                )
+            )
+        # fall through to the distributed path above the driver limit
+    from ray.data.aggregate import Count
+
+    def _fp_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return _empty_pairs()
+        a, b = zip(*[(int(x), int(y)) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    pairs = exploded.groupby("fp").map_groups(_fp_bucket_pairs, batch_format="pandas")
+    counts = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="shared_fps"))
+    out = counts.filter(expr=f"shared_fps >= {min_shared}")
+    return out.map_batches(
+        lambda df: df.astype({"a": "int64", "b": "int64", "shared_fps": "int64"}),
+        batch_format="pandas",
     )
 
 
 # --- embedding cosine near-dup --------------------------------------------
 
-def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_planes: int = 16, seed: int = 42):
-    """Random-hyperplane LSH over an embedding column -> bucket pairs ->
-    cosine verify.  Returns Dataset[(a, b, cosine)] with a < b."""
-    import ray
-    import ray.data
+def _pair_cosine(va, vb) -> float | None:
+    """dot / sqrt(|a|^2 * |b|^2) — same op order as the ANN operator
+    (bit-compatible with DuckDB's list_cosine_similarity)."""
+    va = np.asarray(va, dtype=np.float64)
+    vb = np.asarray(vb, dtype=np.float64)
+    denom = np.sqrt((va * va).sum() * (vb * vb).sum())
+    if denom == 0:
+        return None
+    return float(va @ vb / denom)
 
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_bands: int = 16,
+                        bits_per_band: int = 8, seed: int = 42,
+                        round_to: int | None = 6,
+                        distributed: bool | None = None):
+    """Multi-band random-hyperplane LSH over an embedding column ->
+    bucket pairs -> exact cosine verify.  Returns Dataset[(a, b, cosine)]
+    with a < b, unrounded cosine >= threshold (output rounded to
+    ``round_to`` to match the SQL oracle).
+
+    Recall is governed by OR-amplification across ``n_bands``
+    independent bands of ``bits_per_band`` hyperplane sign bits each
+    (ADVICE r1: a single band of 16 bits had ~18% recall at cosine
+    0.95).  With the 16x8 default, a pair at cosine c collides in one
+    band with p = (1 - arccos(c)/pi)^8, so miss probability is
+    (1-p)^16: ~1.9e-4 at c=0.95, ~1e-12 at c=0.99.  False-positive
+    candidates (c~0) survive a band with p=2^-8 and are discarded by the
+    exact cosine verification."""
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    planes_ref = ray.put(planes)
+    planes = rng.standard_normal((dim, n_bands * bits_per_band))
+    import ray
 
-    def _sign_buckets(batch: pa.Table) -> pa.Table:
+    planes_ref = ray.put(planes)
+    weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
+
+    def _bands(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         vecs = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
-        bits = (vecs @ pl) > 0
-        key = np.packbits(bits, axis=1, bitorder="little")[:, :2].copy().view(np.uint16)[:, 0]
+        bits = (vecs @ pl) > 0  # (n, n_bands*bits_per_band)
+        keys = (bits.reshape(len(vecs), n_bands, bits_per_band).astype(np.uint64)
+                * weights).sum(axis=2)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "vec_id": batch["vec_id"],
-                "bucket": pa.array(key.astype(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), len(ids))),
+                "band_hash": pa.array(keys.reshape(-1)),
             }
         )
 
-    buckets = emb_ds.map_batches(_sign_buckets, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(ray.get(buckets.to_arrow_refs()))
-    cand = _pairs_from_triples(
-        pa.table(
-            {
-                "doc_id": tbl.column("vec_id"),
-                "band": pa.array(np.zeros(len(tbl), np.int32)),
-                "band_hash": tbl.column("bucket").cast(pa.uint64()),
-            }
-        )
-    )
-    if len(cand) == 0:
-        return ray.data.from_items([])
-    need = set(cand["a"]).union(cand["b"])
-    vecs = {}
-    for b in emb_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for i, v in zip(b["vec_id"].to_pylist(), b["embedding"].to_pylist()):
-            if i in need:
-                vecs[i] = np.asarray(v, dtype=np.float64)
-    ref = ray.put(vecs)
+    buckets = emb_ds.map_batches(_bands, batch_format="pyarrow", batch_size=None)
+    cand = _candidate_pairs(buckets, distributed)
 
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        cos = []
-        for x, y in zip(batch["a"], batch["b"]):
-            va, vb = lookup[x], lookup[y]
-            cos.append(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12)))
-        batch = batch.assign(cosine=cos)
-        return batch[batch["cosine"] >= threshold]
+    def _cos(va, vb):
+        if va is None or vb is None:
+            return None
+        c = _pair_cosine(va, vb)
+        if c is None or c < threshold:
+            return None
+        return round(c, round_to) if round_to is not None else c
 
-    import ray.data
+    if isinstance(cand, pd.DataFrame) and not distributed \
+            and len(cand) <= _DRIVER_PAIR_LIMIT:
+        return _verify_broadcast(cand, emb_ds, "vec_id", "embedding", _cos,
+                                 "cosine")
 
-    return ray.data.from_pandas(cand).map_batches(_verify, batch_format="pandas")
+    # join path: acero's hash join rejects list-typed payload columns,
+    # so ship each vector as float64 LE bytes and decode at assembly
+    def _pack(b: pa.Table) -> pa.Table:
+        vecs = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "vecb": pa.array([v.tobytes() for v in vecs], pa.binary()),
+        })
+
+    packed = emb_ds.map_batches(_pack, batch_format="pyarrow", batch_size=None)
+
+    def _cos_packed(ba, bb):
+        if ba is None or bb is None:
+            return None
+        return _cos(np.frombuffer(ba, dtype=np.float64),
+                    np.frombuffer(bb, dtype=np.float64))
+
+    if isinstance(cand, pd.DataFrame):
+        if len(cand) == 0:
+            import ray.data
+
+            return ray.data.from_pandas(
+                pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")}))
+        import ray.data
+
+        cand = ray.data.from_pandas(_edges_from_pairs(cand))
+    return _verify_pairs_join(cand, packed, "vec_id", "vecb", _cos_packed,
+                              "cosine")

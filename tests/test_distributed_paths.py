@@ -66,3 +66,93 @@ def test_minhash_distributed_branch(ray_session, monkeypatch):
     key = ["a", "b"]
     pd.testing.assert_frame_equal(_norm(fast, key), _norm(dist, key), check_dtype=False)
     assert {(0, 1)} <= set(zip(fast.a, fast.b))
+
+
+def test_simhash_distributed_branch(ray_session):
+    """Forced groupby candidates + edge-join verification == default."""
+    import ray.data
+
+    docs = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy cat today"},
+        {"doc_id": 2, "text": "completely different content with no overlap at all"},
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog today"},
+    ]
+    fast = dedup.simhash_dup_pairs(ray.data.from_items(docs), max_hamming=8).to_pandas()
+    dist = dedup.simhash_dup_pairs(
+        ray.data.from_items(docs), max_hamming=8, distributed=True
+    ).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(_norm(fast, key), _norm(dist, key), check_dtype=False)
+    assert (0, 3) in set(zip(fast.a, fast.b))
+
+
+def test_winnow_distributed_branch(ray_session):
+    """Distributed shared-fp counting (groupby(fp) pair emission +
+    two-phase (a,b) count) == the driver Counter path."""
+    import ray.data
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark woods tonight while the moon rises slowly")
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("moon", "sun")},
+        {"doc_id": 2, "text": "entirely different content sharing no long substring with anything here"},
+        {"doc_id": 3, "text": base},
+    ]
+    fast = dedup.winnow_dup_pairs(ray.data.from_items(docs), min_shared=3).to_pandas()
+    dist = dedup.winnow_dup_pairs(
+        ray.data.from_items(docs), min_shared=3, distributed=True
+    ).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        _norm(fast, key)[["a", "b", "shared_fps"]],
+        _norm(dist, key)[["a", "b", "shared_fps"]],
+        check_dtype=False,
+    )
+    assert (0, 3) in set(zip(fast.a, fast.b))
+
+
+def test_embedding_distributed_branch(ray_session):
+    """Forced join verification == broadcast verification for the
+    multi-band hyperplane LSH."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[13] = vecs[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+    vecs[21] = vecs[2]
+    t = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    fast = dedup.embedding_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.97).to_pandas()
+    dist = dedup.embedding_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.97, distributed=True).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(_norm(fast, key), _norm(dist, key), check_dtype=False)
+    assert {(2, 21), (3, 13)} <= set(zip(fast.a, fast.b))
+
+
+def test_minhash_join_verify_branch(ray_session):
+    """distributed=True routes verification through the edge-join; pair
+    set and jaccard values match the broadcast path."""
+    import ray.data
+
+    docs = [
+        {"doc_id": i, "text": t}
+        for i, t in enumerate(
+            ["the quick brown fox jumps over the lazy dog today"] * 2
+            + ["some other sentence about ray data pipelines at scale"] * 2
+            + ["unrelated filler content goes here with many words"]
+        )
+    ]
+    fast = dedup.minhash_dup_pairs(ray.data.from_items(docs), threshold=0.5).to_pandas()
+    dist = dedup.minhash_dup_pairs(
+        ray.data.from_items(docs), threshold=0.5, distributed=True
+    ).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(_norm(fast, key), _norm(dist, key), check_dtype=False)
+    assert {(0, 1), (2, 3)} <= set(zip(fast.a, fast.b))
