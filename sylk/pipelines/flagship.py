@@ -25,15 +25,16 @@ import time
 
 import ray.data
 
-from ..stages.aggregate import combined_counts, rollups_from_combined
+from ..stages.aggregate import grouped_counts_local
 from ..stages.enrich import Enricher, enrich_batch
 from ..stages.parse import parse_batch
 from ..stages.router import route_and_write
 from ..state.manifest import Manifest
 
-# Columns needed by the count/histogram aggregates when re-reading routed
-# output (prune at the read — never re-scan msg/sd for a count).
-_AGG_COLUMNS = ["ok", "facility", "severity", "error", "hostname", "appname"]
+# Columns the host/app histogram needs when re-reading routed output
+# (prune at the read — never re-scan msg/sd for a count).  Sink and
+# reject counters never re-read anything: they merge from the manifest.
+_HIST_COLUMNS = ["ok", "hostname", "appname"]
 
 
 def parse_enrich(ds, enrich_concurrency=None, enrich_mode: str = "tasks"):
@@ -143,12 +144,16 @@ def run_flagship(
     for uid, files in units:
         unit_dir = os.path.join(out_dir, "data", f"unit={uid}")
         unit_dirs.append(unit_dir)
-        if uid in done:
+        if uid in done and done[uid].get("input_files") == files:
             rec = done[uid]
             totals["units_skipped"] += 1
             totals["rows"] += rec["rows"]
             totals["parse_ok"] += rec["parse_ok"]
             continue
+        # uid absent, or committed under a DIFFERENT file list (the unit
+        # boundaries moved: files_per_unit or the input set changed) —
+        # reusing the stale output would corrupt the global aggregates,
+        # so wipe and re-run; the fresh commit line supersedes the old
         pending.append((uid, files, unit_dir))
 
     def _run_unit(uid, files, unit_dir):
@@ -188,22 +193,34 @@ def run_flagship(
                 totals["parse_ok"] += ok_rows
                 totals["units_run"] += 1
 
-    # global aggregates over everything written (this run + resumed-from
-    # runs): one narrow columnar read — correct under resume by design
-    # (this Ray version's read_parquet takes a list of FILES, not dirs)
+    # global sink/reject counters come from the MANIFEST — every unit in
+    # this run (fresh or resumed) committed its per-unit counts, so a
+    # resumed run re-reads ZERO bytes for them
+    done = mf.completed()
+    sink: dict = {}
+    rejects: dict = {}
+    for uid, _files in units:
+        rec = done[uid]
+        for k, n in rec.get("sink_counts", {}).items():
+            fac, sev = (int(x) for x in k.split("/"))
+            key = (fac, sev)
+            sink[key] = sink.get(key, 0) + int(n)
+        for err, n in rec.get("reject_by_error", {}).items():
+            rejects[err] = rejects.get(err, 0) + int(n)
+
+    # only the host/app histogram genuinely needs the routed rows again
+    # (its key is not in the Hive layout): one columnar re-read pruned to
+    # three narrow columns (this Ray version's read_parquet takes a list
+    # of FILES, not dirs)
     all_files = [
         f
         for d in unit_dirs
         for f in sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
     ]
-    back = ray.data.read_parquet(all_files, columns=_AGG_COLUMNS)
-    sc, rc, ha = rollups_from_combined(combined_counts(back))
-    sink: dict = {}
-    rejects: dict = {}
+    back = ray.data.read_parquet(all_files, columns=_HIST_COLUMNS)
+    ha = grouped_counts_local(back, ["hostname", "appname"], ok_filter=True)
     hostapp: dict = {}
-    _merge_counts(sink, sc, ["facility", "severity"])
-    _merge_counts(rejects, rc, ["error"])
-    _merge_counts(hostapp, ha, ["hostname", "appname"])
+    _merge_counts(hostapp, ha.to_pandas(), ["hostname", "appname"])
     return {
         **totals,
         "sink_counts": sink,

@@ -198,8 +198,12 @@ def q_hourly_counts(sf_dir: str) -> pa.Table:
     """Windowed telemetry rollup: ok-message counts per UTC hour of the
     parsed timestamp (two-phase count on the derived window key)."""
     def _hour(b: pa.Table) -> pa.Table:
+        # FLOOR division (numpy floor_divide), matching DuckDB's `//`:
+        # pc.divide on int64 truncates toward zero, which would bucket
+        # pre-1970 timestamps differently on the two sides
+        ts = b.column("timestamp").to_numpy(zero_copy_only=False)
         return b.append_column(
-            "hour", pc.cast(pc.divide(b.column("timestamp"), 3600), pa.int64())
+            "hour", pa.array(np.floor_divide(ts, 3600), pa.int64())
         )
 
     ds = _ok(_parsed(sf_dir)).map_batches(_hour, batch_format="pyarrow")
@@ -342,6 +346,29 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 
     out = ann_topk_ivf(_emb(sf_dir), _query_matrix(sf_dir), k=_ANN_K)
     return _table(out, ["query_idx", "vec_id", "cosine"])
+
+
+def q_ann_ivf_partitioned(sf_dir: str) -> pa.Table:
+    """The scan-pruning ANN path (SURVEY §2.4): write the embeddings
+    Hive-partitioned by IVF cell, then answer top-k by OPENING only the
+    probed cells' files — at corpus scale pruning happens at the scan
+    (bytes off storage), not just in compute.  Rows-only driver check
+    (approximate by design); the recall floor vs ann_bruteforce is
+    asserted in tests/test_training_ops.py."""
+    import shutil
+    import tempfile
+
+    from ..stages.similarity import ann_topk_ivf_partitioned, ivf_write_partitioned
+
+    out_dir = tempfile.mkdtemp(prefix="sylk_ivf_", dir="/tmp")
+    try:
+        index = ivf_write_partitioned(_emb(sf_dir), out_dir, n_cells=16)
+        out = ann_topk_ivf_partitioned(
+            out_dir, index, _query_matrix(sf_dir), k=_ANN_K, nprobe=4
+        )
+        return _table(out, ["query_idx", "vec_id", "cosine"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
@@ -692,7 +719,9 @@ def build_oracle_sql() -> dict[str, str]:
             FROM f""",
         "fingerprints": """
             SELECT doc_id, md5(text) AS content_md5,
-                   substring(md5(lower(text)), 1, 16) AS fp16
+                   substring(md5(translate(text,
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'abcdefghijklmnopqrstuvwxyz')), 1, 16) AS fp16
             FROM documents""",
         "deterministic_sample": """
             SELECT doc_id FROM documents
@@ -768,6 +797,7 @@ QUERIES = {
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "winnow_dup_pairs": q_winnow_dup_pairs,

@@ -121,7 +121,12 @@ class LangId:
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append content fingerprints: ``content_md5`` (exact-dup key) and
-    ``fp16`` (16-hex-char case-normalized fingerprint)."""
+    ``fp16`` (16-hex-char case-normalized fingerprint).
+
+    fp16 case-folds ASCII ONLY (``bytes.lower``) by design: the folding
+    must be bit-identical across engines, and Unicode case tables vary
+    by library/version — the DuckDB oracle mirrors it with an explicit
+    A-Z ``translate`` rather than locale-dependent ``lower()``."""
     texts = batch.column(text_col).cast(pa.binary()).to_pylist()
     md5s = [None if t is None else hashlib.md5(t).hexdigest() for t in texts]
     fp16 = [

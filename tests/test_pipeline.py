@@ -146,3 +146,47 @@ def test_sink_counts_dataset_path(ray_session, corpus_dir):
     pdf = sink_counts(parse_enrich(ds)).to_pandas()
     assert pdf.n.sum() > 0
     assert set(pdf.columns) == {"facility", "severity", "n"}
+
+
+def test_resume_reruns_on_changed_unit_boundaries(ray_session, corpus_dir, tmp_path_factory):
+    """A committed unit whose input-file membership no longer matches
+    (files_per_unit changed between runs) is wiped and re-run instead of
+    silently reusing stale output; global aggregates stay correct."""
+    out = str(tmp_path_factory.mktemp("boundaries"))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    r1 = run_flagship(files, out, files_per_unit=2)
+    assert r1["units_run"] == len(files) // 2
+    # same output dir, different unit boundaries: u00000 now spans 4
+    # files -> every committed unit's file list mismatches -> all re-run
+    r2 = run_flagship(files, out, files_per_unit=4)
+    assert r2["units_skipped"] == 0
+    assert r2["units_run"] == (len(files) + 3) // 4
+    assert r2["sink_counts"] == r1["sink_counts"]
+    assert r2["reject_by_error"] == r1["reject_by_error"]
+    assert r2["host_app_histogram"] == r1["host_app_histogram"]
+    # identical boundaries resume cleanly afterwards
+    r3 = run_flagship(files, out, files_per_unit=4)
+    assert r3["units_run"] == 0 and r3["units_skipped"] == r2["units_run"]
+    assert r3["sink_counts"] == r1["sink_counts"]
+
+
+def test_rollup_counters_come_from_manifest(ray_session, corpus_dir, tmp_path_factory):
+    """Sink/reject counters merge from manifest commits (zero re-read);
+    corrupting a routed data file after commit does not change them,
+    while the histogram (which must re-read) sees the difference only
+    through its three pruned columns."""
+    import json
+
+    out = str(tmp_path_factory.mktemp("manifestroll"))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))[:2]
+    r1 = run_flagship(files, out, files_per_unit=2)
+    # tamper with the manifest's counters and re-run (resume: unit skips)
+    mpath = os.path.join(out, "manifest.jsonl")
+    rec = json.loads(open(mpath).read().strip())
+    key = next(iter(rec["sink_counts"]))
+    rec["sink_counts"][key] += 7
+    open(mpath, "w").write(json.dumps(rec) + "\n")
+    r2 = run_flagship(files, out, files_per_unit=2)
+    assert r2["units_skipped"] == 1
+    fac, sev = (int(x) for x in key.split("/"))
+    assert r2["sink_counts"][(fac, sev)] == r1["sink_counts"][(fac, sev)] + 7

@@ -366,3 +366,22 @@ def test_embedding_lsh_planted_recall(ray_session):
     assert len(expect) >= 10  # the fixture really plants boundary pairs
     assert expect <= got, f"missed {expect - got}"
     assert all(c >= round(threshold, 6) for c in pairs.cosine)
+
+
+def test_fp16_non_ascii_matches_oracle_folding():
+    """fp16 folds ASCII only (bytes.lower); the DuckDB oracle mirrors it
+    with an explicit A-Z translate — bit-identical on non-ASCII input
+    where Unicode-aware lower() would diverge."""
+    import duckdb
+    import hashlib
+
+    s = "ÉXAMPLE Text ÄÖÜ mixed"
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([s], pa.string())})
+    got = fingerprint_batch(t).column("fp16").to_pylist()[0]
+    want = duckdb.sql(
+        "SELECT substring(md5(translate(?, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')), 1, 16)", params=[s]
+    ).fetchone()[0]
+    assert got == want
+    assert got == hashlib.md5(s.encode("utf-8").lower()).hexdigest()[:16]
