@@ -434,3 +434,59 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             col = col.cast(typ)
         out = out.append_column(name, col)
     return out
+
+
+def parse_binary_batch(batch: pa.Table, raw_col: str = "raw") -> pa.Table:
+    """Binary-line entry point: UTF-8-validate, then parse.
+
+    The crate's ``parse_message`` takes ``AsRef<str>`` (parser.rs:405) —
+    the wire-bytes decode happens CALLER-side (lib.rs:20-24 doc example)
+    and its failure surfaces as the ``BaseUnicodeError``/``UnicodeError``
+    variants (lib.rs:27-31).  This operator folds that step in so the
+    error taxonomy is complete end-to-end for non-UTF-8 input arriving
+    through an Arrow ``binary`` column: rows that fail the decode get
+    ``ok=false, error="BaseUnicodeError"`` and null fields; valid rows
+    take the normal vectorized parse path.
+
+    Fast path: one C++ whole-column UTF-8 validation (binary->string
+    cast); the per-row decode loop runs only when the column actually
+    contains invalid bytes.
+    """
+    col = batch.column(raw_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_binary(col.type) and not pa.types.is_large_binary(col.type):
+        col = col.cast(pa.binary())
+    try:
+        texts = col.cast(pa.string())
+        bad = None
+    except pa.ArrowInvalid:
+        decoded, bad_list = [], []
+        for b in col.to_pylist():
+            if b is None:
+                decoded.append(None)
+                bad_list.append(False)
+                continue
+            try:
+                decoded.append(b.decode("utf-8"))
+                bad_list.append(False)
+            except UnicodeDecodeError:
+                decoded.append("")  # placeholder; row overridden below
+                bad_list.append(True)
+        texts = pa.array(decoded, pa.string())
+        bad = pa.array(bad_list, pa.bool_())
+
+    work = batch.append_column("__text", texts)
+    out = parse_batch(work, text_col="__text")
+    out = out.drop_columns(["__text"])
+    if bad is not None and pc.any(bad).as_py():
+        idx = out.schema.get_field_index("ok")
+        out = out.set_column(
+            idx, "ok", pc.if_else(bad, pa.scalar(False), out.column("ok"))
+        )
+        idx = out.schema.get_field_index("error")
+        out = out.set_column(
+            idx, "error",
+            pc.if_else(bad, pa.scalar("BaseUnicodeError"), out.column("error")),
+        )
+    return out

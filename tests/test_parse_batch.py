@@ -93,3 +93,37 @@ def test_sd_typed_map_emitter():
         [],
         None,
     ]
+
+
+def test_parse_binary_batch_utf8_taxonomy(ray_session):
+    """Non-UTF-8 wire bytes through the binary entry point surface the
+    crate's caller-side decode failure as BaseUnicodeError (lib.rs:27-31);
+    valid bytes parse identically to the string path."""
+    import pyarrow.compute as pc
+
+    from sylk.stages.parse import parse_binary_batch
+
+    good = '<78>1 2016-01-15T00:04:01+00:00 host1 CROND 10391 - [meta sequenceId="29"] some_message'
+    raws = [
+        good.encode("utf-8"),
+        b"<1>1 - - - - - - \xff\xfe broken",   # invalid UTF-8 in MSG
+        "<1>1 - - - - - - éok".encode("utf-8"),  # valid multibyte
+        None,
+        b"\xc3(",                              # invalid lead byte
+    ]
+    t = pa.table({"raw": pa.array(raws, pa.binary())})
+    out = parse_binary_batch(t)
+    ok = out.column("ok").to_pylist()
+    err = out.column("error").to_pylist()
+    assert ok == [True, False, True, False, False]
+    assert err[1] == "BaseUnicodeError"
+    assert err[4] == "BaseUnicodeError"
+    assert out.column("hostname").to_pylist()[0] == "host1"
+    assert out.column("msg").to_pylist()[2] == "éok"
+    # all-valid batch takes the zero-copy cast fast path and matches
+    # the string-column parser bit-for-bit
+    t2 = pa.table({"raw": pa.array([good.encode()], pa.binary())})
+    a = parse_binary_batch(t2)
+    b = parse_batch(pa.table({"text": pa.array([good])}))
+    for name in ("ok", "facility", "severity", "hostname", "sd", "msg"):
+        assert a.column(name).to_pylist() == b.column(name).to_pylist()

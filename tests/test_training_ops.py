@@ -385,3 +385,20 @@ def test_fp16_non_ascii_matches_oracle_folding():
     ).fetchone()[0]
     assert got == want
     assert got == hashlib.md5(s.encode("utf-8").lower()).hexdigest()[:16]
+
+
+def test_minhash_signatures_batched_differential():
+    """The block-batched signature kernel (factorized tokens, masked
+    window pass, chunked segmented min) is bit-identical to the per-doc
+    reference implementation, including edge cases."""
+    from sylk.stages.dedup import minhash_signature, minhash_signatures
+
+    texts = [
+        "", "one", "one two", "a b c", "a a a a a",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs " * 10,
+        "é unicode tökens mixed in here too",
+    ]
+    batched = minhash_signatures(texts)
+    for i, t in enumerate(texts):
+        assert (batched[i] == minhash_signature(t)).all(), t[:40]
