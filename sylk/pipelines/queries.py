@@ -404,6 +404,23 @@ def q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf[["a", "b", "shared_fps"]], preserve_index=False)
 
 
+def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
+    """EXACT n-gram (word 3-gram) Jaccard near-dup pairs via the
+    inverted shingle index — a full-recall counterpart to the banded
+    MinHash estimate, and the one near-dup family whose distributed
+    algorithm is the SAME join the SQL oracle runs."""
+    from ..stages.dedup import ngram_jaccard_dup_pairs
+
+    out = ngram_jaccard_dup_pairs(_docs(sf_dir), threshold=0.6)
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    pdf = pdf[["a", "b", "jaccard"]].astype(
+        {"a": "int64", "b": "int64", "jaccard": "float64"})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     """Embedding near-dup pairs via 16x8 multi-band hyperplane LSH +
     exact cosine verify.  The DuckDB oracle recomputes the EXACT
@@ -761,6 +778,39 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        # exact inverted-index set-similarity join; shingle = word
+        # 3-gram ('-'-joined tokens are whitespace-free, so ' '-joined
+        # grams are injective).  Python .split() == regexp '\s+' split
+        # on this ASCII corpus; docs shorter than 3 tokens collapse to
+        # one whole-text shingle on both sides.
+        "ngram_jaccard_dup_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                FOR i IN generate_series(1, len(ts)-2)]
+                     END AS gs
+              FROM toks WHERE len(ts) > 0
+            ),
+            dsh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+              FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6""",
         "conformance": _conformance_oracle_sql(),
     }
 
@@ -793,6 +843,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "conformance": q_conformance,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -489,6 +489,147 @@ def minhash_dup_pairs(docs_ds, threshold: float = 0.8, text_col: str = "text",
                          distributed)
 
 
+# --- exact n-gram Jaccard (inverted shingle index) --------------------------
+
+def ngram_shingle_rows(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> pa.Table:
+    """Explode each doc into (doc_id, sh, n_sh) rows: DISTINCT shingle
+    hashes plus the doc's distinct-shingle count carried on every row
+    (constant per doc), so pair assembly needs no second sizes join.
+
+    Built on :func:`_shingle_hash_segments` (block-batched) with a
+    vectorized per-segment unique (lexsort + neighbor-diff).  Docs with
+    no tokens emit nothing — the inverted index can never pair them,
+    matching the oracle semantics."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    cat, offs = _shingle_hash_segments(texts, k)
+    if len(cat) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sh": pa.array([], pa.uint64()),
+                         "n_sh": pa.array([], pa.int64())})
+    seg = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(offs))
+    order = np.lexsort((cat, seg))
+    seg_s, cat_s = seg[order], cat[order]
+    keep = np.ones(len(cat_s), dtype=bool)
+    keep[1:] = (seg_s[1:] != seg_s[:-1]) | (cat_s[1:] != cat_s[:-1])
+    seg_u, cat_u = seg_s[keep], cat_s[keep]
+    counts = np.bincount(seg_u, minlength=len(texts))
+    return pa.table({
+        "doc_id": pa.array(ids[seg_u].astype(np.int64), pa.int64()),
+        "sh": pa.array(cat_u, pa.uint64()),
+        "n_sh": pa.array(counts[seg_u].astype(np.int64), pa.int64()),
+    })
+
+
+def _jaccard_pairs_local(tbl: pa.Table, threshold: float) -> pd.DataFrame:
+    """Exact Jaccard pairs from collected (doc_id, sh, n_sh) rows:
+    sort by shingle, find runs, count shared shingles per pair."""
+    from collections import Counter
+
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = tbl.column("sh").to_numpy(zero_copy_only=False)
+    n_sh = tbl.column("n_sh").to_numpy(zero_copy_only=False)
+    sizes = dict(zip(ids.tolist(), n_sh.tolist()))
+    order = np.argsort(sh, kind="stable")
+    sh_s, ids_s = sh[order], ids[order]
+    boundaries = np.flatnonzero(sh_s[1:] != sh_s[:-1]) + 1
+    starts = np.concatenate(([0], boundaries))
+    stops = np.concatenate((boundaries, [len(sh_s)]))
+    shared: Counter = Counter()
+    for s, e in zip(starts, stops):
+        if e - s < 2:
+            continue
+        run = np.sort(ids_s[s:e])  # per-doc distinct => run ids distinct
+        for i in range(len(run)):
+            for j in range(i + 1, len(run)):
+                shared[(int(run[i]), int(run[j]))] += 1
+    rows = [(a, b, c / (sizes[a] + sizes[b] - c)) for (a, b), c in shared.items()]
+    rows = [(a, b, jc) for a, b, jc in rows if jc >= threshold]
+    if not rows:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    rows.sort()
+    a, b, jc = zip(*rows)
+    return pd.DataFrame({"a": list(a), "b": list(b), "jaccard": list(jc)})
+
+
+def _jaccard_bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+    """One shingle bucket -> (a, b, na, nb) edge rows for every pair of
+    member docs (ids within a bucket are distinct by construction)."""
+    ids = np.sort(g["doc_id"].to_numpy())
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "na": pd.Series([], dtype="int64"),
+                          "nb": pd.Series([], dtype="int64")})
+    if len(ids) < 2:
+        return empty
+    order = np.argsort(g["doc_id"].to_numpy())
+    ns = g["n_sh"].to_numpy()[order]
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[ii].astype("int64"), "b": ids[jj].astype("int64"),
+                         "na": ns[ii].astype("int64"), "nb": ns[jj].astype("int64")})
+
+
+def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
+                            text_col: str = "text",
+                            distributed: bool | None = None):
+    """EXACT all-pairs n-gram Jaccard near-dup pairs via an inverted
+    shingle index — the textbook set-similarity join: only docs sharing
+    at least one shingle ever pair, so no candidate can be missed (unlike
+    the banded MinHash estimate).
+
+    Returns Dataset[(a, b, jaccard)] with a < b, jaccard >= threshold.
+
+    Scale shape: the shuffle payload is (doc_id, shingle_hash64, n_sh)
+    triples (24 B/row, ~|tokens| rows/doc); shared-shingle counting is a
+    groupby(sh) pair emission + groupby(a, b) count — the same exchange
+    DuckDB's plan does for the oracle SQL.  Skew note: a shingle present
+    in m docs emits m(m-1)/2 pairs; natural-language 3-gram buckets are
+    heavy-tailed but bounded (stopword 3-grams repeat within, not
+    across, docs after the per-doc distinct), and the real 100-TB
+    mitigation is prefix filtering (PPJoin): emit only each doc's
+    (1-t)/(1+t)-prefix of its sorted shingle list.  Documented, not
+    implemented — the oracle needs the unfiltered exact answer.
+
+    Jaccard over 64-bit shingle hashes equals Jaccard over the shingle
+    strings unless blake2b+splitmix64 collide (P ~ n_shingles^2 / 2^64;
+    ~1e-10 at sf0.1) — the oracle gate would catch a collision."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    rows = docs_ds.map_batches(
+        lambda b: ngram_shingle_rows(b, text_col, k=k),
+        batch_format="pyarrow", batch_size=None,
+    )
+    if not distributed:
+        tbl = pa.concat_tables(ray.get(rows.to_arrow_refs()))
+        if distributed is False or len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+            return ray.data.from_pandas(_jaccard_pairs_local(tbl, threshold))
+        rows = ray.data.from_arrow(tbl)
+    pairs = rows.groupby("sh").map_groups(_jaccard_bucket_edges,
+                                          batch_format="pandas")
+    agg = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="shared"),
+        Max("na", alias_name="na"), Max("nb", alias_name="nb"),
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        jc = df["shared"].to_numpy() / (
+            df["na"].to_numpy() + df["nb"].to_numpy() - df["shared"].to_numpy())
+        out = pd.DataFrame({"a": df["a"].astype("int64"),
+                            "b": df["b"].astype("int64"), "jaccard": jc})
+        return out[out["jaccard"] >= threshold]
+
+    return agg.map_batches(_finish, batch_format="pandas", batch_size=None)
+
+
 # --- exact dedup -----------------------------------------------------------
 
 def exact_dedup_groups(docs_ds, text_col: str = "text"):

@@ -113,6 +113,35 @@ def test_winnow_distributed_branch(ray_session):
     assert (0, 3) in set(zip(fast.a, fast.b))
 
 
+def test_ngram_jaccard_distributed_branch(ray_session):
+    """Distributed inverted-index join (groupby(sh) pair emission +
+    (a,b) aggregate) == the driver run-finder path, jaccard included."""
+    import ray.data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("theta", "THETA")},
+        {"doc_id": 2, "text": "unrelated words that overlap with nothing else at all"},
+        {"doc_id": 3, "text": base},
+        {"doc_id": 4, "text": "hi"},  # < k tokens: whole-text shingle
+    ]
+    fast = dedup.ngram_jaccard_dup_pairs(
+        ray.data.from_items(docs), threshold=0.3).to_pandas()
+    dist = dedup.ngram_jaccard_dup_pairs(
+        ray.data.from_items(docs), threshold=0.3, distributed=True).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        _norm(fast, key)[["a", "b", "jaccard"]],
+        _norm(dist, key)[["a", "b", "jaccard"]],
+        check_dtype=False,
+    )
+    got = dict(((a, b), j) for a, b, j in zip(fast.a, fast.b, fast.jaccard))
+    assert got[(0, 3)] == 1.0  # identical docs
+    assert 0.3 <= got[(0, 1)] < 1.0  # one-token edit
+
+
 def test_embedding_distributed_branch(ray_session):
     """Forced join verification == broadcast verification for the
     multi-band hyperplane LSH."""
