@@ -45,6 +45,10 @@ _I64 = {
     "n_turns": pa.int64(),
     "first_turn": pa.int64(),
     "last_turn": pa.int64(),
+    "n_orders": pa.int64(),
+    "n_lines": pa.int64(),
+    "n_customers": pa.int64(),
+    "revenue_cents": pa.int64(),
 }
 
 
@@ -440,6 +444,111 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# --- relational joins (star enrich / fact-fact / semi / anti) ---------------
+
+def q_region_rollup(sf_dir: str) -> pa.Table:
+    """Star-schema enrich: the orders fact streams against a broadcast
+    customer->nation->region dim built driver-side with pyarrow joins
+    (nation/region are always broadcast-sized; customer only at sandbox
+    scale — at 100 TB customer moves to the hash_join path), then a
+    two-phase grouped rollup.  Money is exact int64 cents (floor(x+0.5)
+    == SQL FLOOR(x + 0.5), no float-sum order sensitivity)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.join import broadcast_join, cents_column, grouped_agg
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    dim = (cust.join(nat, keys=["c_nationkey"], right_keys=["n_nationkey"],
+                     join_type="inner")
+               .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"],
+                     join_type="inner")
+               .select(["c_custkey", "c_mktsegment", "r_name"]))
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    j = broadcast_join(orders, dim, on=["o_custkey"], right_on=["c_custkey"])
+    j = j.map_batches(
+        lambda b: cents_column(b, "revenue_cents", ["o_totalprice"],
+                               lambda p: p * 100.0),
+        batch_format="pyarrow", batch_size=None)
+    out = grouped_agg(j, ["r_name", "c_mktsegment"], ["revenue_cents"],
+                      count_name="n_orders")
+    return _table(out, ["r_name", "c_mktsegment", "n_orders", "revenue_cents"])
+
+
+def q_priority_join_rollup(sf_dir: str) -> pa.Table:
+    """Fact-fact distributed hash join: lineitem x orders on orderkey —
+    both sides large, so hash-partitioned ``Dataset.join`` (one exchange
+    per side), then the two-phase rollup per o_orderpriority."""
+    import os
+
+    import ray.data
+
+    from ..stages.join import cents_column, grouped_agg, hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    j = j.map_batches(
+        lambda b: cents_column(b, "revenue_cents",
+                               ["l_extendedprice", "l_discount"],
+                               lambda e, d: e * (1.0 - d) * 100.0),
+        batch_format="pyarrow", batch_size=None)
+    out = grouped_agg(j, ["o_orderpriority"], ["revenue_cents"],
+                      count_name="n_lines")
+    return _table(out, ["o_orderpriority", "n_lines", "revenue_cents"])
+
+
+def q_customers_without_big_orders(sf_dir: str) -> pa.Table:
+    """Anti-join: customers with no order over 400k, counted per market
+    segment (the complement of the semi-join query).  Broadcast
+    distinct-key path at sandbox scale; ``left_anti`` Dataset.join
+    beyond the key limit (equivalence in tests)."""
+    import os
+
+    import ray.data
+
+    from ..stages.join import anti_join, grouped_agg
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice >= 400000.0")
+    a = anti_join(cust, big, on="c_custkey", right_key="o_custkey")
+    out = grouped_agg(a, ["c_mktsegment"], [], count_name="n_customers")
+    return _table(out, ["c_mktsegment", "n_customers"])
+
+
+def q_big_spender_customers(sf_dir: str) -> pa.Table:
+    """Semi-join: customers having at least one order over 400k, counted
+    per market segment (the filter prunes at the read side)."""
+    import os
+
+    import ray.data
+
+    from ..stages.join import grouped_agg, semi_join
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice >= 400000.0")
+    s = semi_join(cust, big, on="c_custkey", right_key="o_custkey")
+    out = grouped_agg(s, ["c_mktsegment"], [], count_name="n_customers")
+    return _table(out, ["c_mktsegment", "n_customers"])
+
+
 def q_multimodal_features(sf_dir: str) -> pa.Table:
     """Multimodal plumbing over sf data: documents' text bytes stand in
     for opaque media payloads; the ImageDecoder actor pool (stubbed
@@ -778,6 +887,41 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        # joins: money summed as exact int64 cents — FLOOR(x*100 + 0.5)
+        # with the same IEEE op order both sides, so the hash compare is
+        # immune to float-sum reordering
+        "region_rollup": """
+            SELECT r_name, c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY 1, 2""",
+        "priority_join_rollup": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1""",
+        "customers_without_big_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice >= 400000.0)
+            GROUP BY 1""",
+        "big_spender_customers": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice >= 400000.0)
+            GROUP BY 1""",
         # exact inverted-index set-similarity join; shingle = word
         # 3-gram ('-'-joined tokens are whitespace-free, so ' '-joined
         # grams are injective).  Python .split() == regexp '\s+' split
@@ -844,6 +988,10 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "region_rollup": q_region_rollup,
+    "priority_join_rollup": q_priority_join_rollup,
+    "customers_without_big_orders": q_customers_without_big_orders,
+    "big_spender_customers": q_big_spender_customers,
     "conformance": q_conformance,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -1,0 +1,160 @@
+"""Relational join operators (star-schema enrich, fact-fact join,
+semi/anti join) — Ray-Data-first.
+
+The reference crate has no joins (one string -> struct function); these
+are engine capabilities a training-data pipeline needs (dim enrich,
+fact-to-fact correlation, "rows without a match" filtering).  Three
+shapes, chosen by side sizes:
+
+* :func:`broadcast_join` — the small side is ``ray.put`` ONCE as an
+  Arrow table and every block hash-joins against it in pyarrow C++
+  (zero shuffle of the fact side).  The 100-TB default for star-schema
+  dims: the dim must fit in a worker heap (nation/region always;
+  customer only at sandbox scale — documented per query).
+* :func:`hash_join` — both sides large: ``Dataset.join`` (hash
+  partition both inputs on the key, join per partition).  One
+  all-to-all exchange per side; ``num_partitions`` defaults to the
+  cluster CPU count, at real scale pass blocks-per-node x nodes.
+* :func:`semi_join` / :func:`anti_join` — tiered like the dedup
+  verification paths: below ``_DRIVER_KEY_LIMIT`` distinct right keys,
+  a broadcast key-set filter (``pyarrow.compute.is_in`` per block, no
+  shuffle at all); above it, ``Dataset.join`` ``left_semi`` /
+  ``left_anti`` (``distributed=True`` forces, equivalence is tested in
+  tests/test_join.py).
+
+Aggregation after a join uses :func:`grouped_agg` — per-block pyarrow
+``group_by`` partials (combiner) then one small ``groupby`` of the
+partials, the same two-phase shape as ``sylk.stages.aggregate``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# below this many DISTINCT right-side keys, semi/anti joins broadcast
+# the key set instead of shuffling the left side.
+_DRIVER_KEY_LIMIT = 5_000_000
+
+
+def _default_partitions() -> int:
+    import ray
+
+    return max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def broadcast_join(fact_ds, dim: pa.Table, on, right_on=None,
+                   join_type: str = "inner"):
+    """Join a streaming fact Dataset against a broadcast dim table.
+
+    ``dim`` is placed in the object store once; each block joins
+    zero-copy via pyarrow's C++ hash join.  No fact-side shuffle."""
+    import ray
+
+    on = list(on) if not isinstance(on, str) else [on]
+    right_on = (list(right_on) if not isinstance(right_on, str) else [right_on]) \
+        if right_on is not None else on
+    ref = ray.put(dim)
+
+    def _j(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        return b.join(d, keys=on, right_keys=right_on, join_type=join_type)
+
+    return fact_ds.map_batches(_j, batch_format="pyarrow", batch_size=None,
+                               zero_copy_batch=True)
+
+
+def hash_join(left_ds, right_ds, on, right_on=None, join_type: str = "inner",
+              num_partitions: int | None = None):
+    """Distributed hash join (both sides large): partition both inputs
+    on the key, join per partition (``Dataset.join``)."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = ((right_on,) if isinstance(right_on, str) else tuple(right_on)) \
+        if right_on is not None else on
+    return left_ds.join(right_ds, join_type, num_partitions,
+                        on=on, right_on=right_on)
+
+
+def _semi_anti(left_ds, right_ds, on: str, right_key: str, anti: bool,
+               distributed: bool | None = None,
+               num_partitions: int | None = None):
+    import ray
+
+    # `Dataset.unique` materializes the distinct key list on the driver —
+    # only safe below the key limit; above it (or when forced) the
+    # native left_semi/left_anti Dataset.join path takes over.
+    key_list = None
+    if not distributed:
+        key_list = right_ds.select_columns([right_key]).unique(right_key)
+    if distributed or len(key_list) > _DRIVER_KEY_LIMIT:
+        jt = "left_anti" if anti else "left_semi"
+        return hash_join(left_ds, right_ds.select_columns([right_key]),
+                         on=(on,), right_on=(right_key,), join_type=jt,
+                         num_partitions=num_partitions)
+    ref = ray.put(pa.array(sorted(key_list)))
+
+    def _filt(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.is_in(b.column(on), value_set=ks)
+        if anti:
+            mask = pc.invert(mask)
+        return b.filter(mask)
+
+    return left_ds.map_batches(_filt, batch_format="pyarrow", batch_size=None,
+                               zero_copy_batch=True)
+
+
+def semi_join(left_ds, right_ds, on: str, right_key: str | None = None,
+              distributed: bool | None = None,
+              num_partitions: int | None = None):
+    """Rows of ``left_ds`` whose ``on`` key appears in ``right_ds``."""
+    return _semi_anti(left_ds, right_ds, on, right_key or on, anti=False,
+                      distributed=distributed, num_partitions=num_partitions)
+
+
+def anti_join(left_ds, right_ds, on: str, right_key: str | None = None,
+              distributed: bool | None = None,
+              num_partitions: int | None = None):
+    """Rows of ``left_ds`` whose ``on`` key does NOT appear in ``right_ds``."""
+    return _semi_anti(left_ds, right_ds, on, right_key or on, anti=True,
+                      distributed=distributed, num_partitions=num_partitions)
+
+
+# --- post-join aggregation (two-phase) --------------------------------------
+
+def cents_column(batch: pa.Table, out: str, expr_cols, fn) -> pa.Table:
+    """Append an exact int64 money column: ``fn(*cols)`` must produce the
+    scaled double; the half-up rounding (floor(x + 0.5)) matches the SQL
+    ``CAST(FLOOR(x + 0.5) AS BIGINT)`` bit-for-bit (same IEEE ops in the
+    same order — no round-half-even divergence)."""
+    arrs = [batch.column(c).to_numpy(zero_copy_only=False) for c in expr_cols]
+    x = fn(*arrs)
+    return batch.append_column(out, pa.array(np.floor(x + 0.5).astype(np.int64)))
+
+
+def grouped_agg(ds, keys, sum_cols, count_name: str = "n"):
+    """Two-phase grouped count+sums: per-block pyarrow ``group_by``
+    partials (the combiner — only |groups|-sized partials shuffle), then
+    one ``groupby().aggregate`` over the partials."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+        g = b.group_by(keys).aggregate(aggs)
+        names = keys + [f"{c}_sum" for c in sum_cols] + ["count_all"]
+        g = g.select(names)
+        return g.rename_columns(keys + sum_cols + [count_name])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    return partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in sum_cols],
+        Sum(count_name, alias_name=count_name),
+    )

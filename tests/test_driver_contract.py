@@ -17,7 +17,9 @@ SF = "/root/testdata/sf0.001"
 # enrich lookup, text analysis, dedup, ANN
 CHECKED = ["parse_header", "parse_timestamp", "parse_sd", "sink_counts",
            "route_table", "token_counts", "exact_dedup", "ann_bruteforce",
-           "serde_json", "dedup_turns"]
+           "serde_json", "dedup_turns", "ngram_jaccard_dup_pairs",
+           "region_rollup", "priority_join_rollup",
+           "customers_without_big_orders", "big_spender_customers"]
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +32,8 @@ def contract(ray_session):
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in ("events", "documents", "embeddings", "customer", "orders",
+              "lineitem", "nation", "region", "supplier", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )

@@ -1,0 +1,88 @@
+"""Join operator family: broadcast vs distributed equivalence, semi/anti
+tiering, post-join two-phase aggregation."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sylk.stages import join as J
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame, key):
+    return df.sort_values(key).reset_index(drop=True)
+
+
+@pytest.fixture()
+def tables(ray_session):
+    import ray.data
+
+    left = ray.data.from_items(
+        [{"k": i % 5, "v": float(i)} for i in range(40)])
+    right = pa.table({"k": [0, 1, 2, 7], "name": ["a", "b", "c", "z"]})
+    return left, right
+
+
+def test_broadcast_equals_hash_join(tables):
+    import ray.data
+
+    left, right = tables
+    b = J.broadcast_join(left, right, on=["k"]).to_pandas()
+    h = J.hash_join(left, ray.data.from_arrow(right), on="k").to_pandas()
+    cols = ["k", "v", "name"]
+    pd.testing.assert_frame_equal(
+        _norm(b[cols], ["k", "v"]), _norm(h[cols], ["k", "v"]))
+    assert set(b.k) == {0, 1, 2}  # inner join drops keys 3, 4 and right-only 7
+
+
+def test_semi_anti_tiering(tables):
+    import ray.data
+
+    left, right = tables
+    rds = ray.data.from_arrow(right)
+    semi_b = J.semi_join(left, rds, on="k").to_pandas()
+    semi_d = J.semi_join(left, rds, on="k", distributed=True).to_pandas()
+    anti_b = J.anti_join(left, rds, on="k").to_pandas()
+    anti_d = J.anti_join(left, rds, on="k", distributed=True).to_pandas()
+    key = ["k", "v"]
+    pd.testing.assert_frame_equal(_norm(semi_b[key], key), _norm(semi_d[key], key))
+    pd.testing.assert_frame_equal(_norm(anti_b[key], key), _norm(anti_d[key], key))
+    assert set(semi_b.k) == {0, 1, 2}
+    assert set(anti_b.k) == {3, 4}
+    # semi/anti never duplicate left rows even with duplicate right keys
+    dup_right = ray.data.from_items([{"k": 0}] * 7)
+    semi_dup = J.semi_join(left, dup_right, on="k", distributed=True).to_pandas()
+    assert len(semi_dup) == 8  # 40 rows / 5 keys, key 0 only
+
+
+def test_grouped_agg_two_phase(ray_session):
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"g": "ab"[i % 2], "x": i} for i in range(100)], override_num_blocks=8)
+    out = J.grouped_agg(ds, ["g"], ["x"], count_name="n").to_pandas()
+    out = _norm(out, ["g"])
+    assert out.n.tolist() == [50, 50]
+    assert out.x.tolist() == [sum(range(0, 100, 2)), sum(range(1, 100, 2))]
+
+
+def test_cents_column_half_up(ray_session):
+    import numpy as np
+
+    t = pa.table({"p": [1.005, 2.675, 0.0, 10.994999999999999]})
+    out = J.cents_column(t, "c", ["p"], lambda p: p * 100.0)
+    # floor(x*100 + .5) on IEEE doubles: 1.005*100 rounds to
+    # 100.49999... -> 100, while 2.675*100 rounds to exactly 267.5 ->
+    # 268.  Decimal intuition doesn't apply; what matters is that DuckDB
+    # computes the identical doubles, verified row-for-row against
+    # FLOOR(p * 100 + 0.5) below.
+    got = out.column("c").to_pylist()
+    assert got == [100, 268, 0, 1100]
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT CAST(FLOOR(p * 100 + 0.5) AS BIGINT) AS c FROM t"
+    ).fetchall()
+    assert [w[0] for w in want] == got
