@@ -49,6 +49,10 @@ _I64 = {
     "n_lines": pa.int64(),
     "n_customers": pa.int64(),
     "revenue_cents": pa.int64(),
+    "rank": pa.int64(),
+    "p50": pa.int64(),
+    "p90": pa.int64(),
+    "p99": pa.int64(),
 }
 
 
@@ -442,6 +446,49 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     pdf = pdf[["a", "b", "cosine"]].astype(
         {"a": "int64", "b": "int64", "cosine": "float64"})
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# --- windowed / ranked / quantile analytics ---------------------------------
+
+def q_top_apps_per_host(sf_dir: str) -> pa.Table:
+    """Top-3 appnames per hostname by message count: two-phase grouped
+    counts (combiner absorbs skew) then a per-host top-k — one group =
+    distinct apps for that host, never raw rows.  Deterministic
+    tie-break (count DESC, appname ASC) mirrors the SQL row_number."""
+    from ..stages.aggregate import grouped_counts, topk_per_group
+
+    counts = grouped_counts(_parsed(sf_dir), ["hostname", "appname"],
+                            ok_filter=True)
+    out = topk_per_group(counts, ["hostname"], "n", 3, tie_cols=["appname"])
+    return _table(out, ["hostname", "appname", "n", "rank"])
+
+
+def q_doclen_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT per-language length quantiles (p50/p90/p99) via the
+    distributed histogram: shuffle payload = distinct (lang, n_chars)
+    pairs per block, then one cumulative walk per language.  Rank
+    convention = percentile_disc (max(1, ceil(q*n))), proven equal to
+    DuckDB quantile_disc."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_quantiles
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["lang", "n_chars"])
+    out = grouped_quantiles(docs, "lang", "n_chars", [0.5, 0.9, 0.99],
+                            ["p50", "p90", "p99"])
+    return _table(out, ["lang", "p50", "p90", "p99"])
+
+
+def q_exact_distinct_hosts(sf_dir: str) -> pa.Table:
+    """Exact COUNT(DISTINCT hostname) — the bitwise companion to the
+    HLL estimate in `approx_distinct_hosts` (same input, same filter)."""
+    from ..stages.aggregate import exact_distinct_count
+
+    n = exact_distinct_count(_ok(_parsed(sf_dir)), "hostname")
+    return pa.table({"n_hosts": pa.array([n], pa.int64())})
 
 
 # --- relational joins (star enrich / fact-fact / semi / anti) ---------------
@@ -887,6 +934,25 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "top_apps_per_host": f"""
+            WITH c AS (
+              SELECT {_HOST} AS hostname, event_type AS appname,
+                     COUNT(*) AS n
+              FROM events WHERE {_OK} GROUP BY 1, 2)
+            SELECT hostname, appname, n, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY hostname ORDER BY n DESC, appname) AS rank
+              FROM c)
+            WHERE rank <= 3""",
+        "doclen_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents GROUP BY 1""",
+        "exact_distinct_hosts": f"""
+            SELECT COUNT(DISTINCT {_HOST}) AS n_hosts
+            FROM events WHERE {_OK}""",
         # joins: money summed as exact int64 cents — FLOOR(x*100 + 0.5)
         # with the same IEEE op order both sides, so the hash compare is
         # immune to float-sum reordering
@@ -988,6 +1054,9 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "top_apps_per_host": q_top_apps_per_host,
+    "doclen_quantiles": q_doclen_quantiles,
+    "exact_distinct_hosts": q_exact_distinct_hosts,
     "region_rollup": q_region_rollup,
     "priority_join_rollup": q_priority_join_rollup,
     "customers_without_big_orders": q_customers_without_big_orders,

@@ -194,3 +194,91 @@ def salted_group_counts(parsed_ds, key: str, salt: int = 16):
     )
     round1 = partials.groupby([key, "_salt"]).aggregate(Sum("n", alias_name="n"))
     return round1.groupby(key).aggregate(Sum("n", alias_name="n"))
+
+
+def topk_per_group(counts_ds, group_keys, order_col: str, k: int,
+                   tie_cols=None):
+    """Top-k rows per group from a (already reduced) counts Dataset,
+    ordered by ``order_col`` DESC with deterministic ascending
+    tie-break on ``tie_cols`` — matches SQL
+    ``row_number() OVER (PARTITION BY keys ORDER BY n DESC, ties)``.
+
+    Scale: runs AFTER the two-phase reduce, so one group's rows =
+    distinct secondary values for that key (bounded, e.g. apps per
+    host), never raw corpus rows."""
+    import pandas as pd
+
+    group_keys = list(group_keys)
+    tie_cols = list(tie_cols or [])
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col] + tie_cols,
+                          ascending=[False] + [True] * len(tie_cols),
+                          kind="mergesort")
+        out = g.head(k).copy()
+        out["rank"] = range(1, len(out) + 1)
+        return out
+
+    return counts_ds.groupby(group_keys).map_groups(_top, batch_format="pandas")
+
+
+def grouped_quantiles(ds, key: str, value_col: str, qs, out_names,
+                      pre_grouped: bool = False):
+    """EXACT distributed discrete quantiles per group over a
+    bounded-domain value column, as a two-phase histogram: per-block
+    pyarrow ``group_by(key, value)`` count partials (the only shuffle
+    payload is |distinct (key, value)| rows per block), a
+    ``groupby().sum`` merge, then a per-key cumulative walk.
+
+    Rank convention = SQL ``percentile_disc`` / DuckDB
+    ``quantile_disc``: the value at 1-indexed rank max(1, ceil(q * n)).
+    Exact because the histogram holds full counts — no sampling, no
+    sketch; the domain bound (e.g. message length <= a few KiB) keeps
+    the state tiny.  ``pre_grouped=True`` skips the partial phase when
+    ``ds`` is already (key, value, n) rows."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    qs = list(qs)
+    out_names = list(out_names)
+
+    if pre_grouped:
+        hist = ds
+    else:
+        def _partial(b: pa.Table) -> pa.Table:
+            g = b.group_by([key, value_col]).aggregate([([], "count_all")])
+            return g.select([key, value_col, "count_all"]).rename_columns(
+                [key, value_col, "n"])
+
+        partials = ds.map_batches(_partial, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+        hist = partials.groupby([key, value_col]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        c = g["n"].to_numpy().cumsum()
+        total = int(c[-1])
+        vals = g[value_col].to_numpy()
+        row = {key: g[key].iloc[0]}
+        for q, name in zip(qs, out_names):
+            rank = max(1, math.ceil(q * total))
+            row[name] = vals[int(np.searchsorted(c, rank, side="left"))]
+        return pd.DataFrame([row])
+
+    return hist.groupby(key).map_groups(_q, batch_format="pandas")
+
+
+def exact_distinct_count(ds, key: str):
+    """Exact COUNT(DISTINCT key): per-block unique partial (combiner)
+    then a hash-partitioned distinct — the shuffle moves only distinct
+    values per block, and the final count is one number per partition
+    summed driver-side.  The exact companion to the HLL sketch."""
+    def _uniq(b: pa.Table) -> pa.Table:
+        return b.select([key]).group_by([key]).aggregate([])
+
+    parts = ds.map_batches(_uniq, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+    return parts.groupby(key).count().count()
