@@ -50,6 +50,9 @@ _I64 = {
     "n_customers": pa.int64(),
     "revenue_cents": pa.int64(),
     "rank": pa.int64(),
+    "w_start": pa.int64(),
+    "n_sessions": pa.int64(),
+    "n_events": pa.int64(),
     "p50": pa.int64(),
     "p90": pa.int64(),
     "p99": pa.int64(),
@@ -489,6 +492,52 @@ def q_exact_distinct_hosts(sf_dir: str) -> pa.Table:
 
     n = exact_distinct_count(_ok(_parsed(sf_dir)), "hostname")
     return pa.table({"n_hosts": pa.array([n], pa.int64())})
+
+
+def q_sliding_hourly_counts(sf_dir: str) -> pa.Table:
+    """1-hour windows sliding every 15 min per facility: the explode
+    (x4 overlap) collapses inside the per-block combiner, so the
+    exchange moves |windows x facilities| rows per block."""
+    from ..stages.aggregate import sliding_window_counts
+
+    out = sliding_window_counts(_ok(_parsed(sf_dir)), "timestamp",
+                                ["facility"], window=3600, slide=900)
+    return _table(out, ["w_start", "facility", "n"])
+
+
+def q_sink_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(facility, severity): per-sink counts, per-facility
+    subtotals, and the grand total from ONE partial pass (each coarser
+    level reduces the previous level's output, never the corpus)."""
+    from ..stages.aggregate import rollup_counts
+
+    out = rollup_counts(_parsed(sf_dir), ["facility", "severity"],
+                        ok_filter=True)
+    return _table(out, ["facility", "severity", "n"])
+
+
+def q_user_sessions(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (inactivity > 6 h splits a session) per
+    user — skew-safe chunked merge, session count tie-insensitive."""
+    import os
+
+    import ray.data
+
+    from ..stages.sessionize import gap_sessions
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    def _t(b: pa.Table) -> pa.Table:
+        # floor (not trunc) division to match SQL // for pre-epoch ts
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = np.floor_divide(us, 1_000_000)
+        return pa.table({"user_id": b.column("user_id"),
+                         "t": pa.array(t, pa.int64())})
+
+    ev = ev.map_batches(_t, batch_format="pyarrow", batch_size=None)
+    out = gap_sessions(ev, "user_id", "t", gap=21600)
+    return _table(out, ["user_id", "n_sessions", "n_events"])
 
 
 # --- relational joins (star enrich / fact-fact / semi / anti) ---------------
@@ -934,6 +983,31 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "sliding_hourly_counts": f"""
+            WITH e AS (
+              SELECT {_FAC} AS facility, epoch_us(ts) // 1000000 AS t
+              FROM events WHERE {_OK}),
+            x AS (
+              SELECT facility, (t // 900) * 900 - 900 * k.k AS w_start
+              FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k)
+            SELECT w_start, facility, COUNT(*) AS n
+            FROM x GROUP BY 1, 2""",
+        "sink_rollup": f"""
+            SELECT CAST({_FAC} AS BIGINT) AS facility,
+                   CAST({_SEV} AS BIGINT) AS severity, COUNT(*) AS n
+            FROM events WHERE {_OK}
+            GROUP BY ROLLUP(facility, severity)""",
+        "user_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t
+                       FROM events),
+            s AS (SELECT user_id,
+                         CASE WHEN lag(t) OVER w IS NULL
+                                OR t - lag(t) OVER w > 21600
+                              THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t))
+            SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY 1""",
         "top_apps_per_host": f"""
             WITH c AS (
               SELECT {_HOST} AS hostname, event_type AS appname,
@@ -1054,6 +1128,9 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "sliding_hourly_counts": q_sliding_hourly_counts,
+    "sink_rollup": q_sink_rollup,
+    "user_sessions": q_user_sessions,
     "top_apps_per_host": q_top_apps_per_host,
     "doclen_quantiles": q_doclen_quantiles,
     "exact_distinct_hosts": q_exact_distinct_hosts,

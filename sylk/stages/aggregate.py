@@ -282,3 +282,83 @@ def exact_distinct_count(ds, key: str):
     parts = ds.map_batches(_uniq, batch_format="pyarrow", batch_size=None,
                            zero_copy_batch=True)
     return parts.groupby(key).count().count()
+
+
+def sliding_window_counts(ds, t_col: str, keys, window: int, slide: int):
+    """Sliding-window grouped counts: every row lands in
+    ``window // slide`` overlapping windows (epoch-aligned starts).
+
+    Scale shape: the explode multiplies rows by the overlap factor
+    BEFORE the combiner, but the per-block pyarrow partial immediately
+    collapses them to distinct (w_start, keys) rows, so the exchange
+    payload is |windows x keys per block|, not raw rows x overlap.
+    Floor division (numpy ``floor_divide``) matches SQL ``//`` for
+    pre-epoch timestamps too."""
+    import numpy as np
+
+    keys = list(keys)
+    if window % slide != 0:
+        raise ValueError("window must be a multiple of slide")
+    reps = window // slide
+
+    def _explode_partial(b: pa.Table) -> pa.Table:
+        t = b.column(t_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        base = np.floor_divide(t, slide) * slide
+        w = (np.repeat(base, reps)
+             - np.tile(np.arange(reps, dtype=np.int64) * slide, n))
+        idx = np.repeat(np.arange(n), reps)
+        cols = {"w_start": pa.array(w, pa.int64())}
+        for k in keys:
+            cols[k] = b.column(k).take(pa.array(idx))
+        g = pa.table(cols).group_by(["w_start"] + keys).aggregate(
+            [([], "count_all")])
+        return g.select(["w_start"] + keys + ["count_all"]).rename_columns(
+            ["w_start"] + keys + ["n"])
+
+    partials = ds.map_batches(_explode_partial, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    return partials.groupby(["w_start"] + keys).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def rollup_counts(parsed_ds, keys, ok_filter: bool | None = True):
+    """GROUP BY ROLLUP(keys): every prefix level of ``keys`` plus the
+    grand total, with rolled-up columns null — computed from ONE partial
+    pass (the per-block combiner runs once; each coarser level reduces
+    the previous level's already-tiny output, never the corpus)."""
+    import ray.data
+
+    keys = list(keys)
+    partials = parsed_ds.map_batches(
+        lambda b: _partial_counts(b, keys, ok_filter),
+        batch_format="pyarrow", batch_size=None)
+
+    def _cast_level(level_keys):
+        def _c(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = b.column(k).cast(pa.int64())
+                else:
+                    cols[k] = pa.nulls(n, pa.int64())
+            cols["n"] = b.column("n").cast(pa.int64())
+            return pa.table(cols)
+        return _c
+
+    levels = []
+    cur = partials.groupby(keys).aggregate(Sum("n", alias_name="n"))
+    levels.append(cur.map_batches(_cast_level(keys), batch_format="pyarrow"))
+    for i in range(len(keys) - 1, 0, -1):
+        cur = cur.groupby(keys[:i]).aggregate(Sum("n", alias_name="n"))
+        levels.append(cur.map_batches(_cast_level(keys[:i]),
+                                      batch_format="pyarrow"))
+    total = cur.aggregate(Sum("n", alias_name="n"))["n"]
+    grand = ray.data.from_arrow(pa.table(
+        {**{k: pa.nulls(1, pa.int64()) for k in keys},
+         "n": pa.array([total], pa.int64())}))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.union(grand)

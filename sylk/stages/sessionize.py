@@ -80,3 +80,50 @@ def sessionize(ds, key: str = "conv_id", order: str = "turn_idx",
         })
 
     return chunks.groupby(key).map_groups(_merge, batch_format="pandas")
+
+
+# --- gap-based sessions (inactivity windows) --------------------------------
+
+def gap_sessions(ds, key: str = "user_id", t_col: str = "t",
+                 gap: int = 1800):
+    """Split each key's event stream into sessions at inactivity gaps
+    > ``gap`` seconds -> Dataset[(key, n_sessions, n_events)].
+
+    Same skew-safe streaming shape as :func:`sessionize`: sort by
+    (key, t) once, collapse each key's run inside every block to ONE
+    chunk row (events, first/last t, session breaks WITHIN the chunk),
+    then merge the per-block chunks — a key contributes at most
+    #blocks-it-spans rows to the final groupby, so a hot key never
+    materializes its raw events in one task.  Session count is
+    tie-order-insensitive (equal timestamps give gap 0)."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "first_t": pd.Series([], dtype="int64"),
+                "last_t": pd.Series([], dtype="int64"),
+                "breaks": pd.Series([], dtype="int64"),
+            })
+        brk = (df[t_col].diff() > gap) & (df[key] == df[key].shift())
+        g = df.assign(_brk=brk).groupby(key, sort=False)
+        out = g.agg(n_events=(t_col, "size"), first_t=(t_col, "min"),
+                    last_t=(t_col, "max"), breaks=("_brk", "sum")).reset_index()
+        return out.astype({"n_events": "int64", "first_t": "int64",
+                           "last_t": "int64", "breaks": "int64"})
+
+    chunks = ds.sort([key, t_col]).map_batches(
+        _partial, batch_format="pandas", batch_size=None)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_t", kind="mergesort")
+        boundary = (g["first_t"].to_numpy()[1:]
+                    - g["last_t"].to_numpy()[:-1] > gap).sum()
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_sessions": [int(g["breaks"].sum() + boundary + 1)],
+            "n_events": [int(g["n_events"].sum())],
+        })
+
+    return chunks.groupby(key).map_groups(_merge, batch_format="pandas")

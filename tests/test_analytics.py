@@ -54,3 +54,53 @@ def test_exact_distinct_count(ray_session):
     ds = ray.data.from_items(
         [{"h": f"host{i % 17}"} for i in range(400)], override_num_blocks=8)
     assert exact_distinct_count(ds, "h") == 17
+
+
+def test_sliding_window_counts_membership(ray_session):
+    import ray.data
+
+    from sylk.stages.aggregate import sliding_window_counts
+
+    # one event at t=3700 must land in windows starting 900,1800,2700,3600
+    ds = ray.data.from_items([{"timestamp": 3700, "facility": 1}])
+    out = sliding_window_counts(ds, "timestamp", ["facility"],
+                                window=3600, slide=900).to_pandas()
+    assert sorted(out.w_start) == [900, 1800, 2700, 3600]
+    assert set(out.n) == {1}
+
+
+def test_rollup_counts_levels(ray_session):
+    import ray.data
+
+    from sylk.stages.aggregate import rollup_counts
+
+    rows = [{"ok": True, "facility": f, "severity": s}
+            for f in (0, 1) for s in (0, 1, 2) for _ in range(f + s + 1)]
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    out = rollup_counts(ds, ["facility", "severity"]).to_pandas()
+    total = len(rows)
+    assert int(out[out.facility.isna() & out.severity.isna()].n.iloc[0]) == total
+    f0 = out[(out.facility == 0) & out.severity.isna()]
+    assert int(f0.n.iloc[0]) == 1 + 2 + 3
+    leaf = out[(out.facility == 1) & (out.severity == 2)]
+    assert int(leaf.n.iloc[0]) == 4
+    assert len(out) == 6 + 2 + 1
+
+
+def test_gap_sessions_hot_key_across_blocks(ray_session):
+    import ray.data
+
+    from sylk.stages.sessionize import gap_sessions
+
+    # hot user 7: 600 events in 3 bursts separated by > gap; user 8: one event
+    rows = []
+    for burst in range(3):
+        for i in range(200):
+            rows.append({"user_id": 7, "t": burst * 100_000 + i * 10})
+    rows.append({"user_id": 8, "t": 5})
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    out = gap_sessions(ds, "user_id", "t", gap=1800).to_pandas() \
+        .set_index("user_id")
+    assert out.loc[7, "n_sessions"] == 3
+    assert out.loc[7, "n_events"] == 600
+    assert out.loc[8, "n_sessions"] == 1 and out.loc[8, "n_events"] == 1
