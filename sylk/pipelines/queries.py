@@ -51,6 +51,8 @@ _I64 = {
     "revenue_cents": pa.int64(),
     "rank": pa.int64(),
     "w_start": pa.int64(),
+    "event_id": pa.int64(),
+    "last_signup_t": pa.int64(),
     "n_sessions": pa.int64(),
     "n_events": pa.int64(),
     "p50": pa.int64(),
@@ -540,6 +542,34 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
     return _table(out, ["user_id", "n_sessions", "n_events"])
 
 
+def q_last_signup_fill(sf_dir: str) -> pa.Table:
+    """Fill-forward / as-of: for every event, the timestamp of the same
+    user's most recent signup (skew-safe two-pass carry; event_id breaks
+    timestamp ties so the window is a total order)."""
+    import os
+
+    import ray.data
+
+    from ..stages.asof import fill_forward
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t_us = b.column("ts").cast(pa.int64())
+        marker = pc.if_else(pc.equal(b.column("event_type"), "signup"),
+                            t_us, pa.nulls(len(b), pa.int64()))
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "t_us": t_us, "marker": marker})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = fill_forward(ds, "user_id", ["t_us", "event_id"], "marker",
+                       "last_signup_t")
+    return _table(out, ["event_id", "user_id", "last_signup_t"])
+
+
 # --- relational joins (star enrich / fact-fact / semi / anti) ---------------
 
 def q_region_rollup(sf_dir: str) -> pa.Table:
@@ -983,6 +1013,15 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "last_signup_fill": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+                   last_value(CASE WHEN event_type = 'signup'
+                                   THEN epoch_us(ts) END IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS last_signup_t
+            FROM events""",
         "sliding_hourly_counts": f"""
             WITH e AS (
               SELECT {_FAC} AS facility, epoch_us(ts) // 1000000 AS t
@@ -1128,6 +1167,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "last_signup_fill": q_last_signup_fill,
     "sliding_hourly_counts": q_sliding_hourly_counts,
     "sink_rollup": q_sink_rollup,
     "user_sessions": q_user_sessions,

@@ -104,3 +104,23 @@ def test_gap_sessions_hot_key_across_blocks(ray_session):
     assert out.loc[7, "n_sessions"] == 3
     assert out.loc[7, "n_events"] == 600
     assert out.loc[8, "n_sessions"] == 1 and out.loc[8, "n_events"] == 1
+
+
+def test_fill_forward_cross_block_carry(ray_session):
+    import numpy as np
+    import ray.data
+
+    from sylk.stages.asof import fill_forward
+
+    # one hot key spread over 16 blocks; markers only at t=100 and t=700;
+    # a cold key with no marker at all stays null throughout
+    rows = [{"k": 1, "t": t, "v": float(t) if t in (100, 700) else None}
+            for t in range(1000)]
+    rows += [{"k": 2, "t": t, "v": None} for t in range(50)]
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    out = fill_forward(ds, "k", ["t"], "v", "ff").to_pandas()
+    hot = out[out.k == 1].sort_values("t")
+    assert hot.ff[hot.t < 100].isna().all()
+    assert (hot.ff[(hot.t >= 100) & (hot.t < 700)] == 100.0).all()
+    assert (hot.ff[hot.t >= 700] == 700.0).all()
+    assert out[out.k == 2].ff.isna().all()
