@@ -144,12 +144,21 @@ def bench_ann(_files) -> dict:
     return {"rows": out.count()}
 
 
+def bench_join_rollup(_files) -> dict:
+    """Distributed hash join (lineitem x orders) + two-phase rollup."""
+    from sylk.pipelines.queries import q_priority_join_rollup
+
+    t = q_priority_join_rollup(SF_DIR)
+    return {"rows": t.num_rows}
+
+
 BENCHES = {
     "flagship": bench_flagship,
     "parse_agg": bench_parse_agg,
     "host_histogram": bench_host_histogram,
     "minhash_dedup": bench_minhash_dedup,
     "ann_bruteforce": bench_ann,
+    "join_rollup": bench_join_rollup,
 }
 
 

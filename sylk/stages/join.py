@@ -66,12 +66,35 @@ def broadcast_join(fact_ds, dim: pa.Table, on, right_on=None,
                                zero_copy_batch=True)
 
 
+_JOIN_PARTITION_BYTES = 256 << 20  # target per-partition input
+
+
+def _size_based_partitions(left_ds, right_ds) -> int:
+    """Partition count for Dataset.join: scale with DATA (one partition
+    per ~256 MiB of joined input, estimated from parquet metadata /
+    block metadata without executing), clamped to [2, 2 x cluster CPUs].
+    Each partition costs a shuffle-aggregator task and actor startup, so
+    tiny inputs must not pay for 32 of them; huge inputs cap at 2 x CPUs
+    and grow per-partition size instead (use partition_size_hint /
+    more nodes beyond that)."""
+    import math
+
+    try:
+        total = (left_ds.size_bytes() or 0) + (right_ds.size_bytes() or 0)
+    except Exception:
+        total = 0
+    if not total:
+        return _default_partitions()
+    want = math.ceil(total / _JOIN_PARTITION_BYTES)
+    return max(2, min(want, 2 * _default_partitions()))
+
+
 def hash_join(left_ds, right_ds, on, right_on=None, join_type: str = "inner",
               num_partitions: int | None = None):
     """Distributed hash join (both sides large): partition both inputs
     on the key, join per partition (``Dataset.join``)."""
     if num_partitions is None:
-        num_partitions = _default_partitions()
+        num_partitions = _size_based_partitions(left_ds, right_ds)
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = ((right_on,) if isinstance(right_on, str) else tuple(right_on)) \
         if right_on is not None else on
