@@ -542,6 +542,49 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
     return _table(out, ["user_id", "n_sessions", "n_events"])
 
 
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Per-language deterministic sampling rates (30% en, 10% de, 5%
+    rest) — membership is a pure content-hash function, so the sample is
+    identical across runs, resumes, and cluster sizes; zero shuffle."""
+    import os
+
+    import ray.data
+
+    from ..stages.sample import stratified_sample
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text", "lang"])
+    ds = stratified_sample(docs, "text", "lang",
+                           {"en": 30, "de": 10}, default_percent=5)
+    return _table(ds.select_columns(["doc_id", "lang"]), ["doc_id", "lang"])
+
+
+def q_group_reservoir(sf_dir: str) -> pa.Table:
+    """Deterministic fixed-size (k=5) per-language sample: the k
+    smallest content hashes per group — two-phase partial top-k, so the
+    shuffle moves at most k rows per group per block."""
+    import os
+
+    import ray.data
+
+    from ..stages.sample import group_reservoir
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text", "lang"])
+    ds = group_reservoir(docs, "text", "lang", k=5, id_col="doc_id")
+    return _table(ds.select_columns(["lang", "doc_id"]), ["lang", "doc_id"])
+
+
+def q_top_bigrams(sf_dir: str) -> pa.Table:
+    """Global top-20 word bigrams: vectorized per-block vocabulary
+    combiner, ngram-keyed reduce, deterministic (count DESC, ngram ASC)
+    head."""
+    from ..stages.text import top_ngrams
+
+    out = top_ngrams(_docs(sf_dir), "text", n=2, k=20)
+    return _table(out, ["ngram", "n"])
+
+
 def q_last_signup_fill(sf_dir: str) -> pa.Table:
     """Fill-forward / as-of: for every event, the timestamp of the same
     user's most recent signup (skew-safe two-pass carry; event_id breaks
@@ -1013,6 +1056,29 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(text) % 100 <
+                  CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10
+                            ELSE 5 END""",
+        "group_reservoir": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5_number_lower(text), doc_id) AS r
+              FROM documents) WHERE r <= 5""",
+        "top_bigrams": r"""
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT [ts[i] || ' ' || ts[i+1]
+                      FOR i IN generate_series(1, len(ts)-1)] AS gs
+              FROM toks WHERE len(ts) >= 2),
+            c AS (SELECT unnest(gs) AS ngram FROM grams)
+            SELECT ngram, COUNT(*) AS n FROM c GROUP BY 1
+            QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, ngram) <= 20""",
         "last_signup_fill": """
             SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
                    last_value(CASE WHEN event_type = 'signup'
@@ -1167,6 +1233,9 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "stratified_sample": q_stratified_sample,
+    "group_reservoir": q_group_reservoir,
+    "top_bigrams": q_top_bigrams,
     "last_signup_fill": q_last_signup_fill,
     "sliding_hourly_counts": q_sliding_hourly_counts,
     "sink_rollup": q_sink_rollup,

@@ -47,3 +47,57 @@ def deterministic_sample(ds, column: str, percent: int, salt: str = ""):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def stratified_sample(ds, column: str, group_col: str, rates: dict,
+                      default_percent: int = 0, salt: str = ""):
+    """Per-group deterministic sampling rates (percent per group value,
+    e.g. ``{"en": 30, "de": 10}``): keep rows where
+    hash(content) % 100 < rate[group].  Same zero-shuffle stateless map
+    as :func:`deterministic_sample`; the rate map is captured in the
+    task closure (tiny — shipped once per task, not per batch)."""
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch.column(column).to_pylist(), salt)
+        groups = batch.column(group_col).to_pylist()
+        pct = np.array([rates.get(g, default_percent) for g in groups],
+                       dtype=np.uint64)
+        keep = (h % np.uint64(100)) < pct
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filt, batch_format="pyarrow", batch_size=None)
+
+
+def group_reservoir(ds, column: str, group_col: str, k: int,
+                    id_col: str, salt: str = ""):
+    """Deterministic fixed-size sample per group: the k rows with the
+    SMALLEST content hash (ties broken by ``id_col``) — a rank-by-hash
+    reservoir that is identical across runs, cluster sizes, and block
+    layouts (unlike a stateful reservoir, which is order-dependent).
+
+    Two-phase: each block keeps at most k rows per group seen in it
+    (partial top-k — the only shuffle payload), then a final per-group
+    top-k over the partials.  Equivalent SQL:
+    ``row_number() OVER (PARTITION BY group ORDER BY md5_number_lower(col), id) <= k``.
+    """
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("_h", pa.array([], pa.uint64()))
+        h = content_hash64(batch.column(column).to_pylist(), salt)
+        t = batch.append_column("_h", pa.array(h))
+        df = t.to_pandas()
+        df = df.sort_values(["_h", id_col], kind="mergesort") \
+               .groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["_h", id_col], kind="mergesort").head(k) \
+                .drop(columns=["_h"])
+
+    return partials.groupby(group_col).map_groups(_final,
+                                                  batch_format="pandas")

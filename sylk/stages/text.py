@@ -134,3 +134,67 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ]
     batch = batch.append_column("content_md5", pa.array(md5s, pa.string()))
     return batch.append_column("fp16", pa.array(fp16, pa.string()))
+
+
+def ngram_count_partial(batch: pa.Table, text_col: str = "text",
+                        n: int = 2) -> pa.Table:
+    """Per-block word n-gram counts (the combiner of the global
+    vocabulary count): tokenize once, factorize, form n-grams as code
+    windows with document boundaries masked, count distinct windows with
+    one np.unique — no Python loop over grams."""
+    import pandas as pd
+
+    texts = batch.column(text_col).to_pylist()
+    tok_lists = [(t or "").split() for t in texts]
+    all_toks = [w for tl in tok_lists for w in tl]
+    if len(all_toks) < 1:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
+    codes = codes.astype(np.int64)
+    lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    if len(codes) < n:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    wins = np.lib.stride_tricks.sliding_window_view(codes, n)
+    valid = np.zeros(len(wins), dtype=bool)
+    for s, ln in zip(starts, lens):
+        if ln >= n:
+            valid[s:s + ln - n + 1] = True
+    wins = wins[valid]
+    if len(wins) == 0:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    v = np.int64(len(uniques))
+    key = wins[:, 0]
+    for j in range(1, n):
+        key = key * v + wins[:, j]
+    uk, counts = np.unique(key, return_counts=True)
+    # decode keys back to token strings
+    parts = []
+    rem = uk
+    for j in range(n - 1, -1, -1):
+        parts.append(rem % v)
+        rem = rem // v
+    parts.reverse()
+    grams = [" ".join(uniques[p[i]] for p in parts)
+             for i in range(len(uk))]
+    return pa.table({"ngram": pa.array(grams, pa.string()),
+                     "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
+    """Global top-k word n-grams by count: per-block vectorized combiner
+    (`ngram_count_partial`) -> groupby(ngram).sum -> deterministic
+    top-k (count DESC, ngram ASC).  The exchange moves distinct n-grams
+    per block; the final sort runs on the reduced vocabulary table."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: ngram_count_partial(b, text_col, n),
+        batch_format="pyarrow", batch_size=None)
+    counts = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+
+    return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)

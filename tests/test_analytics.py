@@ -124,3 +124,36 @@ def test_fill_forward_cross_block_carry(ray_session):
     assert (hot.ff[(hot.t >= 100) & (hot.t < 700)] == 100.0).all()
     assert (hot.ff[hot.t >= 700] == 700.0).all()
     assert out[out.k == 2].ff.isna().all()
+
+
+def test_group_reservoir_block_invariant(ray_session):
+    import ray.data
+
+    from sylk.stages.sample import group_reservoir
+
+    rows = [{"id": i, "g": "ab"[i % 2], "text": f"doc number {i} payload"}
+            for i in range(300)]
+    one = group_reservoir(ray.data.from_items(rows, override_num_blocks=1),
+                          "text", "g", k=7, id_col="id").to_pandas()
+    many = group_reservoir(ray.data.from_items(rows, override_num_blocks=23),
+                           "text", "g", k=7, id_col="id").to_pandas()
+    key = ["g", "id"]
+    pd.testing.assert_frame_equal(
+        one[key].sort_values(key).reset_index(drop=True),
+        many[key].sort_values(key).reset_index(drop=True))
+    assert one.groupby("g").size().tolist() == [7, 7]
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data
+
+    from sylk.stages.sample import stratified_sample
+
+    rows = [{"id": i, "g": "hi" if i < 4000 else "lo",
+             "text": f"item {i}"} for i in range(5000)]
+    out = stratified_sample(ray.data.from_items(rows), "text", "g",
+                            {"hi": 50}, default_percent=1).to_pandas()
+    hi = (out.g == "hi").sum() / 4000
+    lo = (out.g == "lo").sum() / 1000
+    assert 0.45 < hi < 0.55
+    assert lo < 0.03
