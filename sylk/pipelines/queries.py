@@ -678,6 +678,40 @@ def q_priority_join_rollup(sf_dir: str) -> pa.Table:
     return _table(out, ["o_orderpriority", "n_lines", "revenue_cents"])
 
 
+def q_mktsegment_rollup_bucketed(sf_dir: str) -> pa.Table:
+    """Bucketed co-located join: both sides are written ONCE partitioned
+    by hash(custkey) % 8, then joined bucket-by-bucket with ZERO shuffle
+    (equal keys land in equal buckets) — the pay-the-partitioning-once
+    pattern every repeated 100-TB join should use.  Revenue per market
+    segment, exact int64 cents."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..stages.join import (bucketed_join, bucketed_write, cents_column,
+                               grouped_agg)
+
+    scratch = "/tmp/sylk_bucketed"
+    shutil.rmtree(scratch, ignore_errors=True)
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    bucketed_write(orders, os.path.join(scratch, "orders"), "o_custkey", 8)
+    bucketed_write(cust, os.path.join(scratch, "customer"), "c_custkey", 8)
+    j = bucketed_join(os.path.join(scratch, "orders"),
+                      os.path.join(scratch, "customer"),
+                      on="o_custkey", right_on="c_custkey")
+    j = j.map_batches(
+        lambda b: cents_column(b, "revenue_cents", ["o_totalprice"],
+                               lambda p: p * 100.0),
+        batch_format="pyarrow", batch_size=None)
+    out = grouped_agg(j, ["c_mktsegment"], ["revenue_cents"],
+                      count_name="n_orders")
+    return _table(out, ["c_mktsegment", "n_orders", "revenue_cents"])
+
+
 def q_customers_without_big_orders(sf_dir: str) -> pa.Table:
     """Anti-join: customers with no order over 400k, counted per market
     segment (the complement of the semi-join query).  Broadcast
@@ -1153,6 +1187,12 @@ def build_oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_cents
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY 1""",
+        "mktsegment_rollup_bucketed": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1""",
         "customers_without_big_orders": """
             SELECT c_mktsegment, COUNT(*) AS n_customers
             FROM customer c
@@ -1246,6 +1286,7 @@ QUERIES = {
     "region_rollup": q_region_rollup,
     "priority_join_rollup": q_priority_join_rollup,
     "customers_without_big_orders": q_customers_without_big_orders,
+    "mktsegment_rollup_bucketed": q_mktsegment_rollup_bucketed,
     "big_spender_customers": q_big_spender_customers,
     "conformance": q_conformance,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,

@@ -181,3 +181,88 @@ def grouped_agg(ds, keys, sum_cols, count_name: str = "n"):
         *[Sum(c, alias_name=c) for c in sum_cols],
         Sum(count_name, alias_name=count_name),
     )
+
+
+# --- bucketed (co-located) joins --------------------------------------------
+
+_BUCKET_META = "_bucket_meta.json"
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id for int64 keys: splitmix64 finisher then
+    mod — never Python ``hash`` (PYTHONHASHSEED varies per worker)."""
+    z = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return (z % np.uint64(n_buckets)).astype(np.int32)
+
+
+def bucketed_write(ds, path: str, key: str, n_buckets: int):
+    """Write ``ds`` as Hive-partitioned parquet bucketed by
+    hash(key) % n_buckets, recording the bucketing in a manifest.
+
+    The point: pay the partition-by-key cost ONCE at ingest; every
+    later join on the same key reads matching bucket pairs co-located
+    and never shuffles (see :func:`bucketed_join`) — the 'pick one
+    partitioning key and reuse it' pattern."""
+    import json
+    import os
+
+    def _tag(b: pa.Table) -> pa.Table:
+        k = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array(_bucket_of(k, n_buckets)))
+
+    ds.map_batches(_tag, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(path, partition_cols=["bucket"])
+    with open(os.path.join(path, _BUCKET_META), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets}, f)
+
+
+def bucketed_join(left_path: str, right_path: str, on: str,
+                  right_on: str | None = None, join_type: str = "inner"):
+    """Shuffle-free join of two bucket-compatible stores: for each
+    bucket i, the left bucket streams as a Dataset while the right
+    bucket (1/n_buckets of the right side) loads once per task via the
+    broadcast path — the union of the per-bucket joins is the full join,
+    because equal keys always land in equal buckets.  Raises if the two
+    stores were bucketed differently (a silent mismatch would drop
+    rows)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    right_on = right_on or on
+    with open(os.path.join(left_path, _BUCKET_META)) as f:
+        lm = json.load(f)
+    with open(os.path.join(right_path, _BUCKET_META)) as f:
+        rm = json.load(f)
+    if lm["n_buckets"] != rm["n_buckets"]:
+        raise ValueError(
+            f"bucket count mismatch: {lm['n_buckets']} vs {rm['n_buckets']}")
+    if lm["key"] != on or rm["key"] != right_on:
+        raise ValueError(
+            f"stores bucketed on {lm['key']}/{rm['key']}, join on "
+            f"{on}/{right_on}")
+    parts = []
+    for i in range(lm["n_buckets"]):
+        ldir = os.path.join(left_path, f"bucket={i}")
+        rdir = os.path.join(right_path, f"bucket={i}")
+        if not os.path.isdir(ldir) or not os.path.isdir(rdir):
+            if join_type == "inner":
+                continue
+            raise ValueError(f"missing bucket {i} for {join_type} join")
+        lds = ray.data.read_parquet(ldir)
+        rtbl = pq.read_table(rdir)
+        parts.append(broadcast_join(lds, rtbl, on=[on],
+                                    right_on=[right_on],
+                                    join_type=join_type))
+    if not parts:
+        raise ValueError("no overlapping buckets")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -86,3 +86,32 @@ def test_cents_column_half_up(ray_session):
         "SELECT CAST(FLOOR(p * 100 + 0.5) AS BIGINT) AS c FROM t"
     ).fetchall()
     assert [w[0] for w in want] == got
+
+
+def test_bucketed_join_equals_hash_join(ray_session, tmp_path):
+    import ray.data
+
+    rows_l = [{"k": i % 37, "v": i} for i in range(500)]
+    rows_r = [{"rk": i, "name": f"n{i}"} for i in range(0, 37, 2)]
+    lds = ray.data.from_items(rows_l, override_num_blocks=6)
+    rds = ray.data.from_items(rows_r)
+    J.bucketed_write(lds, str(tmp_path / "l"), "k", 5)
+    J.bucketed_write(rds, str(tmp_path / "r"), "rk", 5)
+    b = J.bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                        on="k", right_on="rk").to_pandas()
+    h = J.hash_join(ray.data.from_items(rows_l),
+                    ray.data.from_items(rows_r),
+                    on="k", right_on="rk").to_pandas()
+    cols = ["k", "v", "name"]
+    pd.testing.assert_frame_equal(
+        _norm(b[cols], ["k", "v"]), _norm(h[cols], ["k", "v"]))
+
+
+def test_bucketed_join_rejects_mismatched_stores(ray_session, tmp_path):
+    import ray.data
+
+    ds = ray.data.from_items([{"k": i} for i in range(20)])
+    J.bucketed_write(ds, str(tmp_path / "a"), "k", 4)
+    J.bucketed_write(ds, str(tmp_path / "b"), "k", 8)
+    with pytest.raises(ValueError, match="bucket count mismatch"):
+        J.bucketed_join(str(tmp_path / "a"), str(tmp_path / "b"), on="k")
