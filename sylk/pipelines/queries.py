@@ -542,6 +542,25 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
     return _table(out, ["user_id", "n_sessions", "n_events"])
 
 
+def q_value_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT global quantiles of a continuous double column via 3-pass
+    distributed selection (deterministic sample -> candidate ranks ->
+    bracket refine) — the unbounded-domain counterpart to the histogram
+    quantiles in `doclen_quantiles`."""
+    import os
+
+    import ray.data
+
+    from ..stages.selection import distributed_quantiles
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    p = distributed_quantiles(ev, "value", [0.5, 0.9, 0.99])
+    return pa.table({"p50": pa.array([p[0]], pa.float64()),
+                     "p90": pa.array([p[1]], pa.float64()),
+                     "p99": pa.array([p[2]], pa.float64())})
+
+
 def q_stratified_sample(sf_dir: str) -> pa.Table:
     """Per-language deterministic sampling rates (30% en, 10% de, 5%
     rest) — membership is a pure content-hash function, so the sample is
@@ -1090,6 +1109,11 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "value_quantiles": """
+            SELECT quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events""",
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE md5_number_lower(text) % 100 <
@@ -1273,6 +1297,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "value_quantiles": q_value_quantiles,
     "stratified_sample": q_stratified_sample,
     "group_reservoir": q_group_reservoir,
     "top_bigrams": q_top_bigrams,

@@ -157,3 +157,41 @@ def test_stratified_sample_rates(ray_session):
     lo = (out.g == "lo").sum() / 1000
     assert 0.45 < hi < 0.55
     assert lo < 0.03
+
+
+def test_distributed_quantiles_differential(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from sylk.stages.selection import distributed_quantiles
+
+    rng = np.random.default_rng(7)
+    # skewed + heavy duplicates + negatives: lognormal tail, 30% exact 1.0
+    vals = np.concatenate([
+        rng.lognormal(0, 2, 3000),
+        np.full(1500, 1.0),
+        -rng.lognormal(0, 1, 500),
+    ])
+    ds = ray.data.from_items([{"value": float(v)} for v in vals],
+                             override_num_blocks=13)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    got = distributed_quantiles(ds, "value", qs, sample_per_block=64,
+                                n_candidates=32)
+    df = __import__("pandas").DataFrame({"v": vals})
+    want = duckdb.sql(
+        "SELECT " + ", ".join(f"quantile_disc(v, {q}) AS q{i}"
+                              for i, q in enumerate(qs)) + " FROM df"
+    ).fetchone()
+    assert got == [float(w) for w in want]
+
+
+def test_distributed_quantiles_all_nulls_and_tiny(ray_session):
+    import ray.data
+
+    from sylk.stages.selection import distributed_quantiles
+
+    ds = ray.data.from_items([{"value": None}, {"value": None}])
+    assert distributed_quantiles(ds, "value", [0.5]) == [None]
+    one = ray.data.from_items([{"value": 3.25}])
+    assert distributed_quantiles(one, "value", [0.0, 0.5, 1.0]) == [3.25] * 3
