@@ -255,18 +255,28 @@ def run_scaling() -> dict:
 
     ray.shutdown()
 
-    def measure(cpus: int) -> dict:
+    def measure_once(cpus: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
                    SYLK_BENCH_MULT=str(CORPUS_MULTIPLIER))
-        attempts = []
-        for _ in range(2):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--one", "parse_agg", "--warm"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            attempts.append(json.loads(proc.stdout.strip().splitlines()[-1]))
-        return min(attempts, key=lambda r: r["queries"]["parse_agg"])
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--one", "parse_agg", "--warm"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    def measure(lo: int, hi: int) -> tuple:
+        # INTERLEAVED attempts (lo, hi, lo, hi, ...): host throughput
+        # drifts on minute scales (shared VM), so consecutive same-leg
+        # attempts correlate; alternating decorrelates the ratio.
+        # Best-of-N per leg (N via SYLK_SCALING_ROUNDS, default 3).
+        rounds = int(os.environ.get("SYLK_SCALING_ROUNDS", "3"))
+        lo_runs, hi_runs = [], []
+        for _ in range(rounds):
+            lo_runs.append(measure_once(lo))
+            hi_runs.append(measure_once(hi))
+        key = lambda r: r["queries"]["parse_agg"]  # noqa: E731
+        return min(lo_runs, key=key), min(hi_runs, key=key)
 
     out: dict = {
         "metric": "scaling efficiency (N -> 4N cpus, same input, fresh sessions)",
@@ -276,7 +286,7 @@ def run_scaling() -> dict:
         "pairs": {},
     }
     for lo, hi in ((4, 16), (8, 32)):
-        r_lo, r_hi = measure(lo), measure(hi)
+        r_lo, r_hi = measure(lo, hi)
         t_lo = r_lo["queries"]["parse_agg"]
         t_hi = r_hi["queries"]["parse_agg"]
         k_lo, k_hi = _kernel_control(lo), _kernel_control(hi)

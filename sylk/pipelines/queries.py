@@ -55,6 +55,8 @@ _I64 = {
     "last_signup_t": pa.int64(),
     "n_sessions": pa.int64(),
     "n_events": pa.int64(),
+    "n_users": pa.int64(),
+    **{f"s{s}": pa.int64() for s in range(8)},
     "p50": pa.int64(),
     "p90": pa.int64(),
     "p99": pa.int64(),
@@ -540,6 +542,44 @@ def q_user_sessions(sf_dir: str) -> pa.Table:
     ev = ev.map_batches(_t, batch_format="pyarrow", batch_size=None)
     out = gap_sessions(ev, "user_id", "t", gap=21600)
     return _table(out, ["user_id", "n_sessions", "n_events"])
+
+
+def q_severity_pivot(sf_dir: str) -> pa.Table:
+    """Pivot: one row per facility, one int64 column per severity
+    (s0..s7).  The wide reshape runs on the already-reduced (facility,
+    severity, n) table — the corpus never reshapes."""
+    from ..stages.aggregate import grouped_counts_local
+
+    counts = grouped_counts_local(_parsed(sf_dir), ["facility", "severity"],
+                                  ok_filter=True).to_pandas()
+    # the reduce already happened two-phase; the reshape input is domain-
+    # bounded (24 facilities x 8 severities) at ANY corpus size, so the
+    # pivot itself is a driver-side constant — no extra shuffle
+    wide = counts.pivot_table(index="facility", columns="severity",
+                              values="n", fill_value=0, aggfunc="sum")
+    cols = ["facility"] + [f"s{s}" for s in range(8)]
+    out = wide.reindex(columns=range(8), fill_value=0).astype("int64")
+    out.columns = [f"s{s}" for s in range(8)]
+    out = out.reset_index()
+    out["facility"] = out["facility"].astype("int64")
+    return _table(__import__("ray").data.from_pandas(out), cols)
+
+
+def q_user_activity_histogram(sf_dir: str) -> pa.Table:
+    """Frequency-of-frequencies: how many users have exactly k events —
+    a two-level aggregate (per-user counts, then counts-of-counts), both
+    levels two-phase."""
+    import os
+
+    import ray.data
+
+    from ..stages.join import grouped_agg
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    per_user = grouped_agg(ev, ["user_id"], [], count_name="n_events")
+    out = grouped_agg(per_user, ["n_events"], [], count_name="n_users")
+    return _table(out, ["n_events", "n_users"])
 
 
 def q_value_quantiles(sf_dir: str) -> pa.Table:
@@ -1109,6 +1149,15 @@ def build_oracle_sql() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "severity_pivot": f"""
+            SELECT {_FAC} AS facility,
+                   {', '.join(f"CAST(SUM(CASE WHEN {_SEV} = {s} THEN 1 ELSE 0 END) AS BIGINT) AS s{s}" for s in range(8))}
+            FROM events WHERE {_OK} GROUP BY 1""",
+        "user_activity_histogram": """
+            SELECT n_events, COUNT(*) AS n_users FROM (
+              SELECT user_id, COUNT(*) AS n_events
+              FROM events GROUP BY 1)
+            GROUP BY 1""",
         "value_quantiles": """
             SELECT quantile_disc(value, 0.5) AS p50,
                    quantile_disc(value, 0.9) AS p90,
@@ -1297,6 +1346,8 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "severity_pivot": q_severity_pivot,
+    "user_activity_histogram": q_user_activity_histogram,
     "value_quantiles": q_value_quantiles,
     "stratified_sample": q_stratified_sample,
     "group_reservoir": q_group_reservoir,
