@@ -436,6 +436,24 @@ def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_ngram_jaccard_prefix(sf_dir: str) -> pa.Table:
+    """PPJoin prefix-filtered variant of `ngram_jaccard_dup_pairs` —
+    identical exact answer (prefix theorem guarantees full recall), but
+    the inverted index holds only each doc's prefix, which is the shape
+    that survives hot shingles at corpus scale.  Shares the full-recall
+    oracle."""
+    from ..stages.dedup import ngram_jaccard_dup_pairs_prefix
+
+    out = ngram_jaccard_dup_pairs_prefix(_docs(sf_dir), threshold=0.6)
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    pdf = pdf[["a", "b", "jaccard"]].astype(
+        {"a": "int64", "b": "int64", "jaccard": "float64"})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     """Embedding near-dup pairs via 16x8 multi-band hyperplane LSH +
     exact cosine verify.  The DuckDB oracle recomputes the EXACT
@@ -976,7 +994,7 @@ def _conformance_oracle_sql() -> str:
     )
 
 
-def build_oracle_sql() -> dict[str, str]:
+def _oracle_sql_entries() -> dict[str, str]:
     fac_case = _case(_FAC, FACILITY_NAMES)
     sev_case = _case(_SEV, SEVERITY_NAMES)
     return {
@@ -1317,6 +1335,14 @@ def build_oracle_sql() -> dict[str, str]:
     }
 
 
+def build_oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_entries()
+    # the prefix-filtered variant is exact by the PPJoin theorem —
+    # it shares the full-recall all-pairs oracle verbatim
+    d["ngram_jaccard_prefix"] = d["ngram_jaccard_dup_pairs"]
+    return d
+
+
 QUERIES = {
     "transcript_lines": q_transcript_lines,
     "parse_header": q_parse_header,
@@ -1346,6 +1372,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "severity_pivot": q_severity_pivot,
     "user_activity_histogram": q_user_activity_histogram,
     "value_quantiles": q_value_quantiles,

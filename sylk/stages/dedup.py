@@ -588,10 +588,10 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
     DuckDB's plan does for the oracle SQL.  Skew note: a shingle present
     in m docs emits m(m-1)/2 pairs; natural-language 3-gram buckets are
     heavy-tailed but bounded (stopword 3-grams repeat within, not
-    across, docs after the per-doc distinct), and the real 100-TB
-    mitigation is prefix filtering (PPJoin): emit only each doc's
-    (1-t)/(1+t)-prefix of its sorted shingle list.  Documented, not
-    implemented — the oracle needs the unfiltered exact answer.
+    across, docs after the per-doc distinct); the 100-TB mitigation is
+    prefix filtering — implemented as
+    :func:`ngram_jaccard_dup_pairs_prefix`, which produces the
+    identical exact answer with a prefix-only index.
 
     Jaccard over 64-bit shingle hashes equals Jaccard over the shingle
     strings unless blake2b+splitmix64 collide (P ~ n_shingles^2 / 2^64;
@@ -628,6 +628,96 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
         return out[out["jaccard"] >= threshold]
 
     return agg.map_batches(_finish, batch_format="pandas", batch_size=None)
+
+
+def ngram_prefix_rows(batch: pa.Table, text_col: str = "text",
+                      k: int = 3, threshold: float = 0.6) -> pa.Table:
+    """PPJoin prefix filter: per doc, keep only the
+    p = n - ceil(t*n) + 1 smallest shingle hashes (hash value = the
+    global total order).  Theorem (prefix filtering): two sets with
+    Jaccard >= t MUST share at least one prefix element under any
+    agreed total order, so candidate generation over prefixes alone has
+    full recall — the index shrinks by the factor t/(1+t)-ish while the
+    answer stays exact after verification."""
+    import math
+
+    t = ngram_shingle_rows(batch, text_col, k=k)
+    if len(t) == 0:
+        return t
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = t.column("sh").to_numpy(zero_copy_only=False)
+    n_sh = t.column("n_sh").to_numpy(zero_copy_only=False)
+    order = np.lexsort((sh, ids))
+    ids_s = ids[order]
+    starts = np.flatnonzero(np.concatenate(([True], ids_s[1:] != ids_s[:-1])))
+    run_id = np.cumsum(np.concatenate(([0], (ids_s[1:] != ids_s[:-1])
+                                       .astype(np.int64))))
+    rank = np.arange(len(ids_s)) - starts[run_id]
+    n_run = n_sh[order]
+    p = n_run - np.ceil(threshold * n_run).astype(np.int64) + 1
+    keep = order[rank < p]
+    return t.take(pa.array(np.sort(keep)))
+
+
+def _pairs_from_keyed_rows(tbl: pa.Table, key_col: str) -> pd.DataFrame:
+    """Candidate (a, b) pairs from collected (doc_id, key) rows: sort by
+    key, find runs, expand multi-member runs (the single-key sibling of
+    :func:`_pairs_from_triples`)."""
+    key = tbl.column(key_col).to_numpy(zero_copy_only=False)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, key))
+    key, ids = key[order], ids[order]
+    boundaries = np.flatnonzero(np.diff(key) != 0) + 1
+    starts = np.concatenate(([0], boundaries))
+    stops = np.concatenate((boundaries, [len(key)]))
+    out = set()
+    for s, e in zip(starts, stops):
+        if e - s < 2:
+            continue
+        run = np.unique(ids[s:e])
+        for i in range(len(run)):
+            for j in range(i + 1, len(run)):
+                out.add((int(run[i]), int(run[j])))
+    if not out:
+        return _empty_pairs()
+    a, b = zip(*sorted(out))
+    return pd.DataFrame({"a": list(a), "b": list(b)})
+
+
+def ngram_jaccard_dup_pairs_prefix(docs_ds, threshold: float = 0.6,
+                                   k: int = 3, text_col: str = "text",
+                                   distributed: bool | None = None):
+    """The 100-TB shape of :func:`ngram_jaccard_dup_pairs`: PPJoin
+    prefix-filtered candidate generation (full recall by the prefix
+    theorem) + exact per-pair Jaccard verification through the shared
+    broadcast/edge-join machinery.  Same exact answer, but the inverted
+    index holds only each doc's (1-t)-ish prefix, so hot-shingle buckets
+    shrink quadratically.  Ordering the universe by hash value (uniform)
+    needs no global frequency pass; rarity-first ordering would prune
+    harder at the cost of one extra count pass."""
+    import ray
+    import ray.data
+
+    rows = docs_ds.map_batches(
+        lambda b: ngram_prefix_rows(b, text_col, k, threshold),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def _jac(ta, tb):
+        j = ngram_jaccard(ta or "", tb or "", k)
+        return j if j >= threshold else None
+
+    if not distributed:
+        tbl = pa.concat_tables(ray.get(rows.to_arrow_refs()))
+        if distributed is False or len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+            cand = _pairs_from_keyed_rows(tbl, "sh")
+            return _verify_pairs(cand, docs_ds, "doc_id", text_col, _jac,
+                                 "jaccard", distributed)
+        rows = ray.data.from_arrow(tbl)
+    edges = rows.groupby("sh").map_groups(_bucket_edges,
+                                          batch_format="pandas")
+    return _verify_pairs(edges, docs_ds, "doc_id", text_col, _jac,
+                         "jaccard", distributed)
 
 
 # --- exact dedup -----------------------------------------------------------

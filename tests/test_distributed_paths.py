@@ -185,3 +185,53 @@ def test_minhash_join_verify_branch(ray_session):
     key = ["a", "b"]
     pd.testing.assert_frame_equal(_norm(fast, key), _norm(dist, key), check_dtype=False)
     assert {(0, 1), (2, 3)} <= set(zip(fast.a, fast.b))
+
+
+def test_ngram_prefix_equals_full_index(ray_session):
+    """PPJoin prefix filtering must reproduce the full inverted-index
+    answer exactly (prefix theorem), on both the driver and the forced
+    distributed paths, across thresholds."""
+    import ray.data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("theta", "T").replace("mu", "M")},
+        {"doc_id": 2, "text": "totally disjoint vocabulary in this one here"},
+        {"doc_id": 3, "text": base},
+        {"doc_id": 4, "text": base.replace("alpha beta", "A B")},
+        {"doc_id": 5, "text": "alpha beta gamma"},  # tiny doc
+    ]
+    for thr in (0.3, 0.6, 0.9):
+        full = dedup.ngram_jaccard_dup_pairs(
+            ray.data.from_items(docs), threshold=thr).to_pandas()
+        pre = dedup.ngram_jaccard_dup_pairs_prefix(
+            ray.data.from_items(docs), threshold=thr).to_pandas()
+        pre_d = dedup.ngram_jaccard_dup_pairs_prefix(
+            ray.data.from_items(docs), threshold=thr,
+            distributed=True).to_pandas()
+        key = ["a", "b"]
+        pd.testing.assert_frame_equal(
+            _norm(full, key)[["a", "b", "jaccard"]],
+            _norm(pre, key)[["a", "b", "jaccard"]], check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _norm(full, key)[["a", "b", "jaccard"]],
+            _norm(pre_d, key)[["a", "b", "jaccard"]], check_dtype=False)
+
+
+def test_ngram_prefix_index_is_smaller(ray_session):
+    """The prefix index must actually shrink (that's its whole point)."""
+    import ray.data
+
+    from sylk.stages.dedup import ngram_prefix_rows, ngram_shingle_rows
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    full = docs.map_batches(
+        lambda b: ngram_shingle_rows(b), batch_format="pyarrow").count()
+    pre = docs.map_batches(
+        lambda b: ngram_prefix_rows(b, threshold=0.6),
+        batch_format="pyarrow").count()
+    assert pre < 0.55 * full  # p/n = 1 - t + 1/n ~= 0.45 at t=0.6
