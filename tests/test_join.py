@@ -115,3 +115,40 @@ def test_bucketed_join_rejects_mismatched_stores(ray_session, tmp_path):
     J.bucketed_write(ds, str(tmp_path / "b"), "k", 8)
     with pytest.raises(ValueError, match="bucket count mismatch"):
         J.bucketed_join(str(tmp_path / "a"), str(tmp_path / "b"), on="k")
+
+
+def test_bloom_semi_anti_exact(ray_session):
+    import ray.data
+
+    left = ray.data.from_items(
+        [{"k": i, "v": i * 2} for i in range(2000)], override_num_blocks=5)
+    right = ray.data.from_items(
+        [{"rk": i} for i in range(0, 2000, 3)], override_num_blocks=3)
+    want_semi = J.semi_join(left, right, on="k", right_key="rk").to_pandas()
+    want_anti = J.anti_join(left, right, on="k", right_key="rk").to_pandas()
+    # tiny bloom (512 bits for ~667 keys) forces a high FP rate — the
+    # exact join must still weed every false positive out
+    for n_bits in (512, 1 << 16):
+        got_semi = J.bloom_semi_join(left, right, on="k", right_key="rk",
+                                     n_bits=n_bits).to_pandas()
+        got_anti = J.bloom_semi_join(left, right, on="k", right_key="rk",
+                                     anti=True, n_bits=n_bits).to_pandas()
+        key = ["k"]
+        pd.testing.assert_frame_equal(
+            _norm(want_semi[["k", "v"]], key), _norm(got_semi[["k", "v"]], key))
+        pd.testing.assert_frame_equal(
+            _norm(want_anti[["k", "v"]], key), _norm(got_anti[["k", "v"]], key))
+
+
+def test_bloom_prefilter_drops_rows(ray_session):
+    import numpy as np
+    import ray.data
+
+    from sylk.stages.join import _bloom_maybe, build_bloom
+
+    right = ray.data.from_items([{"rk": i} for i in range(100)])
+    bits = build_bloom(right, "rk")
+    probe = np.arange(100_000, 110_000, dtype=np.int64)
+    fp = _bloom_maybe(bits, probe).mean()
+    assert fp < 0.01  # definite-absent keys rarely pass
+    assert _bloom_maybe(bits, np.arange(100, dtype=np.int64)).all()
