@@ -55,6 +55,9 @@ _I64 = {
     "last_signup_t": pa.int64(),
     "n_sessions": pa.int64(),
     "n_events": pa.int64(),
+    "n_items": pa.int64(),
+    "payload_bytes": pa.int64(),
+    "n_frames": pa.int64(),
     "n_users": pa.int64(),
     **{f"s{s}": pa.int64() for s in range(8)},
     "p50": pa.int64(),
@@ -829,6 +832,42 @@ def q_big_spender_customers(sf_dir: str) -> pa.Table:
     return _table(out, ["c_mktsegment", "n_customers"])
 
 
+def q_media_inventory(sf_dir: str) -> pa.Table:
+    """Multimodal metadata rollup with a FULL oracle: the media table is
+    built from documents with an SQL-expressible mapping (kind cycles by
+    doc_id, payload = utf-8 text bytes), so byte totals and meta-JSON
+    extraction verify bitwise even though the decode kernels are
+    sandbox-stubbed."""
+    import json
+
+    from ..stages.join import grouped_agg
+    from ..stages.multimodal import MEDIA_SCHEMA  # noqa: F401 (schema anchor)
+
+    kinds = ["image", "audio", "video"]
+    metas = ['{"width":64,"height":48}', '{"sr":16000,"n_samples":4096}',
+             '{"fps":24,"n_frames":48}']
+
+    def _as_media(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        kind = pa.array([kinds[i % 3] for i in ids], pa.string())
+        meta = pa.array([metas[i % 3] for i in ids], pa.string())
+        payload = b.column("text").cast(pa.binary())
+        n_frames = pa.array(
+            [json.loads(metas[i % 3]).get("n_frames", 0) for i in ids],
+            pa.int64())
+        return pa.table({
+            "media_id": b.column("doc_id"), "kind": kind,
+            "payload_bytes": pc.binary_length(payload).cast(pa.int64()),
+            "n_frames": n_frames,
+        })
+
+    media = _docs(sf_dir).map_batches(_as_media, batch_format="pyarrow",
+                                      batch_size=None)
+    out = grouped_agg(media, ["kind"], ["payload_bytes", "n_frames"],
+                      count_name="n_items")
+    return _table(out, ["kind", "n_items", "payload_bytes", "n_frames"])
+
+
 def q_multimodal_features(sf_dir: str) -> pa.Table:
     """Multimodal plumbing over sf data: documents' text bytes stand in
     for opaque media payloads; the ImageDecoder actor pool (stubbed
@@ -1167,6 +1206,16 @@ def _oracle_sql_entries() -> dict[str, str]:
                    round({_COS}, 6) AS cosine
             FROM embeddings q, embeddings v
             WHERE q.vec_id < v.vec_id AND {_COS} >= 0.95""",
+        "media_inventory": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS payload_bytes,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 48 ELSE 0 END)
+                        AS BIGINT) AS n_frames
+            FROM documents GROUP BY 1""",
         "severity_pivot": f"""
             SELECT {_FAC} AS facility,
                    {', '.join(f"CAST(SUM(CASE WHEN {_SEV} = {s} THEN 1 ELSE 0 END) AS BIGINT) AS s{s}" for s in range(8))}
@@ -1373,6 +1422,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "media_inventory": q_media_inventory,
     "severity_pivot": q_severity_pivot,
     "user_activity_histogram": q_user_activity_histogram,
     "value_quantiles": q_value_quantiles,

@@ -1,0 +1,38 @@
+"""Raw syslog text-file source.
+
+The reference crate's native input is a stream of bare RFC 5424 lines
+(its README example reads UDP datagrams, ``lib.rs:13-25``); this source
+feeds the same shape from plain ``.log`` text files so every downstream
+stage (parse -> enrich -> route -> aggregate) runs unchanged on either
+parquet transcripts or raw log files.
+
+``ray.data.read_text`` yields one row per line in a ``text`` column —
+already the exact column the parse chain keys on.  Line order within a
+file is preserved per block; ``line_id`` (stable hash of the line
+content + a per-batch disambiguator) can be stamped on demand for
+dedup/resume keys, mirroring how the transcript source derives ids.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def read_syslog_lines(paths, include_line_hash: bool = False):
+    """Text file(s) of raw RFC 5424 lines -> Dataset[(text[, line_h])]
+    ready for ``parse_batch``.  Reads stream block-by-block (never a
+    whole file in one task unless it is one block)."""
+    import ray.data
+
+    ds = ray.data.read_text(paths)
+    if not include_line_hash:
+        return ds
+
+    def _stamp(b: pa.Table) -> pa.Table:
+        from ..stages.sample import content_hash64
+
+        h = content_hash64(b.column("text").to_pylist())
+        return b.append_column("line_h", pa.array(h.astype("int64"),
+                                                  pa.int64()))
+
+    return ds.map_batches(_stamp, batch_format="pyarrow", batch_size=None)

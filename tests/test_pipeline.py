@@ -190,3 +190,35 @@ def test_rollup_counters_come_from_manifest(ray_session, corpus_dir, tmp_path_fa
     assert r2["units_skipped"] == 1
     fac, sev = (int(x) for x in key.split("/"))
     assert r2["sink_counts"][(fac, sev)] == r1["sink_counts"][(fac, sev)] + 7
+
+
+def test_raw_text_source_matches_parquet_path(ray_session, tmp_path):
+    """Raw .log files feed the identical parse→aggregate results as the
+    parquet transcript source (the crate's native input shape)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from sylk.sources.rawlines import read_syslog_lines
+    from sylk.sources.transcripts import synth_batch
+    from sylk.stages.aggregate import grouped_counts_local
+    from sylk.stages.parse import parse_batch
+
+    t = synth_batch(np.arange(3000, dtype=np.int64))
+    lines = t.column("text").to_pylist()
+    p = tmp_path / "raw.log"
+    p.write_text("\n".join(lines) + "\n")
+
+    raw = read_syslog_lines(str(p)).map_batches(
+        parse_batch, batch_format="pyarrow", batch_size=None)
+    par = ray.data.from_arrow(t.select(["text"])).map_batches(
+        parse_batch, batch_format="pyarrow", batch_size=None)
+    a = grouped_counts_local(raw, ["facility", "severity"], ok_filter=True) \
+        .to_pandas().sort_values(["facility", "severity"]).reset_index(drop=True)
+    b = grouped_counts_local(par, ["facility", "severity"], ok_filter=True) \
+        .to_pandas().sort_values(["facility", "severity"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.n.sum() > 0
+
+    stamped = read_syslog_lines(str(p), include_line_hash=True)
+    assert "line_h" in stamped.schema().names
