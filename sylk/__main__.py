@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     run.add_argument("--files-per-unit", type=int, default=16)
     run.add_argument("--concurrent-units", type=int, default=2)
     run.add_argument("--num-cpus", type=int, default=None)
+    run.add_argument("--format", choices=("parquet", "text"),
+                     default="parquet",
+                     help="input shards: transcript parquet or raw .log lines")
 
     synth = sub.add_parser("synth", help="write the deterministic synthetic corpus")
     synth.add_argument("--out", required=True)
@@ -61,6 +64,7 @@ def main(argv=None) -> int:
             args.out,
             files_per_unit=args.files_per_unit,
             concurrent_units=args.concurrent_units,
+            input_format=args.format,
         )
         # JSON-safe: tuple keys -> "f/s"
         summary["sink_counts"] = {

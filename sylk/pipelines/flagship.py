@@ -116,6 +116,7 @@ def run_flagship(
     files_per_unit: int = 16,
     enrich_concurrency=(1, 8),
     concurrent_units: int = 2,
+    input_format: str = "parquet",
 ) -> dict:
     """Run the full pipeline over ``input_files`` with checkpoint/resume.
 
@@ -164,7 +165,11 @@ def run_flagship(
         shutil.rmtree(unit_dir, ignore_errors=True)
         # one block per input file -> the planner fuses the read into the
         # parse/enrich/route chain (no SplitBlocks, no extra plasma hop)
-        ds = ray.data.read_parquet(files, override_num_blocks=len(files))
+        if input_format == "text":
+            # raw RFC 5424 line files (the crate's native input shape)
+            ds = ray.data.read_text(files, drop_empty_lines=False)
+        else:
+            ds = ray.data.read_parquet(files, override_num_blocks=len(files))
         parsed = parse_enrich(ds, enrich_concurrency)
         route_and_write(parsed, unit_dir)
 

@@ -24,7 +24,9 @@ def read_syslog_lines(paths, include_line_hash: bool = False):
     whole file in one task unless it is one block)."""
     import ray.data
 
-    ds = ray.data.read_text(paths)
+    # empty lines ARE records (they parse to ExpectedTokenErr),
+    # so don't let read_text silently drop them
+    ds = ray.data.read_text(paths, drop_empty_lines=False)
     if not include_line_hash:
         return ds
 

@@ -89,12 +89,25 @@ def _size_based_partitions(left_ds, right_ds) -> int:
     return max(2, min(want, 2 * _default_partitions()))
 
 
+def _strip_schema_metadata(b: pa.Table) -> pa.Table:
+    # blocks born from pandas carry a schema-metadata dict that Ray's
+    # hash-shuffle schema dedup can't hash (it warns per block); the
+    # metadata is meaningless post-join, so drop it (zero-copy).
+    return b.replace_schema_metadata(None) if b.schema.metadata else b
+
+
 def hash_join(left_ds, right_ds, on, right_on=None, join_type: str = "inner",
               num_partitions: int | None = None):
     """Distributed hash join (both sides large): partition both inputs
     on the key, join per partition (``Dataset.join``)."""
     if num_partitions is None:
         num_partitions = _size_based_partitions(left_ds, right_ds)
+    left_ds = left_ds.map_batches(_strip_schema_metadata,
+                                  batch_format="pyarrow", batch_size=None,
+                                  zero_copy_batch=True)
+    right_ds = right_ds.map_batches(_strip_schema_metadata,
+                                    batch_format="pyarrow", batch_size=None,
+                                    zero_copy_batch=True)
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = ((right_on,) if isinstance(right_on, str) else tuple(right_on)) \
         if right_on is not None else on
@@ -173,7 +186,8 @@ def grouped_agg(ds, keys, sum_cols, count_name: str = "n"):
         g = b.group_by(keys).aggregate(aggs)
         names = keys + [f"{c}_sum" for c in sum_cols] + ["count_all"]
         g = g.select(names)
-        return g.rename_columns(keys + sum_cols + [count_name])
+        return _strip_schema_metadata(
+            g.rename_columns(keys + sum_cols + [count_name]))
 
     partials = ds.map_batches(_partial, batch_format="pyarrow",
                               batch_size=None, zero_copy_batch=True)

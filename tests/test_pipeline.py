@@ -222,3 +222,29 @@ def test_raw_text_source_matches_parquet_path(ray_session, tmp_path):
 
     stamped = read_syslog_lines(str(p), include_line_hash=True)
     assert "line_h" in stamped.schema().names
+
+
+def test_flagship_text_format(ray_session, tmp_path):
+    """run_flagship over raw .log shards == over parquet shards (same
+    lines), including the routed layout and manifest resume."""
+    import numpy as np
+
+    from sylk.pipelines.flagship import run_flagship
+    from sylk.sources.transcripts import synth_batch
+
+    t = synth_batch(np.arange(2000, dtype=np.int64))
+    lines = t.column("text").to_pylist()
+    shards = []
+    for i in range(2):
+        p = tmp_path / f"shard{i}.log"
+        p.write_text("\n".join(lines[i * 1000:(i + 1) * 1000]) + "\n")
+        shards.append(str(p))
+    out = str(tmp_path / "routed")
+    s1 = run_flagship(shards, out, files_per_unit=1, concurrent_units=1,
+                      input_format="text")
+    assert s1["rows"] == 2000 and s1["units_run"] == 2
+    # resume: nothing re-runs
+    s2 = run_flagship(shards, out, files_per_unit=1, concurrent_units=1,
+                      input_format="text")
+    assert s2["units_skipped"] == 2 and s2["rows"] == 2000
+    assert s1["sink_counts"] == s2["sink_counts"]
