@@ -41,6 +41,8 @@ _I64 = {
     "n": pa.int64(),
     "query_idx": pa.int64(),
     "n_tokens": pa.int64(),
+    "tf": pa.int64(),
+    "df": pa.int64(),
     "len_chars": pa.int64(),
     "n_turns": pa.int64(),
     "first_turn": pa.int64(),
@@ -665,6 +667,15 @@ def q_top_bigrams(sf_dir: str) -> pa.Table:
     return _table(out, ["ngram", "n"])
 
 
+def q_top_term_per_doc(sf_dir: str) -> pa.Table:
+    """Most distinctive term per document (tf DESC, corpus df ASC, term
+    ASC) — integer-exact tf-idf core, bitwise-verifiable."""
+    from ..stages.text import top_term_per_doc
+
+    out = top_term_per_doc(_docs(sf_dir))
+    return _table(out, ["doc_id", "term", "tf", "df"])
+
+
 def q_last_signup_fill(sf_dir: str) -> pa.Table:
     """Fill-forward / as-of: for every event, the timestamp of the same
     user's most recent signup (skew-safe two-pass carry; event_id breaks
@@ -1253,6 +1264,22 @@ def _oracle_sql_entries() -> dict[str, str]:
             c AS (SELECT unnest(gs) AS ngram FROM grams)
             SELECT ngram, COUNT(*) AS n FROM c GROUP BY 1
             QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, ngram) <= 20""",
+        "top_term_per_doc": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(*) AS df FROM (
+                     SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1)
+            SELECT doc_id, term, tf, df FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, df.df ASC, tf.term) AS r
+              FROM tf JOIN df USING (term))
+            WHERE r = 1""",
         "last_signup_fill": """
             SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
                    last_value(CASE WHEN event_type = 'signup'
@@ -1429,6 +1456,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "group_reservoir": q_group_reservoir,
     "top_bigrams": q_top_bigrams,
+    "top_term_per_doc": q_top_term_per_doc,
     "last_signup_fill": q_last_signup_fill,
     "sliding_hourly_counts": q_sliding_hourly_counts,
     "sink_rollup": q_sink_rollup,

@@ -198,3 +198,78 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
     counts = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
 
     return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def term_tf_rows(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Per-doc term frequencies (doc_id, term, tf) — complete per block
+    because one document is one row; tokenize + factorize once per
+    block, count (doc, code) pairs with a single np.unique."""
+    import pandas as pd
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    tok_lists = [(t or "").split() for t in texts]
+    all_toks = [w for tl in tok_lists for w in tl]
+    if not all_toks:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
+    lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    key = doc_idx * np.int64(len(uniques)) + codes
+    uk, counts = np.unique(key, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(ids[uk // len(uniques)].astype(np.int64)),
+        "term": pa.array(uniques[uk % len(uniques)], pa.string()),
+        "tf": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def top_term_per_doc(docs_ds, text_col: str = "text"):
+    """The most distinctive term of each document: highest tf, ties
+    broken by LOWEST corpus document-frequency then term asc — the
+    integer-exact core of tf-idf (no float idf, so results verify
+    bitwise).
+
+    Shape: tf rows are complete per block (docs are rows); the only
+    exchange is the df reduce (groupby(term) over distinct (doc, term)
+    rows).  The df map is broadcast (`ray.put` once) — holds to
+    ~10^8-term vocabularies; beyond that swap the broadcast for a hash
+    join on term (same `join.hash_join` machinery)."""
+    import pandas as pd
+    import ray
+
+    # materialize: both consumers (df reduce, per-doc top) reuse the one
+    # tokenize pass; tf lives in the object store (spillable), never on
+    # the driver
+    tf = docs_ds.map_batches(lambda b: term_tf_rows(b, text_col),
+                             batch_format="pyarrow",
+                             batch_size=None).materialize()
+    # df = docs-per-term: tf rows are distinct per (doc, term), so a
+    # per-block count partial + a driver pyarrow C++ merge (the
+    # grouped_counts_local pattern — vocabulary-sized, not corpus-sized)
+    parts = tf.map_batches(
+        lambda b: b.group_by(["term"]).aggregate([([], "count_all")])
+                   .rename_columns(["term", "df"]),
+        batch_format="pyarrow", batch_size=None)
+    dfm_tbl = pa.concat_tables(ray.get(parts.to_arrow_refs())) \
+        .group_by(["term"]).aggregate([("df", "sum")])
+    df_ref = ray.put(dict(zip(dfm_tbl.column("term").to_pylist(),
+                              (int(x) for x in dfm_tbl.column("df_sum")
+                               .to_pylist()))))
+
+    def _top(b: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        pdf = b.to_pandas()
+        pdf["df"] = pdf["term"].map(dfm).astype("int64")
+        pdf = pdf.sort_values(["doc_id", "tf", "df", "term"],
+                              ascending=[True, False, True, True],
+                              kind="mergesort")
+        out = pdf.groupby("doc_id", sort=False).head(1)
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return tf.map_batches(_top, batch_format="pyarrow", batch_size=None)

@@ -195,3 +195,23 @@ def test_distributed_quantiles_all_nulls_and_tiny(ray_session):
     assert distributed_quantiles(ds, "value", [0.5]) == [None]
     one = ray.data.from_items([{"value": 3.25}])
     assert distributed_quantiles(one, "value", [0.0, 0.5, 1.0]) == [3.25] * 3
+
+
+def test_top_term_per_doc_ranking(ray_session):
+    import ray.data
+
+    from sylk.stages.text import top_term_per_doc
+
+    docs = [
+        # 'rare' appears twice in doc 0 (top tf) and nowhere else
+        {"doc_id": 0, "text": "rare rare common common common"},
+        # tie on tf between 'common' (df=3) and 'unique2' (df=1):
+        # lower df wins
+        {"doc_id": 1, "text": "common unique2"},
+        {"doc_id": 2, "text": "common"},
+    ]
+    out = top_term_per_doc(ray.data.from_items(docs)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "term"] == "common" and out.loc[0, "tf"] == 3
+    assert out.loc[1, "term"] == "unique2" and out.loc[1, "df"] == 1
+    assert out.loc[2, "term"] == "common" and out.loc[2, "df"] == 3
