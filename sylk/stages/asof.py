@@ -22,6 +22,15 @@ Skew-safe two-pass shape (a hot key never occupies one task's heap):
 Determinism: the order columns must be a total order per key (include a
 unique tiebreaker column, e.g. event_id) — the same requirement the SQL
 window needs to be deterministic.
+
+Scale bound: driver/broadcast state is O(#blocks + #keys) SEED rows
+(sorted data keeps each key's runs contiguous, so a key contributes
+~spanned-blocks entries).  That holds to ~10^8 keys; beyond it the
+documented alternative is fully distributed — compute per-run seeds
+with ``groupby(key).map_groups`` over the state rows, stamp each row's
+run-first-order in pass B, and hash-join rows with seeds on
+(key, first-order) instead of broadcasting (one extra exchange of the
+full dataset; the same trade the dedup edge-join makes).
 """
 
 from __future__ import annotations

@@ -26,6 +26,15 @@ The input is re-read once per pass (3 reads total); at corpus scale
 either point the passes at the parquet store (reads are column-pruned to
 ONE column) or ``materialize()`` upstream if the column is already the
 product of heavy compute.
+
+Scale bound: pass A ships #blocks x ``sample_per_block`` doubles to the
+driver — size ``sample_per_block`` ~ target_total / expected_blocks
+when block counts are huge (the candidate set only needs ~10^3-10^4
+pooled points for tight brackets; more sample buys narrower pass-C
+brackets, not correctness).  Pass C collects ~n / n_candidates values
+per requested quantile; a pathological value distribution (one value >
+bracket width of the mass) widens a bracket to its duplicate count —
+still exact, bounded by the heaviest single value's multiplicity.
 """
 
 from __future__ import annotations

@@ -192,12 +192,27 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
     per block; the final sort runs on the reduced vocabulary table."""
     from ray.data.aggregate import Sum
 
+    import pandas as pd
+    import ray
+
     partials = ds.map_batches(
         lambda b: ngram_count_partial(b, text_col, n),
         batch_format="pyarrow", batch_size=None)
     counts = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
 
-    return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
+    # counts are GLOBAL after the reduce, so per-block top-k partials +
+    # a #blocks x k driver merge give the exact global top-k without
+    # sorting the whole vocabulary table (which is corpus-scale for
+    # large n)
+    def _topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "ngram"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cand = counts.map_batches(_topk, batch_format="pandas",
+                                             batch_size=None).to_pandas()
+    out = cand.sort_values(["n", "ngram"], ascending=[False, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    return ray.data.from_pandas(out)
 
 
 def term_tf_rows(batch: pa.Table, text_col: str = "text",
