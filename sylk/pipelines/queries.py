@@ -361,6 +361,15 @@ def q_ann_bruteforce(sf_dir: str) -> pa.Table:
     return _table(out, ["query_idx", "vec_id", "cosine"])
 
 
+def q_ann_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed approximate top-k (hyperplane band pruning, no index
+    build) — rows-only; the recall floor vs brute force is pytest-pinned."""
+    from ..stages.similarity import ann_topk_lsh
+
+    out = ann_topk_lsh(_emb(sf_dir), _query_matrix(sf_dir), k=_ANN_K)
+    return _table(out, ["query_idx", "vec_id", "cosine"])
+
+
 def q_ann_ivf(sf_dir: str) -> pa.Table:
     from ..stages.similarity import ann_topk_ivf
 
@@ -1473,6 +1482,7 @@ QUERIES = {
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,

@@ -188,3 +188,69 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
         return g
 
     return partials.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+
+
+def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10,
+                 n_bands: int = 16, bits_per_band: int = 8, seed: int = 42,
+                 round_to: int | None = 6):
+    """LSH-bucketed approximate cosine top-k: per block, a vector is
+    scored ONLY if it shares at least one hyperplane band hash with the
+    query (the OR-amplified collision scheme `dedup.embedding_dup_pairs`
+    uses, reference recall math there).  Random non-neighbors pass a
+    band with p = 2^-bits_per_band, so the expected scored fraction is
+    ~n_bands/2^bits (~6% at 16x8) — compute pruning without an index
+    build, complementary to IVF (which prunes by partition); rows-only
+    in the contract, recall-floor tested against brute force."""
+    import ray
+    import ray.data
+
+    q = np.asarray(queries, dtype=np.float64)
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * bits_per_band))
+    weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
+
+    def _keys(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        return (bits.reshape(len(mat), n_bands, bits_per_band)
+                .astype(np.uint64) * weights).sum(axis=2)
+
+    q_keys = _keys(q)
+    q_ref = ray.put((q, q_keys))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qm, qk = ray.get(q_ref)
+        vecs = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vk = _keys(vecs)
+        # (nq, nb): query qi may score vector vj iff any band matches
+        match = (vk[None, :, :] == qk[:, None, :]).any(axis=2)
+        vv = (vecs * vecs).sum(axis=1)
+        qq = (qm * qm).sum(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(qm)):
+            cand = np.flatnonzero(match[qi])
+            if len(cand) == 0:
+                continue
+            sims = (vecs[cand] @ qm[qi]) / np.sqrt(vv[cand] * qq[qi])
+            kk = min(k, len(cand))
+            order = np.lexsort((ids[cand], -sims))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[cand][order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    partials = emb_ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        if round_to is not None:
+            g = g.assign(cosine=g["cosine"].round(round_to))
+        return g
+
+    return partials.groupby("query_idx").map_groups(_merge,
+                                                    batch_format="pandas")

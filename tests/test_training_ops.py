@@ -402,3 +402,43 @@ def test_minhash_signatures_batched_differential():
     batched = minhash_signatures(texts)
     for i, t in enumerate(texts):
         assert (batched[i] == minhash_signature(t)).all(), t[:40]
+
+
+def test_ann_lsh_planted_recall(ray_session):
+    """Planted exact-duplicate neighbors must surface at rank 1 through
+    the LSH-bucketed path (an identical vector collides in EVERY band),
+    and overall recall@k vs brute force stays above a floor on random
+    data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sylk.stages.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+    rng = np.random.default_rng(11)
+    n, dim, nq = 400, 32, 6
+    vecs = rng.standard_normal((n, dim))
+    queries = vecs[:nq].copy()
+    # plant an exact duplicate of each query deep in the table
+    for i in range(nq):
+        vecs[200 + i] = queries[i]
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    lsh = ann_topk_lsh(ds, queries, k=5).to_pandas()
+    brute = ann_topk_bruteforce(ds, queries, k=5).to_pandas()
+    for qi in range(nq):
+        top = lsh[lsh.query_idx == qi].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True])
+        # the planted duplicate (or the query's own row) leads at cosine 1
+        assert top.iloc[0].cosine == 1.0
+        assert top.iloc[0].vec_id in (qi, 200 + qi)
+    hits = 0
+    for qi in range(nq):
+        b = set(brute[brute.query_idx == qi].vec_id)
+        l = set(lsh[lsh.query_idx == qi].vec_id)
+        hits += len(b & l)
+    assert hits / (nq * 5) >= 0.5  # recall floor on random gaussian data
