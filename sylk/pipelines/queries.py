@@ -42,6 +42,7 @@ _I64 = {
     "query_idx": pa.int64(),
     "n_tokens": pa.int64(),
     "tf": pa.int64(),
+    "t_us": pa.int64(),
     "df": pa.int64(),
     "len_chars": pa.int64(),
     "n_turns": pa.int64(),
@@ -612,6 +613,30 @@ def q_user_activity_histogram(sf_dir: str) -> pa.Table:
     per_user = grouped_agg(ev, ["user_id"], [], count_name="n_events")
     out = grouped_agg(per_user, ["n_events"], [], count_name="n_users")
     return _table(out, ["n_events", "n_users"])
+
+
+def q_latest_event_per_user(sf_dir: str) -> pa.Table:
+    """CDC compaction: each user's single latest event (timestamp then
+    event_id as the total order) — two-phase argmax, hot keys collapse
+    per block before the shuffle."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import latest_per_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type", "ts"])
+
+    def _t(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "t_us", b.column("ts").cast(pa.int64())).drop_columns(["ts"])
+
+    ev = ev.map_batches(_t, batch_format="pyarrow", batch_size=None)
+    out = latest_per_key(ev, "user_id", ["t_us", "event_id"],
+                         payload_cols=["event_type"])
+    return _table(out, ["user_id", "event_id", "event_type", "t_us"])
 
 
 def q_value_quantiles(sf_dir: str) -> pa.Table:
@@ -1245,6 +1270,12 @@ def _oracle_sql_entries() -> dict[str, str]:
               SELECT user_id, COUNT(*) AS n_events
               FROM events GROUP BY 1)
             GROUP BY 1""",
+        "latest_event_per_user": """
+            SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+                   event_type, epoch_us(ts) AS t_us
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""",
         "value_quantiles": """
             SELECT quantile_disc(value, 0.5) AS p50,
                    quantile_disc(value, 0.9) AS p90,
@@ -1461,6 +1492,7 @@ QUERIES = {
     "media_inventory": q_media_inventory,
     "severity_pivot": q_severity_pivot,
     "user_activity_histogram": q_user_activity_histogram,
+    "latest_event_per_user": q_latest_event_per_user,
     "value_quantiles": q_value_quantiles,
     "stratified_sample": q_stratified_sample,
     "group_reservoir": q_group_reservoir,

@@ -271,6 +271,35 @@ def grouped_quantiles(ds, key: str, value_col: str, qs, out_names,
     return hist.groupby(key).map_groups(_q, batch_format="pandas")
 
 
+def latest_per_key(ds, key: str, order_cols, payload_cols=None):
+    """CDC-style compaction: the single latest row per key, latest =
+    max (order_cols) tuple (include a unique tiebreaker for a total
+    order).  Two-phase argmax: each block keeps one candidate row per
+    key it sees (the combiner — a hot key contributes one row per
+    block, never its raw rows), then a per-key max over the candidates."""
+    import pandas as pd
+
+    order_cols = list(order_cols)
+    cols = None if payload_cols is None else ([key] + order_cols
+                                              + list(payload_cols))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if cols is not None:
+            df = df[cols]
+        if len(df) == 0:
+            return df
+        df = df.sort_values(order_cols, kind="mergesort")
+        return df.groupby(key, sort=False).tail(1)
+
+    partials = ds.map_batches(_partial, batch_format="pandas",
+                              batch_size=None)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_cols, kind="mergesort").tail(1)
+
+    return partials.groupby(key).map_groups(_final, batch_format="pandas")
+
+
 def exact_distinct_count(ds, key: str):
     """Exact COUNT(DISTINCT key): per-block unique partial (combiner)
     then a hash-partitioned distinct — the shuffle moves only distinct

@@ -215,3 +215,18 @@ def test_top_term_per_doc_ranking(ray_session):
     assert out.loc[0, "term"] == "common" and out.loc[0, "tf"] == 3
     assert out.loc[1, "term"] == "unique2" and out.loc[1, "df"] == 1
     assert out.loc[2, "term"] == "common" and out.loc[2, "df"] == 3
+
+
+def test_latest_per_key_hot_key_blocks(ray_session):
+    import ray.data
+
+    from sylk.stages.aggregate import latest_per_key
+
+    rows = [{"k": 1, "o": i, "v": f"p{i}"} for i in range(500)]
+    rows += [{"k": 2, "o": 7, "v": "only"}]
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    out = latest_per_key(ds, "k", ["o"], payload_cols=["v"]).to_pandas() \
+        .set_index("k")
+    assert out.loc[1, "o"] == 499 and out.loc[1, "v"] == "p499"
+    assert out.loc[2, "v"] == "only"
+    assert len(out) == 2
