@@ -43,6 +43,7 @@ _I64 = {
     "n_tokens": pa.int64(),
     "tf": pa.int64(),
     "t_us": pa.int64(),
+    "rv": pa.int64(),
     "df": pa.int64(),
     "len_chars": pa.int64(),
     "n_turns": pa.int64(),
@@ -613,6 +614,42 @@ def q_user_activity_histogram(sf_dir: str) -> pa.Table:
     per_user = grouped_agg(ev, ["user_id"], [], count_name="n_events")
     out = grouped_agg(per_user, ["n_events"], [], count_name="n_users")
     return _table(out, ["n_events", "n_users"])
+
+
+def q_running_value_per_user(sf_dir: str) -> pa.Table:
+    """Per-user running total (SUM OVER ROWS UNBOUNDED PRECEDING) of an
+    integer measure — the additive-carry sibling of the fill-forward
+    pass; integer-exact across the chunk seams."""
+    import os
+
+    import ray.data
+
+    from ..stages.asof import running_total
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t_us = b.column("ts").cast(pa.int64())
+        val = pc.cast(pc.subtract(
+            b.column("event_id"),
+            pc.multiply(pc.divide(b.column("event_id"), 100), 100)),
+            pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "t_us": t_us, "val": val})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = running_total(ds, "user_id", ["t_us", "event_id"], "val", "rv")
+
+    def _cast(df):
+        df = df[["event_id", "user_id", "rv"]].copy()
+        df["rv"] = df["rv"].astype("int64")
+        return df
+
+    out = out.map_batches(_cast, batch_format="pandas", batch_size=None)
+    return _table(out, ["event_id", "user_id", "rv"])
 
 
 def q_latest_event_per_user(sf_dir: str) -> pa.Table:
@@ -1270,6 +1307,14 @@ def _oracle_sql_entries() -> dict[str, str]:
               SELECT user_id, COUNT(*) AS n_events
               FROM events GROUP BY 1)
             GROUP BY 1""",
+        "running_value_per_user": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+                   CAST(SUM(event_id % 100) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS rv
+            FROM events""",
         "latest_event_per_user": """
             SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
                    event_type, epoch_us(ts) AS t_us
@@ -1492,6 +1537,7 @@ QUERIES = {
     "media_inventory": q_media_inventory,
     "severity_pivot": q_severity_pivot,
     "user_activity_histogram": q_user_activity_histogram,
+    "running_value_per_user": q_running_value_per_user,
     "latest_event_per_user": q_latest_event_per_user,
     "value_quantiles": q_value_quantiles,
     "stratified_sample": q_stratified_sample,

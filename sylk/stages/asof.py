@@ -90,3 +90,52 @@ def fill_forward(ds, key: str, order_cols, value_col: str, out_col: str):
 
     return sorted_ds.map_batches(_fill, batch_format="pandas",
                                  batch_size=None)
+
+
+def running_total(ds, key: str, order_cols, value_col: str, out_col: str):
+    """Per-key running total in (key, order) order — ``SUM(value) OVER
+    (PARTITION BY key ORDER BY order ROWS UNBOUNDED PRECEDING)``.
+
+    Same skew-safe two-pass carry as :func:`fill_forward`, with an
+    ADDITIVE seed: pass A emits one (key, first-order, block-sum) state
+    row per key-run; the driver prefix-sums each key's earlier runs to a
+    scalar seed per run; pass B adds the seed to the in-block cumsum.
+    Same scale bound as fill_forward (O(#blocks + #keys) seed rows)."""
+    import ray
+
+    order_cols = list(order_cols)
+    sorted_ds = ds.sort([key] + order_cols).materialize()
+
+    def _state(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 **{c: pd.Series([], dtype="int64")
+                                    for c in order_cols},
+                                 "_sum": pd.Series([], dtype="float64")})
+        firsts = _run_key(df, key, order_cols)
+        sums = df.groupby(key, sort=False)[value_col].sum()
+        firsts["_sum"] = firsts[key].map(sums)
+        return firsts
+
+    states = sorted_ds.map_batches(_state, batch_format="pandas",
+                                   batch_size=None).to_pandas()
+    states = states.sort_values([key] + order_cols, kind="mergesort")
+    states["_seed"] = states.groupby(key, sort=False)["_sum"] \
+        .transform(lambda s: s.cumsum().shift()).fillna(0)
+    cols = [key] + order_cols
+    seed = dict(zip(map(tuple, states[cols].to_numpy()), states["_seed"]))
+    seed_ref = ray.put(seed)
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(**{out_col: pd.Series([], dtype="float64")})
+        lookup = ray.get(seed_ref)
+        cum = df.groupby(key, sort=False)[value_col].cumsum()
+        firsts = _run_key(df, key, order_cols)
+        run_seed = {k: lookup.get(tuple(row), 0)
+                    for k, row in zip(firsts[key],
+                                      firsts[[key] + order_cols].to_numpy())}
+        return df.assign(**{out_col: cum + df[key].map(run_seed)})
+
+    return sorted_ds.map_batches(_fill, batch_format="pandas",
+                                 batch_size=None)

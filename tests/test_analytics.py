@@ -230,3 +230,18 @@ def test_latest_per_key_hot_key_blocks(ray_session):
     assert out.loc[1, "o"] == 499 and out.loc[1, "v"] == "p499"
     assert out.loc[2, "v"] == "only"
     assert len(out) == 2
+
+
+def test_running_total_cross_block_carry(ray_session):
+    import ray.data
+
+    from sylk.stages.asof import running_total
+
+    rows = [{"k": 1, "o": i, "v": 1} for i in range(700)]
+    rows += [{"k": 2, "o": i, "v": i} for i in range(10)]
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    out = running_total(ds, "k", ["o"], "v", "rt").to_pandas()
+    hot = out[out.k == 1].sort_values("o")
+    assert hot.rt.tolist() == list(range(1, 701))  # exact across seams
+    cold = out[out.k == 2].sort_values("o")
+    assert cold.rt.tolist() == [sum(range(i + 1)) for i in range(10)]
