@@ -996,6 +996,21 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     return _table(out, ["media_id", "feat_dim", "feat_mean"])
 
 
+def q_heavy_hitter_hosts(sf_dir: str) -> pa.Table:
+    """Count-min heavy hitters over parsed hostnames — one streaming
+    pass, mergeable 128-KiB sketch partials + per-block candidate tops
+    (rows-only: CM estimates overcount by design; the error bound and
+    never-undercount invariants are pytest-pinned in test_sketch)."""
+    from ..stages.sketch import heavy_hitters
+
+    hh = heavy_hitters(_ok(_parsed(sf_dir)).select_columns(["hostname"]),
+                       "hostname", k=10)
+    return pa.table({
+        "hostname": pa.array([h["key"] for h in hh], pa.string()),
+        "est": pa.array([h["est"] for h in hh], pa.int64()),
+    })
+
+
 def q_approx_distinct_hosts(sf_dir: str) -> pa.Table:
     """HyperLogLog distinct-hostname estimate alongside the exact count
     (mergeable combiner-state aggregate; rows-only — approximate by
@@ -1561,6 +1576,7 @@ QUERIES = {
     # approximate IVF recall)
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "heavy_hitter_hosts": q_heavy_hitter_hosts,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,

@@ -96,3 +96,86 @@ def approx_distinct(ds, column: str) -> dict:
         for row in t.column("registers").to_pylist()
     )
     return {"estimate": hll_estimate(regs), "registers": regs}
+
+
+# --- count-min heavy hitters -------------------------------------------------
+
+_CM_D = 4                    # hash rows
+_CM_W = 1 << 14              # counters per row (128 KiB of uint64 per partial)
+_CM_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+_CM_LOCAL_TOP = 64           # candidate keys carried per block
+
+
+def _cm_rows(values: np.ndarray) -> np.ndarray:
+    """(d, n) int64 bucket indices for the d hash rows."""
+    h = _hash_strings(values)
+    rows = np.empty((_CM_D, len(values)), dtype=np.int64)
+    for d, salt in enumerate(_CM_SALTS):
+        z = h ^ np.uint64(salt)
+        with np.errstate(over="ignore"):
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        rows[d] = (z % np.uint64(_CM_W)).astype(np.int64)
+    return rows
+
+
+def cm_partial(values: np.ndarray) -> np.ndarray:
+    """Per-block count-min table (d, w) uint64 — merged by elementwise
+    ADD (the additive sibling of the HLL max-merge)."""
+    cm = np.zeros((_CM_D, _CM_W), dtype=np.uint64)
+    if len(values) == 0:
+        return cm
+    rows = _cm_rows(values)
+    for d in range(_CM_D):
+        np.add.at(cm[d], rows[d], 1)
+    return cm
+
+
+def cm_estimate(cm: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point estimates (>= true count; <= true + eps*N whp,
+    eps = e/w)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    rows = _cm_rows(values)
+    ests = np.stack([cm[d][rows[d]] for d in range(_CM_D)])
+    return ests.min(axis=0)
+
+
+def heavy_hitters(ds, column: str, k: int = 10) -> list:
+    """Approximate top-k keys of a column in ONE streaming pass:
+    each block emits a mergeable count-min partial + its exact local
+    top-``_CM_LOCAL_TOP`` keys (the candidate set); the driver ADD-merges
+    the sketches and ranks the candidate union by CM estimate.
+
+    Any key with global share > 1/_CM_LOCAL_TOP of some block is in the
+    candidate union (a global heavy hitter dominates the blocks it
+    appears in), so true heavy hitters are not missed; counts are CM
+    overestimates within eps*N.  Exchange volume: O(blocks x (128 KiB +
+    top)) regardless of rows or cardinality."""
+    import ray
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).drop_null() \
+            .to_numpy(zero_copy_only=False)
+        cm = cm_partial(vals)
+        uniq, counts = np.unique(vals, return_counts=True)
+        top = uniq[np.argsort(-counts, kind="stable")[:_CM_LOCAL_TOP]]
+        return pa.table({
+            "cm": pa.array([cm.tobytes()], pa.binary()),
+            "cand": pa.array([top.astype(str).tolist()],
+                             pa.list_(pa.string())),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    cm = np.zeros((_CM_D, _CM_W), dtype=np.uint64)
+    cand: set = set()
+    for p in parts:
+        cm += np.frombuffer(p["cm"], dtype=np.uint64).reshape(_CM_D, _CM_W)
+        cand.update(p["cand"])
+    cand_arr = np.array(sorted(cand), dtype=object)
+    est = cm_estimate(cm, cand_arr)
+    order = np.lexsort((cand_arr, -est.astype(np.int64)))[:k]
+    return [{"key": str(cand_arr[i]), "est": int(est[i])} for i in order]

@@ -45,3 +45,31 @@ def test_approx_distinct_dataset(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(8)
     out = approx_distinct(ds, "k")
     assert abs(out["estimate"] - 9000) / 9000 < 0.05
+
+
+def test_count_min_bounds(ray_session):
+    """CM estimates never undercount; overcount bounded by eps*N; top
+    zipf keys recovered in order."""
+    import numpy as np
+    import ray.data
+
+    from sylk.stages.sketch import _CM_W, cm_estimate, cm_partial, heavy_hitters
+
+    rng = np.random.default_rng(5)
+    zipf = np.clip(rng.zipf(1.5, 30_000), 1, 5000)
+    vals = np.array([f"key{z}" for z in zipf], dtype=object)
+    uniq, true = np.unique(vals, return_counts=True)
+    cm = cm_partial(vals)
+    est = cm_estimate(cm, uniq)
+    assert (est >= true.astype(np.uint64)).all()
+    eps_n = np.e / _CM_W * len(vals)
+    assert (est.astype(np.int64) - true <= max(3 * eps_n, 10)).all()
+
+    ds = ray.data.from_items([{"h": v} for v in vals],
+                             override_num_blocks=8)
+    hh = heavy_hitters(ds, "h", k=5)
+    true_top = uniq[np.argsort(-true, kind="stable")[:5]].tolist()
+    assert [h["key"] for h in hh][:3] == true_top[:3]
+    by_key = dict(zip(uniq, true))
+    for h in hh:
+        assert h["est"] >= by_key[h["key"]]
