@@ -402,37 +402,41 @@ def q_ann_ivf_partitioned(sf_dir: str) -> pa.Table:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _pairs_table(out_ds, value_col: str,
+                 value_dtype: str = "float64") -> pa.Table:
+    """Shared dup-pair result shaping: (a, b, value) with the driver's
+    dtype contract (int64 ids; float64/int64 value), robust to empty
+    results (an all-empty Dataset loses its schema)."""
+    pdf = out_ds.to_pandas()
+    pa_val = pa.float64() if value_dtype == "float64" else pa.int64()
+    if len(pdf) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         value_col: pa.array([], pa_val)})
+    pdf = pdf[["a", "b", value_col]].astype(
+        {"a": "int64", "b": "int64", value_col: value_dtype})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_dup_pairs
 
-    out = minhash_dup_pairs(_docs(sf_dir), threshold=0.8)
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return pa.Table.from_pandas(pdf[["a", "b", "jaccard"]], preserve_index=False)
+    return _pairs_table(minhash_dup_pairs(_docs(sf_dir), threshold=0.8),
+                        "jaccard")
 
 
 def q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
     from ..stages.dedup import simhash_dup_pairs
 
-    out = simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    return pa.Table.from_pandas(pdf[["a", "b", "hamming"]], preserve_index=False)
+    return _pairs_table(simhash_dup_pairs(_docs(sf_dir), max_hamming=3),
+                        "hamming", "int64")
 
 
 def q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
     from ..stages.dedup import winnow_dup_pairs
 
-    out = winnow_dup_pairs(_docs(sf_dir), min_shared=8)
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "shared_fps": pa.array([], pa.int64())})
-    return pa.Table.from_pandas(pdf[["a", "b", "shared_fps"]], preserve_index=False)
+    return _pairs_table(winnow_dup_pairs(_docs(sf_dir), min_shared=8),
+                        "shared_fps", "int64")
 
 
 def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
@@ -442,14 +446,7 @@ def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
     algorithm is the SAME join the SQL oracle runs."""
     from ..stages.dedup import ngram_jaccard_dup_pairs
 
-    out = ngram_jaccard_dup_pairs(_docs(sf_dir), threshold=0.6)
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pdf = pdf[["a", "b", "jaccard"]].astype(
-        {"a": "int64", "b": "int64", "jaccard": "float64"})
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return _pairs_table(ngram_jaccard_dup_pairs(_docs(sf_dir), threshold=0.6), "jaccard")
 
 
 def q_ngram_jaccard_prefix(sf_dir: str) -> pa.Table:
@@ -460,14 +457,7 @@ def q_ngram_jaccard_prefix(sf_dir: str) -> pa.Table:
     oracle."""
     from ..stages.dedup import ngram_jaccard_dup_pairs_prefix
 
-    out = ngram_jaccard_dup_pairs_prefix(_docs(sf_dir), threshold=0.6)
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pdf = pdf[["a", "b", "jaccard"]].astype(
-        {"a": "int64", "b": "int64", "jaccard": "float64"})
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return _pairs_table(ngram_jaccard_dup_pairs_prefix(_docs(sf_dir), threshold=0.6), "jaccard")
 
 
 def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
@@ -479,14 +469,7 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     the exact result."""
     from ..stages.dedup import embedding_dup_pairs
 
-    out = embedding_dup_pairs(_emb(sf_dir), threshold=0.95)
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    pdf = pdf[["a", "b", "cosine"]].astype(
-        {"a": "int64", "b": "int64", "cosine": "float64"})
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return _pairs_table(embedding_dup_pairs(_emb(sf_dir), threshold=0.95), "cosine")
 
 
 # --- windowed / ranked / quantile analytics ---------------------------------
@@ -848,30 +831,37 @@ def q_mktsegment_rollup_bucketed(sf_dir: str) -> pa.Table:
     segment, exact int64 cents."""
     import os
     import shutil
+    import tempfile
 
     import ray.data
 
     from ..stages.join import (bucketed_join, bucketed_write, cents_column,
                                grouped_agg)
 
-    scratch = "/tmp/sylk_bucketed"
-    shutil.rmtree(scratch, ignore_errors=True)
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                   columns=["o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                                 columns=["c_custkey", "c_mktsegment"])
-    bucketed_write(orders, os.path.join(scratch, "orders"), "o_custkey", 8)
-    bucketed_write(cust, os.path.join(scratch, "customer"), "c_custkey", 8)
-    j = bucketed_join(os.path.join(scratch, "orders"),
-                      os.path.join(scratch, "customer"),
-                      on="o_custkey", right_on="c_custkey")
-    j = j.map_batches(
-        lambda b: cents_column(b, "revenue_cents", ["o_totalprice"],
-                               lambda p: p * 100.0),
-        batch_format="pyarrow", batch_size=None)
-    out = grouped_agg(j, ["c_mktsegment"], ["revenue_cents"],
-                      count_name="n_orders")
-    return _table(out, ["c_mktsegment", "n_orders", "revenue_cents"])
+    # private scratch per invocation: a shared fixed dir would race
+    # concurrent drivers (bench alongside the oracle harness)
+    scratch = tempfile.mkdtemp(prefix="sylk_bucketed_")
+    try:
+        orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                       columns=["o_custkey", "o_totalprice"])
+        cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                     columns=["c_custkey", "c_mktsegment"])
+        bucketed_write(orders, os.path.join(scratch, "orders"),
+                       "o_custkey", 8)
+        bucketed_write(cust, os.path.join(scratch, "customer"),
+                       "c_custkey", 8)
+        j = bucketed_join(os.path.join(scratch, "orders"),
+                          os.path.join(scratch, "customer"),
+                          on="o_custkey", right_on="c_custkey")
+        j = j.map_batches(
+            lambda b: cents_column(b, "revenue_cents", ["o_totalprice"],
+                                   lambda p: p * 100.0),
+            batch_format="pyarrow", batch_size=None)
+        out = grouped_agg(j, ["c_mktsegment"], ["revenue_cents"],
+                          count_name="n_orders")
+        return _table(out, ["c_mktsegment", "n_orders", "revenue_cents"])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def q_customers_without_big_orders(sf_dir: str) -> pa.Table:

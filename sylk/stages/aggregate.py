@@ -383,7 +383,9 @@ def rollup_counts(parsed_ds, keys, ok_filter: bool | None = True):
         cur = cur.groupby(keys[:i]).aggregate(Sum("n", alias_name="n"))
         levels.append(cur.map_batches(_cast_level(keys[:i]),
                                       batch_format="pyarrow"))
-    total = cur.aggregate(Sum("n", alias_name="n"))["n"]
+    # empty input: Sum over no rows is None, but SQL ROLLUP still emits
+    # the () grouping-set row with COUNT 0
+    total = cur.aggregate(Sum("n", alias_name="n"))["n"] or 0
     grand = ray.data.from_arrow(pa.table(
         {**{k: pa.nulls(1, pa.int64()) for k in keys},
          "n": pa.array([total], pa.int64())}))

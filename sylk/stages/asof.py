@@ -55,8 +55,8 @@ def fill_forward(ds, key: str, order_cols, value_col: str, out_col: str):
 
     def _state(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({key: pd.Series([], dtype="int64"),
-                                 **{c: pd.Series([], dtype="int64")
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 **{c: pd.Series([], dtype=df[c].dtype)
                                     for c in order_cols},
                                  "_last": pd.Series([], dtype="float64")})
         firsts = _run_key(df, key, order_cols)
@@ -108,8 +108,8 @@ def running_total(ds, key: str, order_cols, value_col: str, out_col: str):
 
     def _state(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({key: pd.Series([], dtype="int64"),
-                                 **{c: pd.Series([], dtype="int64")
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 **{c: pd.Series([], dtype=df[c].dtype)
                                     for c in order_cols},
                                  "_sum": pd.Series([], dtype="float64")})
         firsts = _run_key(df, key, order_cols)

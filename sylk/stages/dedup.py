@@ -59,13 +59,10 @@ def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
-def _mix64(z: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — a cheap uniform permutation family (the
-    minhash estimate only needs per-seed pseudo-random orderings)."""
-    with np.errstate(over="ignore"):
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
+# splitmix64 finalizer — a cheap uniform permutation family (the
+# minhash estimate only needs per-seed pseudo-random orderings); shared
+# constants live in functions.hashing
+from ..functions.hashing import mix64 as _mix64  # noqa: E402
 
 
 # --- shingle hashing (vectorized) ------------------------------------------
@@ -415,7 +412,12 @@ def _verify_pairs_join(edges_ds, source_ds, id_col: str, val_col: str,
     import ray.data
 
     if num_partitions is None:
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        # scale partitions with DATA, not cluster size: each partition
+        # costs a HashShuffleAggregator actor startup (see the measured
+        # 19.9s -> 4.9s note in BASELINE.md for join.py's same fix)
+        from .join import _size_based_partitions
+
+        num_partitions = _size_based_partitions(edges_ds, source_ds)
     # Sanitize: groupby partitions that received no groups emit 0-row
     # blocks with NO schema, and those poison the hash-join's per-
     # partition pyarrow join (FieldRef join_id unresolvable).  Union
@@ -808,12 +810,16 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text",
     signatures (not the text) to each candidate — the cheapest possible
     join payload."""
 
+    # ONE signature pass: the per-doc simhash loop is this operator's
+    # dominant cost, so materialize the (doc_id, simhash) table and
+    # derive BOTH the banding keys and the verification source from it
+    sig_ds = docs_ds.map_batches(
+        simhash_batch, batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "simhash"]).materialize()
+
     def _chunks(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sigs = np.array(
-            [simhash64(t or "") for t in batch[text_col].to_pylist()],
-            dtype=np.uint64,
-        )
+        sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         shifts = np.arange(4, dtype=np.uint64) * np.uint64(16)
         keys = (sigs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
         return pa.table(
@@ -824,11 +830,8 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text",
             }
         )
 
-    chunks = docs_ds.map_batches(_chunks, batch_format="pyarrow", batch_size=None)
+    chunks = sig_ds.map_batches(_chunks, batch_format="pyarrow", batch_size=None)
     cand = _candidate_pairs(chunks, distributed)
-    sig_ds = docs_ds.map_batches(
-        simhash_batch, batch_format="pyarrow", batch_size=None
-    ).select_columns(["doc_id", "simhash"])
 
     def _ham(sa, sb):
         h = bin(int(sa) ^ int(sb)).count("1")

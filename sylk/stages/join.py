@@ -120,17 +120,19 @@ def _semi_anti(left_ds, right_ds, on: str, right_key: str, anti: bool,
                num_partitions: int | None = None):
     import ray
 
-    # `Dataset.unique` materializes the distinct key list on the driver —
-    # only safe below the key limit; above it (or when forced) the
-    # native left_semi/left_anti Dataset.join path takes over.
-    key_list = None
-    if not distributed:
-        key_list = right_ds.select_columns([right_key]).unique(right_key)
-    if distributed or len(key_list) > _DRIVER_KEY_LIMIT:
+    # `Dataset.unique` materializes the distinct key list on the driver,
+    # so the tier DECISION must be bounded too: probe the right-side ROW
+    # count first (distinct keys <= rows, and count() is metadata-cheap)
+    # and only collect keys when rows are under the limit.  Forced or
+    # over-limit inputs take the native left_semi/left_anti Dataset.join.
+    if distributed is None:
+        distributed = right_ds.count() > _DRIVER_KEY_LIMIT
+    if distributed:
         jt = "left_anti" if anti else "left_semi"
         return hash_join(left_ds, right_ds.select_columns([right_key]),
                          on=(on,), right_on=(right_key,), join_type=jt,
                          num_partitions=num_partitions)
+    key_list = right_ds.select_columns([right_key]).unique(right_key)
     ref = ray.put(pa.array(sorted(key_list)))
 
     def _filt(b: pa.Table) -> pa.Table:
@@ -205,11 +207,9 @@ _BUCKET_META = "_bucket_meta.json"
 def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic bucket id for int64 keys: splitmix64 finisher then
     mod — never Python ``hash`` (PYTHONHASHSEED varies per worker)."""
-    z = keys.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        z = z ^ (z >> np.uint64(31))
+    from ..functions.hashing import mix64
+
+    z = mix64(keys.astype(np.uint64))
     return (z % np.uint64(n_buckets)).astype(np.int32)
 
 
@@ -289,14 +289,12 @@ _BLOOM_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
 
 
 def _bloom_positions(keys: np.ndarray, n_bits: int) -> list:
+    from ..functions.hashing import mix64
+
     out = []
     z0 = keys.astype(np.uint64)
     for salt in _BLOOM_SALTS:
-        with np.errstate(over="ignore"):
-            z = z0 ^ np.uint64(salt)
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            z = z ^ (z >> np.uint64(31))
+        z = mix64(z0 ^ np.uint64(salt))
         out.append((z % np.uint64(n_bits)).astype(np.int64))
     return out
 

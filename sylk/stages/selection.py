@@ -45,11 +45,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def _mix64(z: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
+from ..functions.hashing import mix64 as _mix64
 
 
 def distributed_quantiles(ds, col: str, qs, sample_per_block: int = 4096,

@@ -100,7 +100,7 @@ def gap_sessions(ds, key: str = "user_id", t_col: str = "t",
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({
-                key: pd.Series([], dtype="int64"),
+                key: pd.Series([], dtype=df[key].dtype),
                 "n_events": pd.Series([], dtype="int64"),
                 "first_t": pd.Series([], dtype="int64"),
                 "last_t": pd.Series([], dtype="int64"),

@@ -210,19 +210,20 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10,
     planes = rng.standard_normal((dim, n_bands * bits_per_band))
     weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
 
-    def _keys(mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ planes) > 0
+    def _keys(mat: np.ndarray, pl: np.ndarray) -> np.ndarray:
+        bits = (mat @ pl) > 0
         return (bits.reshape(len(mat), n_bands, bits_per_band)
                 .astype(np.uint64) * weights).sum(axis=2)
 
-    q_keys = _keys(q)
-    q_ref = ray.put((q, q_keys))
+    q_keys = _keys(q, planes)
+    # planes ride the object store (put once), NOT every task closure
+    q_ref = ray.put((q, q_keys, planes))
 
     def _partial(batch: pa.Table) -> pa.Table:
-        qm, qk = ray.get(q_ref)
+        qm, qk, pl = ray.get(q_ref)
         vecs = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        vk = _keys(vecs)
+        vk = _keys(vecs, pl)
         # (nq, nb): query qi may score vector vj iff any band matches
         match = (vk[None, :, :] == qk[:, None, :]).any(axis=2)
         vv = (vecs * vecs).sum(axis=1)

@@ -109,14 +109,12 @@ _CM_LOCAL_TOP = 64           # candidate keys carried per block
 
 def _cm_rows(values: np.ndarray) -> np.ndarray:
     """(d, n) int64 bucket indices for the d hash rows."""
+    from ..functions.hashing import mix64
+
     h = _hash_strings(values)
     rows = np.empty((_CM_D, len(values)), dtype=np.int64)
     for d, salt in enumerate(_CM_SALTS):
-        z = h ^ np.uint64(salt)
-        with np.errstate(over="ignore"):
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            z = z ^ (z >> np.uint64(31))
+        z = mix64(h ^ np.uint64(salt))
         rows[d] = (z % np.uint64(_CM_W)).astype(np.int64)
     return rows
 

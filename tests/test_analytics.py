@@ -245,3 +245,18 @@ def test_running_total_cross_block_carry(ray_session):
     assert hot.rt.tolist() == list(range(1, 701))  # exact across seams
     cold = out[out.k == 2].sort_values("o")
     assert cold.rt.tolist() == [sum(range(i + 1)) for i in range(10)]
+
+
+def test_rollup_counts_empty_input(ray_session):
+    """SQL ROLLUP on empty input still emits the () grouping-set row
+    with n=0 — so does ours (review finding r2)."""
+    import ray.data
+
+    from sylk.stages.aggregate import rollup_counts
+
+    ds = ray.data.from_items(
+        [{"ok": False, "facility": 1, "severity": 1}] * 5)
+    out = rollup_counts(ds, ["facility", "severity"],
+                        ok_filter=True).to_pandas()
+    grand = out[out.facility.isna() & out.severity.isna()]
+    assert len(grand) == 1 and int(grand.n.iloc[0]) == 0
