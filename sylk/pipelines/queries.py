@@ -472,6 +472,44 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     return _pairs_table(embedding_dup_pairs(_emb(sf_dir), threshold=0.95), "cosine")
 
 
+def q_below_median_length_counts(sf_dir: str) -> pa.Table:
+    """Composition: take the EXACT corpus median document length (3-pass
+    distributed selection over a derived double column), broadcast the
+    scalar, count docs strictly below it per language — the
+    filter-by-global-aggregate pattern (a scalar rides `ray.put`, never
+    a join).  (First cut used the punctuation/digit quality score, but
+    this corpus is pure prose: every score is exactly 1.0, so length is
+    the informative measure.)"""
+    import os
+
+    import ray
+    import ray.data
+
+    from ..stages.join import grouped_agg
+    from ..stages.selection import distributed_quantiles
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["lang", "n_chars"])
+
+    def _f(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b.column("lang"),
+                         "len_d": b.column("n_chars").cast(pa.float64())})
+
+    scored = docs.map_batches(_f, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    med = distributed_quantiles(scored, "len_d", [0.5])[0]
+    med_ref = ray.put(med)
+
+    def _below(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        return b.filter(pc.less(b.column("len_d"), m))
+
+    kept = scored.map_batches(_below, batch_format="pyarrow",
+                              batch_size=None)
+    out = grouped_agg(kept, ["lang"], [], count_name="n")
+    return _table(out, ["lang", "n"])
+
+
 # --- windowed / ranked / quantile analytics ---------------------------------
 
 def q_top_apps_per_host(sf_dir: str) -> pa.Table:
@@ -1230,6 +1268,12 @@ def _oracle_sql_entries() -> dict[str, str]:
                      '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
                    AS BIGINT) AS n_bpe_tokens
             FROM documents""",
+        "below_median_length_counts": """
+            WITH q AS (SELECT lang, CAST(n_chars AS DOUBLE) AS len_d
+                       FROM documents),
+            m AS (SELECT quantile_disc(len_d, 0.5) AS med FROM q)
+            SELECT lang, COUNT(*) AS n FROM q, m
+            WHERE q.len_d < m.med GROUP BY 1""",
         "quality_scores": r"""
             WITH f AS (
               SELECT doc_id,
@@ -1531,6 +1575,7 @@ QUERIES = {
     "approx_distinct_hosts": q_approx_distinct_hosts,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
+    "below_median_length_counts": q_below_median_length_counts,
     "fingerprints": q_fingerprints,
     "deterministic_sample": q_deterministic_sample,
     "exact_dedup": q_exact_dedup,
