@@ -1,2 +1,14 @@
 from .parse import PARSE_FIELDS, parse_batch  # noqa: F401
 from .enrich import Enricher  # noqa: F401
+
+# operator families (imported lazily by most callers; re-exported here
+# as the discoverable API surface)
+from .aggregate import (grouped_counts, grouped_quantiles,  # noqa: F401
+                        latest_per_key, rollup_counts,
+                        sliding_window_counts, topk_per_group)
+from .asof import fill_forward, running_total  # noqa: F401
+from .join import (anti_join, bloom_semi_join, broadcast_join,  # noqa: F401
+                   bucketed_join, bucketed_write, hash_join, semi_join)
+from .sample import (deterministic_sample, group_reservoir,  # noqa: F401
+                     stratified_sample)
+from .sessionize import gap_sessions, sessionize  # noqa: F401
