@@ -260,3 +260,18 @@ def test_rollup_counts_empty_input(ray_session):
                         ok_filter=True).to_pandas()
     grand = out[out.facility.isna() & out.severity.isna()]
     assert len(grand) == 1 and int(grand.n.iloc[0]) == 0
+
+
+def test_sliding_window_negative_epoch(ray_session):
+    """Pre-1970 timestamps: floor (not trunc) division must place the
+    event in windows that actually CONTAIN it (ADVICE r1 class of bug)."""
+    import ray.data
+
+    from sylk.stages.aggregate import sliding_window_counts
+
+    ds = ray.data.from_items([{"timestamp": -100, "facility": 0}])
+    out = sliding_window_counts(ds, "timestamp", ["facility"],
+                                window=3600, slide=900).to_pandas()
+    assert sorted(out.w_start) == [-3600, -2700, -1800, -900]
+    for s in out.w_start:
+        assert s <= -100 < s + 3600
