@@ -56,6 +56,21 @@ _DRIVER_TRIPLE_LIMIT = 20_000_000
 _DRIVER_PAIR_LIMIT = 2_000_000
 
 
+def _bounded_collect(ds, limit: int):
+    """Materialize ``ds`` into the OBJECT STORE (distributed, spillable),
+    read its row count from block metadata, and return ``(mds, table)``
+    where ``table`` is the driver-collected concat ONLY when the count is
+    within ``limit`` (else None).  The tier DECISION is thereby bounded:
+    the driver heap never holds rows it is about to reject — the same
+    rule join._semi_anti applies to its probe."""
+    import ray
+
+    mds = ds.materialize()
+    if mds.count() <= limit:
+        return mds, pa.concat_tables(ray.get(mds.to_arrow_refs()))
+    return mds, None
+
+
 def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
@@ -332,8 +347,11 @@ def _expand_runs_to_pairs(ids: np.ndarray, starts: np.ndarray,
     """Vectorized pair expansion over sorted bucket runs: per-run
     ``triu_indices``, global dedupe via one ``np.unique`` on packed
     (a << 32 | b) keys — hot template corpora emit millions of pairs,
-    and the old per-pair Python set dominated wall time.  Falls back to
-    the set path only for doc ids outside uint32 (packing invalid)."""
+    and the old per-pair Python set dominated wall time.  Packing is
+    uint64 (unsigned shifts) so the full uint32 id range is safe —
+    int64 packing would overflow (negative "a" ids) at a >= 2^31.
+    Falls back to the set path only for doc ids outside uint32
+    (packing invalid)."""
     if len(ids) and (ids.max() >= (1 << 32) or ids.min() < 0):
         out = set()
         for s, e in zip(starts, stops):
@@ -351,16 +369,16 @@ def _expand_runs_to_pairs(ids: np.ndarray, starts: np.ndarray,
     for s, e in zip(starts, stops):
         if e - s < 2:
             continue
-        run = np.unique(ids[s:e]).astype(np.int64)
+        run = np.unique(ids[s:e]).astype(np.uint64)
         if len(run) < 2:
             continue
         ii, jj = np.triu_indices(len(run), k=1)
-        chunks.append((run[ii] << np.int64(32)) | run[jj])
+        chunks.append((run[ii] << np.uint64(32)) | run[jj])
     if not chunks:
         return _empty_pairs()
     keys = np.unique(np.concatenate(chunks))
-    return pd.DataFrame({"a": keys >> np.int64(32),
-                         "b": keys & np.int64(0xFFFFFFFF)})
+    return pd.DataFrame({"a": (keys >> np.uint64(32)).astype(np.int64),
+                         "b": (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)})
 
 
 def _candidate_pairs(triples_ds, distributed: bool | None = None):
@@ -371,11 +389,13 @@ def _candidate_pairs(triples_ds, distributed: bool | None = None):
     import ray
     import ray.data
 
-    if distributed is None or not distributed:
+    if distributed is False:
         tbl = pa.concat_tables(ray.get(triples_ds.to_arrow_refs()))
-        if distributed is False or len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+        return _pairs_from_triples(tbl)
+    if distributed is None:
+        triples_ds, tbl = _bounded_collect(triples_ds, _DRIVER_TRIPLE_LIMIT)
+        if tbl is not None:
             return _pairs_from_triples(tbl)
-        triples_ds = ray.data.from_arrow(tbl)
     # per-bucket pair EDGES; a pair colliding in d bands appears d times
     # across buckets — deduped at assemble time in the join path
     # (groupby (a, b) merges them; see _verify_pairs_join)
@@ -640,11 +660,13 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
         lambda b: ngram_shingle_rows(b, text_col, k=k),
         batch_format="pyarrow", batch_size=None,
     )
-    if not distributed:
+    if distributed is False:
         tbl = pa.concat_tables(ray.get(rows.to_arrow_refs()))
-        if distributed is False or len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+        return ray.data.from_pandas(_jaccard_pairs_local(tbl, threshold))
+    if distributed is None:
+        rows, tbl = _bounded_collect(rows, _DRIVER_TRIPLE_LIMIT)
+        if tbl is not None:
             return ray.data.from_pandas(_jaccard_pairs_local(tbl, threshold))
-        rows = ray.data.from_arrow(tbl)
     pairs = rows.groupby("sh").map_groups(_jaccard_bucket_edges,
                                           batch_format="pandas")
     agg = pairs.groupby(["a", "b"]).aggregate(
@@ -732,13 +754,17 @@ def ngram_jaccard_dup_pairs_prefix(docs_ds, threshold: float = 0.6,
         j = ngram_jaccard(ta or "", tb or "", k)
         return j if j >= threshold else None
 
-    if not distributed:
+    if distributed is False:
         tbl = pa.concat_tables(ray.get(rows.to_arrow_refs()))
-        if distributed is False or len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+        cand = _pairs_from_keyed_rows(tbl, "sh")
+        return _verify_pairs(cand, docs_ds, "doc_id", text_col, _jac,
+                             "jaccard", distributed)
+    if distributed is None:
+        rows, tbl = _bounded_collect(rows, _DRIVER_TRIPLE_LIMIT)
+        if tbl is not None:
             cand = _pairs_from_keyed_rows(tbl, "sh")
             return _verify_pairs(cand, docs_ds, "doc_id", text_col, _jac,
                                  "jaccard", distributed)
-        rows = ray.data.from_arrow(tbl)
     edges = rows.groupby("sh").map_groups(_bucket_edges,
                                           batch_format="pandas")
     return _verify_pairs(edges, docs_ds, "doc_id", text_col, _jac,
@@ -965,8 +991,11 @@ def winnow_dup_pairs(docs_ds, min_shared: int = 3, k: int = 8, w: int = 16,
     )
 
     if not distributed:
-        tbl = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
-        if len(tbl) <= _DRIVER_TRIPLE_LIMIT:
+        if distributed is False:
+            tbl = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
+        else:
+            exploded, tbl = _bounded_collect(exploded, _DRIVER_TRIPLE_LIMIT)
+        if tbl is not None:
             fp = tbl.column("fp").to_numpy(zero_copy_only=False)
             ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
             order = np.lexsort((ids, fp))

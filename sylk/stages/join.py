@@ -133,7 +133,13 @@ def _semi_anti(left_ds, right_ds, on: str, right_key: str, anti: bool,
                          on=(on,), right_on=(right_key,), join_type=jt,
                          num_partitions=num_partitions)
     key_list = right_ds.select_columns([right_key]).unique(right_key)
-    ref = ray.put(pa.array(sorted(key_list)))
+    # SQL semi/anti semantics: a NULL right key never matches, so drop
+    # Nones before sorting (mixed None/int would also crash sorted());
+    # pc.is_in already treats left NULLs as non-members.
+    keys = sorted(k for k in key_list if k is not None)
+    if not keys:
+        return left_ds if anti else left_ds.limit(0)
+    ref = ray.put(pa.array(keys))
 
     def _filt(b: pa.Table) -> pa.Table:
         ks = ray.get(ref)

@@ -167,20 +167,33 @@ def ngram_count_partial(batch: pa.Table, text_col: str = "text",
     if len(wins) == 0:
         return pa.table({"ngram": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    v = np.int64(len(uniques))
-    key = wins[:, 0]
-    for j in range(1, n):
-        key = key * v + wins[:, j]
-    uk, counts = np.unique(key, return_counts=True)
-    # decode keys back to token strings
-    parts = []
-    rem = uk
-    for j in range(n - 1, -1, -1):
-        parts.append(rem % v)
-        rem = rem // v
-    parts.reverse()
-    grams = [" ".join(uniques[p[i]] for p in parts)
-             for i in range(len(uk))]
+    if int(len(uniques)) ** n < (1 << 62):
+        # radix-pack the window codes into ONE int64 key (v^n bounded
+        # exactly with Python bigints, so the pack can never overflow
+        # and silently merge distinct n-grams)
+        v = np.int64(len(uniques))
+        key = wins[:, 0]
+        for j in range(1, n):
+            key = key * v + wins[:, j]
+        uk, counts = np.unique(key, return_counts=True)
+        # decode keys back to token strings
+        parts = []
+        rem = uk
+        for j in range(n - 1, -1, -1):
+            parts.append(rem % v)
+            rem = rem // v
+        parts.reverse()
+        grams = [" ".join(uniques[p[i]] for p in parts)
+                 for i in range(len(uk))]
+    else:
+        # v^n would exceed int64: count on the joined gram STRINGS
+        # instead (object-array concat; slower but exact at any n/v)
+        uarr = np.asarray(uniques, dtype=object)
+        joined = uarr[wins[:, 0]]
+        for j in range(1, n):
+            joined = joined + " " + uarr[wins[:, j]]
+        uk_s, counts = np.unique(joined.astype(str), return_counts=True)
+        grams = uk_s.tolist()
     return pa.table({"ngram": pa.array(grams, pa.string()),
                      "n": pa.array(counts.astype(np.int64), pa.int64())})
 
