@@ -1,7 +1,7 @@
-"""Fill-forward (as-of) operator: carry the last non-null value forward
-within each key's ordered stream — the streaming equivalent of an as-of
-self-join (``last_value(... IGNORE NULLS) OVER (PARTITION BY key ORDER
-BY order ROWS UNBOUNDED PRECEDING)``).
+"""Fill-forward (as-of) and running-total operators: carry per-key state
+forward within each key's ordered stream — the streaming equivalents of
+``last_value(... IGNORE NULLS) OVER (PARTITION BY key ORDER BY order
+ROWS UNBOUNDED PRECEDING)`` and the analogous ``SUM OVER``.
 
 Skew-safe two-pass shape (a hot key never occupies one task's heap):
 
@@ -10,32 +10,48 @@ Skew-safe two-pass shape (a hot key never occupies one task's heap):
    see IDENTICAL key-runs (blocks live in the object store and spill,
    they are not driver memory).
 2. pass A (``map_batches``): per block emit one STATE row per key-run —
-   (key, first order tuple, last non-null value in the run).  O(keys
-   per block) rows total.
-3. driver: order the state rows per key and compute each run's SEED =
-   last non-null value among that key's EARLIER runs (a groupby-shift-
-   ffill over #blocks x keys-per-block rows); broadcast the seed dict
-   once (``ray.put``).
-4. pass B (``map_batches``): in-block vectorized ffill per key-run,
-   null prefix rows take the run's seed.
+   (key, first order tuple, run summary: last non-null value / sum).
+   O(keys per block) rows total.
+3. seed computation: each run's SEED is derived from the SAME key's
+   EARLIER runs (shift+ffill for fill-forward, exclusive prefix-sum for
+   running totals).  Two tiers:
+
+   * **broadcast** (default under ``_DRIVER_SEED_LIMIT`` state rows):
+     the driver orders the state rows and broadcasts one seed dict
+     (``ray.put`` once) — O(#blocks + #keys) driver memory.
+   * **distributed** (``distributed=True`` or above the limit): state
+     rows hash into coarse co-located groups by key (a key never
+     splits), the per-run seeds come from VECTORIZED pandas
+     groupby-shift/cumsum inside each coarse group (C kernels, never a
+     per-key Python group), and the seeds reach the data through a
+     hash-join on (key, run-first-order) — one extra exchange of the
+     full dataset, the same trade the dedup edge-join makes.  Driver
+     memory is O(1).
+
+4. pass B (``map_batches``): in-block vectorized ffill/cumsum per
+   key-run; the run's seed completes the prefix.  On the distributed
+   tier the in-block part is computed BEFORE the join (it only needs
+   block-local order), so the join output needs no re-sort — the seed
+   applies row-wise.
 
 Determinism: the order columns must be a total order per key (include a
 unique tiebreaker column, e.g. event_id) — the same requirement the SQL
-window needs to be deterministic.
-
-Scale bound: driver/broadcast state is O(#blocks + #keys) SEED rows
-(sorted data keeps each key's runs contiguous, so a key contributes
-~spanned-blocks entries).  That holds to ~10^8 keys; beyond it the
-documented alternative is fully distributed — compute per-run seeds
-with ``groupby(key).map_groups`` over the state rows, stamp each row's
-run-first-order in pass B, and hash-join rows with seeds on
-(key, first-order) instead of broadcasting (one extra exchange of the
-full dataset; the same trade the dedup edge-join makes).
+window needs to be deterministic.  Distributed-tier output row ORDER is
+join-dependent (callers that need a presentation order sort the final,
+small result).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+
+# above this many state rows the seed dict would strain driver memory /
+# broadcast; the hash-join tier takes over (decision made from block
+# metadata, never by collecting first)
+_DRIVER_SEED_LIMIT = 5_000_000
+
+_SEED_GROUP_ROWS = 2_000_000
 
 
 def _run_key(df: pd.DataFrame, key: str, order_cols) -> pd.DataFrame:
@@ -44,14 +60,128 @@ def _run_key(df: pd.DataFrame, key: str, order_cols) -> pd.DataFrame:
     return firsts
 
 
-def fill_forward(ds, key: str, order_cols, value_col: str, out_col: str):
-    """Dataset -> same rows + ``out_col`` = last non-null ``value_col``
-    at or before each row in (key, order) order."""
+def _rf_cols(order_cols) -> list[str]:
+    return [f"_rf_{c}" for c in order_cols]
+
+
+def _coarse_seeds(states_ds, key: str, order_cols, seed_fn):
+    """State rows -> (key, *order_cols, _seed) rows, fully distributed.
+
+    Coarse hash-grouping by key keeps every key's runs in ONE pandas
+    frame where ``seed_fn`` computes all seeds with vectorized groupby
+    kernels — the asof sibling of dedup's coarse candidate expansion."""
+    import pyarrow as pa
+
+    n = states_ds.count()
+    n_groups = max(8, min(512, n // _SEED_GROUP_ROWS + 1))
+
+    def _add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[key].to_numpy(), categorize=False)
+        return df.assign(_pkey=(h % np.uint64(n_groups)).astype("int64"))
+
+    def _group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        out = seed_fn(df)
+        return out[[key] + order_cols + ["_seed"]]
+
+    return (states_ds.map_batches(_add_pkey, batch_format="pandas",
+                                  batch_size=None)
+            .groupby("_pkey").map_groups(_group, batch_format="pandas"))
+
+
+def _carry(ds, key: str, order_cols, value_col: str, out_col: str,
+           state_fn, seed_fn, block_fn, finish_fn,
+           distributed: bool | None = None):
+    """Shared two-pass carry driver for fill_forward / running_total.
+
+    ``state_fn(df)`` -> per-run state rows (key, *order, summary col);
+    ``seed_fn(states_sorted)`` -> states + ``_seed`` (vectorized);
+    ``block_fn(df)`` -> df + in-block partial column(s);
+    ``finish_fn(df, seeds)`` -> df + ``out_col`` from partials + seed.
+    """
     import ray
 
     order_cols = list(order_cols)
-
     sorted_ds = ds.sort([key] + order_cols).materialize()
+    states_ds = sorted_ds.map_batches(state_fn, batch_format="pandas",
+                                      batch_size=None).materialize()
+    n_states = states_ds.count()
+
+    if distributed or (distributed is None and n_states > _DRIVER_SEED_LIMIT):
+        return _carry_join(sorted_ds, states_ds, key, order_cols,
+                           out_col, seed_fn, block_fn, finish_fn)
+
+    states = states_ds.to_pandas().sort_values([key] + order_cols,
+                                               kind="mergesort")
+    states = seed_fn(states)
+    cols = [key] + order_cols
+    seed = dict(zip(map(tuple, states[cols].to_numpy()), states["_seed"]))
+    seed_ref = ray.put(seed)
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(**{out_col: pd.Series([], dtype="float64")})
+        lookup = ray.get(seed_ref)
+        df = block_fn(df)
+        firsts = _run_key(df, key, order_cols)
+        run_seed = {k: lookup.get(tuple(row))
+                    for k, row in zip(firsts[key],
+                                      firsts[[key] + order_cols].to_numpy())}
+        seeds = df[key].map(run_seed)
+        return finish_fn(df, seeds)
+
+    return sorted_ds.map_batches(_fill, batch_format="pandas",
+                                 batch_size=None)
+
+
+def _carry_join(sorted_ds, states_ds, key: str, order_cols, out_col: str,
+                seed_fn, block_fn, finish_fn):
+    """The O(1)-driver tier: stamp each row with its run's first order
+    tuple, compute the in-block partial up front, hash-join the seeds
+    on (key, run-first-order), apply row-wise."""
+    from .join import hash_join
+
+    rf = _rf_cols(order_cols)
+
+    def _stamp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return block_fn(df).assign(
+                **{c: pd.Series([], dtype="int64") for c in rf})
+        df = block_fn(df)
+        g = df.groupby(key, sort=False)
+        for c, r in zip(order_cols, rf):
+            df[r] = g[c].transform("first")
+        return df
+
+    stamped = sorted_ds.map_batches(_stamp, batch_format="pandas",
+                                    batch_size=None)
+    seeds = _coarse_seeds(states_ds, key, order_cols, seed_fn)
+
+    srf = ["_s" + c for c in rf]
+
+    def _ren(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns=dict(zip(order_cols, srf))) \
+                 .rename(columns={key: "_sk"})
+
+    seeds = seeds.map_batches(_ren, batch_format="pandas", batch_size=None)
+    joined = hash_join(stamped, seeds, on=tuple([key] + rf),
+                       right_on=tuple(["_sk"] + srf))
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        out = finish_fn(df, df["_seed"])
+        drop = [c for c in rf + srf + ["_sk", "_seed"] if c in out.columns]
+        return out.drop(columns=drop)
+
+    return joined.map_batches(_apply, batch_format="pandas", batch_size=None)
+
+
+# --- fill-forward -----------------------------------------------------------
+
+def fill_forward(ds, key: str, order_cols, value_col: str, out_col: str,
+                 distributed: bool | None = None):
+    """Dataset -> same rows + ``out_col`` = last non-null ``value_col``
+    at or before each row in (key, order) order."""
+    order_cols = list(order_cols)
 
     def _state(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -65,46 +195,36 @@ def fill_forward(ds, key: str, order_cols, value_col: str, out_col: str):
         firsts["_last"] = firsts[key].map(last)
         return firsts
 
-    # state rows are O(#blocks x keys-per-block) — small by design
-    states = sorted_ds.map_batches(_state, batch_format="pandas",
-                                   batch_size=None).to_pandas()
-    states = states.sort_values([key] + order_cols, kind="mergesort")
-    # seed for each run = last non-null _last of the SAME key's earlier runs
-    states["_seed"] = states.groupby(key, sort=False)["_last"] \
-        .transform(lambda s: s.shift().ffill())
-    cols = [key] + order_cols
-    seed = dict(zip(map(tuple, states[cols].to_numpy()), states["_seed"]))
-    seed_ref = ray.put(seed)
+    def _seed(states: pd.DataFrame) -> pd.DataFrame:
+        # seed = last non-null _last among the key's EARLIER runs —
+        # groupby shift + ffill are pandas C kernels (no per-key Python)
+        g = states.groupby(key, sort=False)
+        states = states.assign(_seed=g["_last"].shift())
+        states["_seed"] = states.groupby(key, sort=False)["_seed"].ffill()
+        return states
 
-    def _fill(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(**{out_col: pd.Series([], dtype="float64")})
-        lookup = ray.get(seed_ref)
-        filled = df.groupby(key, sort=False)[value_col].ffill()
-        firsts = _run_key(df, key, order_cols)
-        run_seed = {k: lookup.get(tuple(row))
-                    for k, row in zip(firsts[key],
-                                      firsts[[key] + order_cols].to_numpy())}
-        seeds = df[key].map(run_seed)
-        return df.assign(**{out_col: filled.fillna(seeds)})
+    def _block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_filled=df.groupby(key, sort=False)[value_col].ffill())
 
-    return sorted_ds.map_batches(_fill, batch_format="pandas",
-                                 batch_size=None)
+    def _finish(df: pd.DataFrame, seeds) -> pd.DataFrame:
+        out = df.assign(**{out_col: df["_filled"].fillna(
+            pd.Series(np.asarray(seeds, dtype="float64"), index=df.index))})
+        return out.drop(columns=["_filled"])
+
+    return _carry(ds, key, order_cols, value_col, out_col,
+                  _state, _seed, _block, _finish, distributed)
 
 
-def running_total(ds, key: str, order_cols, value_col: str, out_col: str):
+# --- running total ----------------------------------------------------------
+
+def running_total(ds, key: str, order_cols, value_col: str, out_col: str,
+                  distributed: bool | None = None):
     """Per-key running total in (key, order) order — ``SUM(value) OVER
     (PARTITION BY key ORDER BY order ROWS UNBOUNDED PRECEDING)``.
 
     Same skew-safe two-pass carry as :func:`fill_forward`, with an
-    ADDITIVE seed: pass A emits one (key, first-order, block-sum) state
-    row per key-run; the driver prefix-sums each key's earlier runs to a
-    scalar seed per run; pass B adds the seed to the in-block cumsum.
-    Same scale bound as fill_forward (O(#blocks + #keys) seed rows)."""
-    import ray
-
+    ADDITIVE seed: exclusive prefix-sum of the key's earlier run sums."""
     order_cols = list(order_cols)
-    sorted_ds = ds.sort([key] + order_cols).materialize()
 
     def _state(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -117,25 +237,18 @@ def running_total(ds, key: str, order_cols, value_col: str, out_col: str):
         firsts["_sum"] = firsts[key].map(sums)
         return firsts
 
-    states = sorted_ds.map_batches(_state, batch_format="pandas",
-                                   batch_size=None).to_pandas()
-    states = states.sort_values([key] + order_cols, kind="mergesort")
-    states["_seed"] = states.groupby(key, sort=False)["_sum"] \
-        .transform(lambda s: s.cumsum().shift()).fillna(0)
-    cols = [key] + order_cols
-    seed = dict(zip(map(tuple, states[cols].to_numpy()), states["_seed"]))
-    seed_ref = ray.put(seed)
+    def _seed(states: pd.DataFrame) -> pd.DataFrame:
+        g = states.groupby(key, sort=False)["_sum"]
+        # exclusive prefix sum: cumsum - own run sum (C kernels)
+        return states.assign(_seed=(g.cumsum() - states["_sum"]))
 
-    def _fill(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(**{out_col: pd.Series([], dtype="float64")})
-        lookup = ray.get(seed_ref)
-        cum = df.groupby(key, sort=False)[value_col].cumsum()
-        firsts = _run_key(df, key, order_cols)
-        run_seed = {k: lookup.get(tuple(row), 0)
-                    for k, row in zip(firsts[key],
-                                      firsts[[key] + order_cols].to_numpy())}
-        return df.assign(**{out_col: cum + df[key].map(run_seed)})
+    def _block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_cum=df.groupby(key, sort=False)[value_col].cumsum())
 
-    return sorted_ds.map_batches(_fill, batch_format="pandas",
-                                 batch_size=None)
+    def _finish(df: pd.DataFrame, seeds) -> pd.DataFrame:
+        s = pd.Series(np.asarray(seeds, dtype="float64"),
+                      index=df.index).fillna(0.0)
+        return df.assign(**{out_col: df["_cum"] + s}).drop(columns=["_cum"])
+
+    return _carry(ds, key, order_cols, value_col, out_col,
+                  _state, _seed, _block, _finish, distributed)

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.vectors import list_column_matrix
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
@@ -37,7 +39,7 @@ def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10, round_to: int 
 
     def _partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        vecs = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
+        vecs = list_column_matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         # dot / sqrt(|a|^2 * |b|^2): exact 1.0 on identical vectors and
         # bit-compatible with DuckDB's list_cosine_similarity
@@ -97,7 +99,7 @@ class IVFIndex:
         return IVFIndex(cents)
 
     def assign_batch(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.vstack(batch["embedding"].to_pylist()).astype(np.float64))
+        vecs = _normalize(list_column_matrix(batch["embedding"]))
         cell = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cell))
 
@@ -156,7 +158,7 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     def _partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         pr = ray.get(probe_ref)
-        vecs = _normalize(np.vstack(batch["embedding"].to_pylist()).astype(np.float64))
+        vecs = _normalize(list_column_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         cells = batch["cell"].to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []
@@ -221,7 +223,7 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10,
 
     def _partial(batch: pa.Table) -> pa.Table:
         qm, qk, pl = ray.get(q_ref)
-        vecs = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
+        vecs = list_column_matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         vk = _keys(vecs, pl)
         # (nq, nb): query qi may score vector vj iff any band matches

@@ -235,3 +235,42 @@ def test_ngram_prefix_index_is_smaller(ray_session):
         lambda b: ngram_prefix_rows(b, threshold=0.6),
         batch_format="pyarrow").count()
     assert pre < 0.55 * full  # p/n = 1 - t + 1/n ~= 0.45 at t=0.6
+
+
+def test_fill_forward_distributed_equals_broadcast(ray_session):
+    """The O(1)-driver hash-join seed tier must agree with the
+    broadcast seed dict on a multi-key, multi-block, null-heavy frame."""
+    import ray.data
+
+    from sylk.stages.asof import fill_forward
+
+    rng = np.random.default_rng(11)
+    rows = [{"k": int(rng.integers(0, 7)), "o": i,
+             "v": float(i) if rng.random() < 0.2 else None}
+            for i in range(3000)]
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    base = fill_forward(ds, "k", ["o"], "v", "ff").to_pandas()
+    ds2 = ray.data.from_items(rows, override_num_blocks=16)
+    dist = fill_forward(ds2, "k", ["o"], "v", "ff",
+                        distributed=True).to_pandas()
+    key = ["k", "o"]
+    pd.testing.assert_frame_equal(_norm(base, key), _norm(dist, key),
+                                  check_dtype=False)
+
+
+def test_running_total_distributed_equals_broadcast(ray_session):
+    import ray.data
+
+    from sylk.stages.asof import running_total
+
+    rng = np.random.default_rng(12)
+    rows = [{"k": int(rng.integers(0, 5)), "o": i, "v": float(rng.integers(-3, 9))}
+            for i in range(2500)]
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    base = running_total(ds, "k", ["o"], "v", "rt").to_pandas()
+    ds2 = ray.data.from_items(rows, override_num_blocks=16)
+    dist = running_total(ds2, "k", ["o"], "v", "rt",
+                         distributed=True).to_pandas()
+    key = ["k", "o"]
+    pd.testing.assert_frame_equal(_norm(base, key), _norm(dist, key),
+                                  check_dtype=False)
