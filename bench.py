@@ -184,7 +184,7 @@ def run_all(names: list[str], warm: bool = False) -> dict:
         extras[name] = BENCHES[name](files)
         queries[name] = round(time.time() - t0, 3)
     total = round(sum(queries.values()), 3)
-    return {
+    out = {
         "metric": "parse->enrich->route->aggregate pipeline wall time",
         "value": total,
         "unit": "sec",
@@ -198,6 +198,46 @@ def run_all(names: list[str], warm: bool = False) -> dict:
             if "rows" in extras[n]
         },
         "detail": extras,
+    }
+    scaling = _load_scaling_cache()
+    if scaling is not None:
+        out["scaling"] = scaling
+    return out
+
+
+_SCALING_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".scaling_cache.json")
+
+
+def _load_scaling_cache():
+    """Most recent `bench.py --scaling` result, condensed, so every
+    battery line (and thus each round's BENCH_r{N}.json) carries the
+    two-parallelism-level evidence the north rule names.  The full
+    measurement (16x corpus, interleaved best-of-3, kernel control)
+    is too slow to rerun inside each battery; the cache records when
+    and on what corpus it was measured."""
+    try:
+        with open(_SCALING_CACHE) as f:
+            full = json.load(f)
+    except (OSError, ValueError):
+        return None
+    p = full.get("pairs", {}).get("4->16")
+    if not p:
+        return None
+    return {
+        "pair": [4, 16],
+        "efficiency": p.get("efficiency"),
+        "efficiency_vs_hw_ceiling": p.get("efficiency_vs_hw_ceiling"),
+        "hw_ceiling_efficiency": p.get("hw_ceiling_efficiency"),
+        "wall_s": p.get("wall_s"),
+        "throughput_rows_per_s": p.get("throughput_rows_per_s"),
+        "secondary_8_32": {
+            k: full["pairs"]["8->32"].get(k)
+            for k in ("efficiency", "efficiency_vs_hw_ceiling")
+        } if "8->32" in full.get("pairs", {}) else None,
+        "measured_corpus_rows": full.get("corpus_rows"),
+        "source": "bench.py --scaling (cached; fresh ray sessions, "
+                  "interleaved best-of-N legs, no-Ray kernel control)",
     }
 
 
@@ -308,6 +348,11 @@ def run_scaling() -> dict:
         }
     # headline: the primary pair's raw efficiency
     out["value"] = out["pairs"]["4->16"]["efficiency"]
+    try:
+        with open(_SCALING_CACHE, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     return out
 
 

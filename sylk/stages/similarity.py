@@ -83,10 +83,48 @@ class IVFIndex:
 
     @staticmethod
     def train(emb_ds, n_cells: int = 16, sample: int = 2048, seed: int = 42):
-        """Centroids = k-means-lite (a few Lloyd iterations over a seeded
-        sample; driver-side — the sample is small by construction)."""
-        rows = emb_ds.limit(sample).take_all()
-        mat = _normalize(np.vstack([r["embedding"] for r in rows]).astype(np.float64))
+        """Centroids = k-means-lite (a few Lloyd iterations over a
+        UNIFORM seeded sample; driver-side — the sample is small by
+        construction).
+
+        Sampling is content-hash order-statistics, not ``limit()``:
+        ``limit`` reads the FIRST blocks, so a sorted or clustered store
+        would bias the centroids and skew cell sizes (r2 verdict #5).
+        Here every row computes ``mix64(vec_id ^ seed)``, a worker-side
+        filter keeps the ~4x over-sample below the hash threshold
+        (exchange O(sample), independent of corpus size), and the driver
+        takes the globally smallest ``sample`` hashes — a deterministic
+        uniform draw regardless of storage order."""
+        import ray
+
+        from ..functions.hashing import mix64
+
+        n = emb_ds.count()
+        salt = mix64(np.array([seed or 1], dtype=np.uint64))[0]
+
+        def _h(b: pa.Table) -> np.ndarray:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return mix64(ids.astype(np.uint64) ^ salt)
+
+        frac = 4.0 * sample / max(n, 1)
+        if n > sample and frac < 1.0:
+            # np.uint64(int) rejects values above 2^63-1; the array
+            # constructor converts the full uint64 range (and the float
+            # product is clamped — 1.0 * (2^64-1) rounds UP to 2^64)
+            thresh = np.array([min(int(frac * float(2**64 - 1)), 2**64 - 1)],
+                              dtype=np.uint64)[0]
+
+            def _pick(b: pa.Table) -> pa.Table:
+                return b.filter(pa.array(_h(b) < thresh))
+
+            small = emb_ds.map_batches(_pick, batch_format="pyarrow",
+                                       batch_size=None)
+            tbl = pa.concat_tables(ray.get(small.to_arrow_refs()))
+        else:
+            tbl = pa.concat_tables(ray.get(emb_ds.to_arrow_refs()))
+        order = np.argsort(_h(tbl), kind="stable")[:sample]
+        tbl = tbl.take(pa.array(order))
+        mat = _normalize(list_column_matrix(tbl["embedding"]))
         rng = np.random.default_rng(seed)
         cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
         for _ in range(5):
@@ -139,7 +177,8 @@ def ann_topk_ivf_partitioned(out_dir: str, index: "IVFIndex", queries: np.ndarra
 
 
 def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
-                 nprobe: int = 4, round_to: int | None = 6):
+                 nprobe: int = 4, round_to: int | None = 6,
+                 sample: int = 2048, seed: int = 42):
     """IVF-pruned cosine top-k: probe only ``nprobe`` cells per query.
 
     Scale path: the cell assignment runs once (write ``cell`` as a
@@ -148,7 +187,7 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     """
     import ray
 
-    index = IVFIndex.train(emb_ds, n_cells=n_cells)
+    index = IVFIndex.train(emb_ds, n_cells=n_cells, sample=sample, seed=seed)
     assigned = emb_ds.map_batches(index.assign_batch, batch_format="pyarrow")
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)

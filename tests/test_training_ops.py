@@ -442,3 +442,58 @@ def test_ann_lsh_planted_recall(ray_session):
         l = set(lsh[lsh.query_idx == qi].vec_id)
         hits += len(b & l)
     assert hits / (nq * 5) >= 0.5  # recall floor on random gaussian data
+
+
+def test_ivf_train_unbiased_on_clustered_store(ray_session):
+    """IVF centroid training must be immune to storage order: the store
+    is adversarially sorted so the FIRST blocks hold only cluster 0 —
+    a limit()-based sample would learn centroids for one cluster and
+    recall would collapse for the rest (r2 verdict #5)."""
+    import ray.data
+
+    from sylk.stages.similarity import IVFIndex, ann_topk_ivf
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs, labels = [], []
+    for c in range(6):
+        pts = centers[c] + rng.standard_normal((80, 16)) * 0.15
+        vecs.append(pts)
+        labels += [c] * 80
+    mat = np.vstack(vecs)  # SORTED by cluster: worst case for limit()
+    t = pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(12)
+
+    # mechanism check: the hash-order-statistics sample must span ALL
+    # clusters even though storage order is cluster-sorted (limit()
+    # would return only label 0)
+    from sylk.functions.hashing import mix64
+    salt = mix64(np.array([3], dtype=np.uint64))[0]
+    h = mix64(np.arange(len(mat), dtype=np.uint64) ^ salt)
+    picked = np.argsort(h, kind="stable")[:128]
+    picked_labels = set(np.asarray(labels)[picked])
+    assert picked_labels == set(range(6)), picked_labels
+
+    idx = IVFIndex.train(ds, n_cells=6, sample=128, seed=3)
+    # coverage check: no giant merged cell (limit() bias lumps the
+    # far clusters onto one stray centroid)
+    assigned = ds.map_batches(idx.assign_batch,
+                              batch_format="pyarrow").to_pandas()
+    sizes = assigned.groupby("cell").size()
+    assert sizes.max() <= 0.4 * len(assigned), sizes
+    assert (sizes > 0).sum() >= 4, sizes
+
+    # and recall stays high for queries near EVERY cluster
+    queries = centers + rng.standard_normal((6, 16)) * 0.05
+    from sylk.stages.similarity import ann_topk_bruteforce
+    exact = ann_topk_bruteforce(ds, queries, k=5).to_pandas()
+    approx = ann_topk_ivf(ds, queries, k=5, n_cells=6, nprobe=2,
+                          sample=128, seed=3).to_pandas()
+    for qi in range(6):
+        e = set(exact[exact.query_idx == qi].vec_id)
+        a = set(approx[approx.query_idx == qi].vec_id)
+        assert len(e & a) / 5 >= 0.8, (qi, e, a)
