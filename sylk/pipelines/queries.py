@@ -796,6 +796,173 @@ def q_last_signup_fill(sf_dir: str) -> pa.Table:
     return _table(out, ["event_id", "user_id", "last_signup_t"])
 
 
+def q_approx_value_quantiles(sf_dir: str) -> pa.Table:
+    """Mergeable sample-sketch quantiles with an oracle-checkable form
+    (the HLL pattern): each row carries the EXACT quantile (3-pass
+    selection, = DuckDB quantile_disc) and ``within_eps`` asserting the
+    sketch estimate's measured rank error is inside the sampling bound
+    3*sqrt(q(1-q)/s) + 2/s.  The estimate itself is pinned by pytest."""
+    import math
+    import os
+
+    import ray.data
+
+    from ..stages.selection import distributed_quantiles
+    from ..stages.sketch import quantile_sketch
+
+    qs = [0.25, 0.5, 0.9]
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    sk = quantile_sketch(ev, "value", "event_id", qs)
+    ev2 = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["value"])
+    exact = distributed_quantiles(ev2, "value", qs)
+    s = sk["sample_size"]
+    within = []
+    for q in qs:
+        eps = 3.0 * math.sqrt(q * (1 - q) / s) + 2.0 / s
+        within.append(abs(sk["ranks"][q] / sk["n"] - q) <= eps)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "within_eps": pa.array(within, pa.bool_()),
+        "exact": pa.array(list(exact), pa.float64()),
+    })
+
+
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroid numerators in ORDER-INDEPENDENT
+    fixed-point int64 (sum of floor(x*1e6) per dimension + member
+    count) — bit-checkable against SQL regardless of block order; the
+    float centroid is sum_q / (1e6 * n)."""
+    import os
+
+    import ray.data
+
+    from ..stages.similarity import grouped_centroid_sums
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["label", "embedding"])
+
+    def _lab64(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b.column("label").cast(pa.int64()),
+                         "embedding": b.column("embedding")})
+
+    out = grouped_centroid_sums(
+        emb.map_batches(_lab64, batch_format="pyarrow", batch_size=None))
+    return _table(out, ["label", "dim", "sum_q", "n"])
+
+
+def q_lag_value_per_user(sf_dir: str) -> pa.Table:
+    """``LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)``
+    — previous-row carry on the shared two-pass machinery (in-block
+    vectorized shift + previous-run-last-value seed)."""
+    import os
+
+    import ray.data
+
+    from ..stages.asof import lag
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "t_us": b.column("ts").cast(pa.int64()),
+                         "value": b.column("value")})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = lag(ds, "user_id", ["t_us", "event_id"], "value", "prev_value")
+
+    def _proj(df):
+        return df[["event_id", "user_id", "prev_value"]]
+
+    out = out.map_batches(_proj, batch_format="pandas", batch_size=None)
+    return _table(out, ["event_id", "user_id", "prev_value"])
+
+
+# --- temporal joins (as-of / interval range) --------------------------------
+
+def q_asof_purchase_value(sf_dir: str) -> pa.Table:
+    """Backward-inclusive AS-OF JOIN: every event carries the value of
+    the user's most recent purchase at-or-before it — tagged-union +
+    fill-forward carry (sylk.stages.temporal), checked against DuckDB's
+    native ASOF LEFT JOIN.  Determinism rests on (user_id, ts) being
+    unique within the purchase stream (µs timestamps; verified for the
+    test corpora)."""
+    import os
+
+    import ray.data
+
+    from ..stages.temporal import asof_join_value
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow", batch_size=None)
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join_value(left, right, key="user_id", t_col="ts",
+                          tiebreak="event_id", value_col="value",
+                          out_col="last_purchase_value")
+
+    def _proj(df):
+        return df[["event_id", "user_id", "last_purchase_value"]]
+
+    out = out.map_batches(_proj, batch_format="pandas", batch_size=None)
+    return _table(out, ["event_id", "user_id", "last_purchase_value"])
+
+
+_HOUR_US = 3_600_000_000
+
+
+def q_range_window_counts(sf_dir: str) -> pa.Table:
+    """Interval (range) join: events against overlapping 2-hour windows
+    anchored at each distinct hour — granule-exploded hash equi-join
+    (sylk.stages.temporal.range_join), aggregated to per-window counts
+    so the oracle compare stays small."""
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.temporal import range_join
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts"])
+
+    def _t(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "t_us": b.column("ts").cast(pa.int64())})
+
+    evt = ev.map_batches(_t, batch_format="pyarrow", batch_size=None)
+
+    def _hours(b: pa.Table) -> pa.Table:
+        t = b.column("t_us").to_numpy(zero_copy_only=False)
+        h = np.unique(np.floor_divide(t, _HOUR_US))
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    hours = (evt.map_batches(_hours, batch_format="pyarrow",
+                             batch_size=None)
+             .groupby("h").count().select_columns(["h"]))
+
+    def _win(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        return pa.table({"h": b.column("h"),
+                         "w_lo": pa.array(h * _HOUR_US, pa.int64()),
+                         "w_hi": pa.array(h * _HOUR_US + 2 * _HOUR_US - 1,
+                                          pa.int64())})
+
+    windows = hours.map_batches(_win, batch_format="pyarrow",
+                                batch_size=None)
+    joined = range_join(evt, windows, "t_us", "w_lo", "w_hi",
+                        granule=_HOUR_US)
+    out = joined.groupby("h").aggregate(Count(alias_name="n"))
+    return _table(out, ["h", "n"])
+
+
 # --- relational joins (star enrich / fact-fact / semi / anti) ---------------
 
 def q_region_rollup(sf_dir: str) -> pa.Table:
@@ -1480,6 +1647,58 @@ def _oracle_sql_entries() -> dict[str, str]:
                    TRUE AS within_3sigma,
                    CAST(COUNT(DISTINCT {_HOST}) AS BIGINT) AS exact
             FROM events WHERE {_OK}""",
+        # temporal joins: DuckDB's native ASOF LEFT JOIN is the oracle
+        # for the tagged-union fill-forward implementation; the range
+        # join oracle is a plain BETWEEN join over the same distinct-
+        # hour window derivation (floor division matches // both sides)
+        # the sketch estimate is not SQL-expressible; the within-bound
+        # assertion and the exact quantile companion are (HLL pattern)
+        "approx_value_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q, TRUE AS within_eps,
+                   quantile_disc(value, 0.25) AS exact FROM events
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE), TRUE,
+                   quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), TRUE,
+                   quantile_disc(value, 0.9) FROM events""",
+        # per-(label, dim) fixed-point centroid numerators: parallel
+        # unnest of the value list and range(len) zips each element
+        # with its dimension index; floor(x*1e6) int64 keeps the sum
+        # order-free
+        "label_centroids": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       unnest(embedding) AS e,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings)
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM x GROUP BY label, dim""",
+        "lag_value_per_user": """
+            SELECT event_id, user_id,
+                   LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+                       AS prev_value
+            FROM events""",
+        "asof_purchase_value": """
+            SELECT l.event_id, l.user_id,
+                   r.value AS last_purchase_value
+            FROM events l ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "range_window_counts": """
+            WITH w AS (
+                SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+                FROM events)
+            SELECT w.h, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events e JOIN w
+              ON epoch_us(e.ts) BETWEEN w.h * 3600000000
+                                    AND w.h * 3600000000 + 7199999999
+            GROUP BY w.h""",
         # joins: money summed as exact int64 cents — FLOOR(x*100 + 0.5)
         # with the same IEEE op order both sides, so the hash compare is
         # immune to float-sum reordering
@@ -1629,6 +1848,11 @@ QUERIES = {
     # --- past the driver's 50-query window (locally oracle-verified) ---
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "exact_distinct_hosts": q_exact_distinct_hosts,
+    "asof_purchase_value": q_asof_purchase_value,
+    "range_window_counts": q_range_window_counts,
+    "approx_value_quantiles": q_approx_value_quantiles,
+    "label_centroids": q_label_centroids,
+    "lag_value_per_user": q_lag_value_per_user,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

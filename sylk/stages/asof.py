@@ -252,3 +252,74 @@ def running_total(ds, key: str, order_cols, value_col: str, out_col: str,
 
     return _carry(ds, key, order_cols, value_col, out_col,
                   _state, _seed, _block, _finish, distributed)
+
+
+# --- lag / lead window functions --------------------------------------------
+
+def lag(ds, key: str, order_cols, value_col: str, out_col: str,
+        distributed: bool | None = None):
+    """``LAG(value) OVER (PARTITION BY key ORDER BY order)`` — each
+    row's previous-row value within its key (null for the key's first
+    row).  Values ride as float64 (ints above 2^53 would round).
+
+    Same two-pass carry as fill_forward, but the seed is the previous
+    RUN's last row value verbatim (no ffill — a legitimately null
+    previous value stays null), and only each run's FIRST row takes the
+    seed; later rows use the in-block vectorized shift."""
+    order_cols = list(order_cols)
+
+    def _state(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 **{c: pd.Series([], dtype=df[c].dtype)
+                                    for c in order_cols},
+                                 "_lastval": pd.Series([], dtype="float64")})
+        firsts = _run_key(df, key, order_cols)
+        # positional last row per key — groupby.last() would SKIP NaN,
+        # but lag must carry a null previous value verbatim
+        lastrows = df.drop_duplicates(subset=[key], keep="last")
+        firsts["_lastval"] = firsts[key].map(
+            lastrows.set_index(key)[value_col]).astype("float64")
+        return firsts
+
+    def _seed(states: pd.DataFrame) -> pd.DataFrame:
+        # previous run's last value, verbatim (no ffill)
+        g = states.groupby(key, sort=False)
+        return states.assign(_seed=g["_lastval"].shift())
+
+    def _block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)
+        return df.assign(
+            _lag=g[value_col].shift().astype("float64"),
+            _first=~df[key].duplicated())
+
+    def _finish(df: pd.DataFrame, seeds) -> pd.DataFrame:
+        s = pd.Series(np.asarray(seeds, dtype="float64"), index=df.index)
+        out = df.assign(**{out_col: df["_lag"].where(~df["_first"], s)})
+        return out.drop(columns=["_lag", "_first"])
+
+    return _carry(ds, key, order_cols, value_col, out_col,
+                  _state, _seed, _block, _finish, distributed)
+
+
+def lead(ds, key: str, order_cols, value_col: str, out_col: str,
+         distributed: bool | None = None):
+    """``LEAD(value) OVER (PARTITION BY key ORDER BY order)`` — lag
+    over the NEGATED (numeric) order columns; requires int/float order
+    columns (true for the µs-timestamp + id orders this engine uses)."""
+    order_cols = list(order_cols)
+    neg = [f"_neg_{c}" for c in order_cols]
+
+    def _negate(df: pd.DataFrame) -> pd.DataFrame:
+        for c, nc in zip(order_cols, neg):
+            df[nc] = -df[c]
+        return df
+
+    flipped = ds.map_batches(_negate, batch_format="pandas",
+                             batch_size=None)
+    out = lag(flipped, key, neg, value_col, out_col, distributed)
+
+    def _drop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=neg)
+
+    return out.map_batches(_drop, batch_format="pandas", batch_size=None)

@@ -296,3 +296,56 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10,
 
     return partials.groupby("query_idx").map_groups(_merge,
                                                     batch_format="pandas")
+
+
+# --- grouped embedding centroids -------------------------------------------
+
+_CENTROID_SCALE = 1_000_000
+
+
+def grouped_centroid_sums(emb_ds, group_col: str = "label",
+                          emb_col: str = "embedding"):
+    """Per-group embedding centroid numerators, INTEGER-exact.
+
+    Emits one row per (group, dim): ``sum_q`` = sum of
+    ``floor(value * 1e6)`` as int64 and ``n`` = member count; the
+    centroid is ``sum_q / (1e6 * n)``.  Fixed-point summation makes the
+    result independent of summation ORDER — float accumulation would
+    differ between Ray's block-parallel partials and any oracle — so
+    the operator is bit-checkable against SQL and stable across
+    repartitioning.
+
+    Scale shape: per-block vectorized partial (np.add.at over factorized
+    group codes — one (groups x dims) matrix per block) then a
+    groupby(group, dim) Sum of partials: the exchange moves
+    O(blocks x groups x dims) rows, never the vectors."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vecs = list_column_matrix(b[emb_col])
+        q = np.floor(vecs * _CENTROID_SCALE).astype(np.int64)
+        groups = b.column(group_col).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(groups)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        n_g, n_d = sums.shape
+        return pa.table({
+            group_col: pa.array(np.repeat(np.asarray(uniq, dtype=np.int64),
+                                          n_d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(n_d, dtype=np.int64), n_g),
+                            pa.int64()),
+            "sum_q": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, n_d), pa.int64()),
+        })
+
+    partials = emb_ds.map_batches(_partial, batch_format="pyarrow",
+                                  batch_size=None)
+    return partials.groupby([group_col, "dim"]).aggregate(
+        Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))

@@ -177,3 +177,74 @@ def heavy_hitters(ds, column: str, k: int = 10) -> list:
     est = cm_estimate(cm, cand_arr)
     order = np.lexsort((cand_arr, -est.astype(np.int64)))[:k]
     return [{"key": str(cand_arr[i]), "est": int(est[i])} for i in order]
+
+
+# --- mergeable sample-based quantile sketch ---------------------------------
+
+_QSK_SAMPLE = 4096
+
+
+def quantile_sketch(ds, value_col: str, id_col: str, qs,
+                    sample: int = _QSK_SAMPLE, seed: int = 7) -> dict:
+    """Approximate quantiles from a deterministic uniform row sample,
+    plus the EXACT rank of each estimate (one counting pass), so the
+    caller can assert the rank-error bound.
+
+    The sample is content-hash order statistics over ``id_col`` (the
+    IVFIndex.train pattern): every row computes ``mix64(id ^ seed)``, a
+    worker-side filter keeps the ~4x over-sample under the hash
+    threshold — exchange O(sample), independent of corpus size — and
+    the driver keeps the globally smallest ``sample`` hashes.  Each
+    per-block contribution is independent and merge is concatenation,
+    so the sketch is trivially mergeable (the KLL use-case; rank error
+    is the sampling bound O(1/sqrt(sample)), not KLL's optimal).
+
+    Returns {"estimates": {q: value}, "ranks": {q: count_le}, "n": N,
+    "sample_size": s}."""
+    import ray
+
+    from ..functions.hashing import mix64
+
+    n = ds.count()
+    salt = mix64(np.array([seed or 1], dtype=np.uint64))[0]
+
+    def _h(ids: np.ndarray) -> np.ndarray:
+        return mix64(ids.astype(np.uint64) ^ salt)
+
+    frac = 4.0 * sample / max(n, 1)
+    if n > sample and frac < 1.0:
+        thresh = np.array([min(int(frac * float(2**64 - 1)), 2**64 - 1)],
+                          dtype=np.uint64)[0]
+
+        def _pick(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(_h(ids) < thresh))
+
+        small = ds.map_batches(_pick, batch_format="pyarrow",
+                               batch_size=None)
+        tbl = pa.concat_tables(ray.get(small.to_arrow_refs()))
+    else:
+        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    hh = _h(tbl.column(id_col).to_numpy(zero_copy_only=False))
+    order = np.argsort(hh, kind="stable")[:sample]
+    vals = np.sort(tbl.column(value_col).to_numpy(
+        zero_copy_only=False)[order].astype(np.float64))
+    s = len(vals)
+    # quantile_disc rank convention: max(1, ceil(q*s)) (DuckDB-proven)
+    est = {q: float(vals[max(1, int(np.ceil(q * s))) - 1]) for q in qs}
+
+    est_arr = np.array([est[q] for q in qs], dtype=np.float64)
+
+    def _rank_partial(b: pa.Table) -> pa.Table:
+        v = np.sort(b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        cnt = np.searchsorted(v, est_arr, side="right")
+        return pa.table({"qi": pa.array(np.arange(len(qs)), pa.int64()),
+                         "le": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(_rank_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    ranks = parts.groupby("qi")["le"].sum()
+    return {"estimates": est,
+            "ranks": {q: int(ranks[i]) for i, q in enumerate(qs)},
+            "n": n, "sample_size": s}

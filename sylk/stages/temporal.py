@@ -1,0 +1,148 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+Ray Data has no native as-of or range join; both are named custom
+operators for this engine (the reference crate has neither — these are
+training-pipeline engine capabilities, SURVEY.md §2.3 extensions).
+
+* :func:`asof_join_value` — backward-inclusive as-of join expressed as
+  a composition the Dataset API CAN express: tag both streams, union,
+  and run the skew-safe fill-forward carry (sylk.stages.asof) over the
+  merged (key, t, side) order.  The one all-to-all is the carry's sort;
+  the right payload rides the carry itself, so no second join is
+  needed for a single numeric value column.
+* :func:`range_join` — ``left.t BETWEEN right.lo AND right.hi``:
+  intervals explode to one row per covered time GRANULE, left rows map
+  to their granule, and a hash equi-join on (granule[, key]) plus an
+  exact containment filter finishes.  Each (left, right) match meets in
+  EXACTLY one granule (the left row's), so no dedup pass is needed.
+
+  Partitioning assumption (documented per north-rule): the explosion
+  factor is ceil(interval_len / granule) + 1 — pick ``granule`` near
+  the typical interval length so intervals replicate O(1) times.  The
+  granule hash also spreads hot time ranges across partitions only as
+  far as distinct granules do; for a single white-hot granule, salt the
+  left side by a secondary key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def asof_join_value(left_ds, right_ds, key: str, t_col: str, tiebreak: str,
+                    value_col: str, out_col: str,
+                    right_t_col: str | None = None,
+                    right_tiebreak: str | None = None):
+    """For each left row: ``value_col`` of the right row with the
+    greatest ``right_t <= left_t`` within the same ``key`` (backward
+    inclusive — a right row at exactly left_t matches).
+
+    Left columns pass through; ``out_col`` is null when no earlier
+    right row exists.  The value must be numeric (it rides the carry
+    as float64; integers above 2^53 would lose precision — the same
+    bound the seed dict documents).
+
+    Implementation: union of the tagged streams ordered by
+    (key, t, side, tiebreak) with right rows (side 0) BEFORE left rows
+    (side 1) at equal t, then one fill-forward carry of the right
+    value, then drop the right rows.  Inherits fill_forward's two
+    seed tiers (broadcast dict / distributed hash-join)."""
+    from .asof import fill_forward
+
+    rt = right_t_col or t_col
+    rtb = right_tiebreak or tiebreak
+    left_cols = [c for c in left_ds.schema().names]
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        b = b.append_column("_t", b.column(t_col).cast(pa.int64()))
+        b = b.append_column("_side", pa.array(np.ones(len(b), np.int64)))
+        b = b.append_column("_tb", b.column(tiebreak).cast(pa.int64()))
+        return b.append_column("_carry", pa.nulls(len(b), pa.float64()))
+
+    lt = left_ds.map_batches(_tag_left, batch_format="pyarrow",
+                             batch_size=None)
+    lt = lt.select_columns(left_cols + ["_t", "_side", "_tb", "_carry"])
+    # the union needs identical schemas; after the pyarrow tag map the
+    # left schema is a true Arrow schema (pandas-origin inputs report a
+    # PandasBlockSchema before any arrow stage)
+    left_schema = lt.schema().base_schema
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        out = pa.table({
+            **{c: pa.nulls(len(b), left_schema.field(c).type)
+               for c in left_cols if c != key},
+            key: b.column(key).cast(left_schema.field(key).type),
+            "_t": b.column(rt).cast(pa.int64()),
+            "_side": pa.array(np.zeros(len(b), np.int64)),
+            "_tb": b.column(rtb).cast(pa.int64()),
+            "_carry": b.column(value_col).cast(pa.float64()),
+        })
+        return out.select(left_cols + ["_t", "_side", "_tb", "_carry"])
+
+    rtds = right_ds.map_batches(_tag_right, batch_format="pyarrow",
+                                batch_size=None)
+    merged = lt.union(rtds)
+    carried = fill_forward(merged, key, ["_t", "_side", "_tb"],
+                           "_carry", out_col)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["_side"] == 1]
+        return df[left_cols + [out_col]]
+
+    return carried.map_batches(_finish, batch_format="pandas",
+                               batch_size=None)
+
+
+def range_join(left_ds, right_ds, t_col: str, lo_col: str, hi_col: str,
+               granule: int, key: str | None = None,
+               num_partitions: int | None = None):
+    """Inner join on ``left.t BETWEEN right.lo AND right.hi`` (both
+    inclusive), optionally AND an equi-key.  Returns left columns +
+    right columns.
+
+    Both sides get a ``_g`` granule column (rights one row per covered
+    granule), the join is a plain hash equi-join on ``_g`` (+``key``),
+    and the containment filter runs vectorized per batch."""
+    from .join import hash_join
+
+    g = int(granule)
+    right_cols = [c for c in right_ds.schema().names]
+
+    def _explode_right(b: pa.Table) -> pa.Table:
+        lo = b.column(lo_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b.column(hi_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        g_lo = np.floor_divide(lo, g)
+        g_hi = np.floor_divide(hi, g)
+        reps = (g_hi - g_lo + 1).clip(min=0)
+        idx = np.repeat(np.arange(len(b)), reps)
+        # covered granule per exploded row: g_lo[i] + offset within run
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        gran = g_lo[idx] + offs
+        out = b.take(pa.array(idx))
+        return out.append_column("_g", pa.array(gran, pa.int64()))
+
+    def _granule_left(b: pa.Table) -> pa.Table:
+        t = b.column(t_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_g", pa.array(np.floor_divide(t, g),
+                                              pa.int64()))
+
+    lt = left_ds.map_batches(_granule_left, batch_format="pyarrow",
+                             batch_size=None)
+    rt = right_ds.map_batches(_explode_right, batch_format="pyarrow",
+                              batch_size=None)
+    on = ("_g", key) if key else ("_g",)
+    joined = hash_join(lt, rt, on=on, num_partitions=num_partitions)
+
+    def _contain(b: pa.Table) -> pa.Table:
+        t = b.column(t_col)
+        keep = pc.and_(pc.greater_equal(t, b.column(lo_col)),
+                       pc.less_equal(t, b.column(hi_col)))
+        out = b.filter(keep)
+        return out.drop_columns(["_g"])
+
+    return joined.map_batches(_contain, batch_format="pyarrow",
+                              batch_size=None)
