@@ -73,7 +73,14 @@ _I64 = {
 def _table(ds, columns: list[str]) -> pa.Table:
     """Materialize a (small) result Dataset as a pyarrow Table with
     driver-friendly types: listed int columns cast to int64."""
-    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    df = ds.to_pandas()
+    if len(df) == 0:
+        # an empty Dataset's to_pandas can drop the schema entirely;
+        # rebuild the empty frame with the expected columns
+        tbl = pa.table({c: pa.array([], _I64.get(c, pa.string()))
+                        for c in columns})
+        return tbl
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
     tbl = tbl.select(columns)
     for name in columns:
         if name in _I64 and tbl.schema.field(name).type != _I64[name]:
@@ -850,6 +857,54 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     out = grouped_centroid_sums(
         emb.map_batches(_lab64, batch_format="pyarrow", batch_size=None))
     return _table(out, ["label", "dim", "sum_q", "n"])
+
+
+_MID_MONTH_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in µs
+
+
+def _halves(sf_dir: str):
+    """(user_id, hour-of-day) activity pairs for each month half —
+    sparse enough per user (~33 events over 24 hour bins per half) that
+    INTERSECT and EXCEPT are both non-trivially non-empty."""
+    import os
+
+    import ray.data
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = np.floor_divide(t, _HOUR_US) % 24
+        return pa.table({"user_id": b.column("user_id"),
+                         "hour_of_day": pa.array(hod, pa.int64()),
+                         "t_us": pa.array(t, pa.int64())})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    first = ds.filter(expr=f"t_us < {_MID_MONTH_US}")
+    second = ds.filter(expr=f"t_us >= {_MID_MONTH_US}")
+    return first, second
+
+
+def q_user_hour_pairs_intersect(sf_dir: str) -> pa.Table:
+    """SQL INTERSECT: (user_id, hour-of-day) pairs active in BOTH month
+    halves — distinct both sides + left_semi hash join on the full
+    column tuple (sylk.stages.join set operations)."""
+    from ..stages.join import intersect_distinct
+
+    first, second = _halves(sf_dir)
+    out = intersect_distinct(first, second, ["user_id", "hour_of_day"])
+    return _table(out, ["user_id", "hour_of_day"])
+
+
+def q_user_hour_pairs_except(sf_dir: str) -> pa.Table:
+    """SQL EXCEPT: pairs seen only in the FIRST half (left_anti on the
+    full tuple)."""
+    from ..stages.join import except_distinct
+
+    first, second = _halves(sf_dir)
+    out = except_distinct(first, second, ["user_id", "hour_of_day"])
+    return _table(out, ["user_id", "hour_of_day"])
 
 
 def q_lag_value_per_user(sf_dir: str) -> pa.Table:
@@ -1677,6 +1732,18 @@ def _oracle_sql_entries() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS sum_q,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM x GROUP BY label, dim""",
+        "user_hour_pairs_intersect": f"""
+            SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24 AS hour_of_day
+            FROM events WHERE epoch_us(ts) < {_MID_MONTH_US}
+            INTERSECT
+            SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24
+            FROM events WHERE epoch_us(ts) >= {_MID_MONTH_US}""",
+        "user_hour_pairs_except": f"""
+            SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24 AS hour_of_day
+            FROM events WHERE epoch_us(ts) < {_MID_MONTH_US}
+            EXCEPT
+            SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24
+            FROM events WHERE epoch_us(ts) >= {_MID_MONTH_US}""",
         "lag_value_per_user": """
             SELECT event_id, user_id,
                    LAG(value) OVER (PARTITION BY user_id
@@ -1853,6 +1920,8 @@ QUERIES = {
     "approx_value_quantiles": q_approx_value_quantiles,
     "label_centroids": q_label_centroids,
     "lag_value_per_user": q_lag_value_per_user,
+    "user_hour_pairs_intersect": q_user_hour_pairs_intersect,
+    "user_hour_pairs_except": q_user_hour_pairs_except,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

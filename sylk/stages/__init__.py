@@ -6,7 +6,8 @@ from .enrich import Enricher  # noqa: F401
 from .aggregate import (grouped_counts, grouped_quantiles,  # noqa: F401
                         latest_per_key, rollup_counts,
                         sliding_window_counts, topk_per_group)
-from .asof import fill_forward, running_total  # noqa: F401
+from .asof import fill_forward, lag, lead, running_total  # noqa: F401
+from .temporal import asof_join_value, range_join  # noqa: F401
 from .join import (anti_join, bloom_semi_join, broadcast_join,  # noqa: F401
                    bucketed_join, bucketed_write, hash_join, semi_join)
 from .sample import (deterministic_sample, group_reservoir,  # noqa: F401

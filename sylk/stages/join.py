@@ -379,3 +379,41 @@ def bloom_semi_join(left_ds, right_ds, on: str, right_key: str | None = None,
     definite = left_ds.map_batches(_split(False), batch_format="pyarrow",
                                    batch_size=None)
     return definite.union(joined)
+
+
+# --- set operations ---------------------------------------------------------
+
+def _distinct_rows(ds, cols):
+    """DISTINCT over ``cols`` — hash aggregate, composite-key exchange
+    of the projected columns only.  Aggregate partitions that received
+    no groups emit 0-row blocks with NO schema, which poison a
+    downstream acero join (FieldRef unresolvable); union with a
+    schema'd empty seed + repartition concatenates them away."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    proj = ds.map_batches(lambda b: b.select(list(cols)),
+                          batch_format="pyarrow", batch_size=None)
+    agg = (proj.groupby(list(cols)).aggregate(Count(alias_name="_c"))
+           .select_columns(list(cols)))
+    seed = ray.data.from_arrow(proj.schema().base_schema.empty_table())
+    return seed.union(agg).repartition(_default_partitions())
+
+
+def intersect_distinct(a_ds, b_ds, cols, num_partitions: int | None = None):
+    """``SELECT DISTINCT cols FROM a INTERSECT SELECT ... FROM b`` —
+    distinct both sides, then a left_semi hash join on the full column
+    tuple (set semantics: output rows are unique)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return hash_join(_distinct_rows(a_ds, cols), _distinct_rows(b_ds, cols),
+                     on=tuple(cols), join_type="left_semi",
+                     num_partitions=num_partitions)
+
+
+def except_distinct(a_ds, b_ds, cols, num_partitions: int | None = None):
+    """``... EXCEPT ...`` — distinct A rows with no exact match in B
+    (left_anti on the full column tuple)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return hash_join(_distinct_rows(a_ds, cols), _distinct_rows(b_ds, cols),
+                     on=tuple(cols), join_type="left_anti",
+                     num_partitions=num_partitions)
