@@ -859,6 +859,27 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+def q_dup_cluster_ids(sf_dir: str) -> pa.Table:
+    """Near-dup pairs -> canonical clusters: exact n-gram Jaccard pairs
+    feed iterative min-label propagation (connected components); every
+    doc gets cluster_id = smallest reachable doc_id (singletons keep
+    their own).  Oracle = the same pair SQL + a recursive transitive-
+    closure CTE."""
+    import os
+
+    import ray.data
+
+    from ..stages.dedup import connected_components, ngram_jaccard_dup_pairs
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dup_pairs(docs, threshold=0.6)
+    nodes = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                  columns=["doc_id"])
+    out = connected_components(nodes, pairs, node_col="doc_id")
+    return _table(out, ["doc_id", "cluster_id"])
+
+
 _MID_MONTH_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in µs
 
 
@@ -1840,6 +1861,48 @@ def _oracle_sql_entries() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6""",
+        # dup-pair transitive closure: the SAME pair derivation feeds a
+        # recursive min-label CTE; singleton docs keep their own id
+        "dup_cluster_ids": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                FOR i IN generate_series(1, len(ts)-2)]
+                     END AS gs
+              FROM toks WHERE len(ts) > 0
+            ),
+            dsh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+              FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+            ),
+            undir AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM undir
+              UNION
+              SELECT r.src, u.dst FROM reach r
+              JOIN undir u ON r.dst = u.src WHERE u.dst <> r.src
+            ),
+            comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                     FROM reach GROUP BY src)
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)""",
         "conformance": _conformance_oracle_sql(),
     }
 
@@ -1922,6 +1985,7 @@ QUERIES = {
     "lag_value_per_user": q_lag_value_per_user,
     "user_hour_pairs_intersect": q_user_hour_pairs_intersect,
     "user_hour_pairs_except": q_user_hour_pairs_except,
+    "dup_cluster_ids": q_dup_cluster_ids,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -1259,3 +1259,84 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_bands: int = 16,
         cand = ray.data.from_pandas(cand[["a", "b"]])
     return _verify_pairs_join(cand, packed, "vec_id", "vecb", _cos_packed,
                               "cosine")
+
+
+# --- dup-cluster resolution (connected components) --------------------------
+
+def connected_components(nodes_ds, edges_ds, node_col: str = "doc_id",
+                         max_iter: int = 50):
+    """Resolve near-dup PAIRS into canonical clusters: every node gets
+    ``cluster_id`` = the smallest node id reachable through the edge
+    set (singletons keep their own id).  This is the step that turns a
+    dup-pair list into "keep one document per cluster".
+
+    Iterative min-label propagation, Ray-Data-first: per round, one
+    hash join (edge dst -> current labels), one groupby-min (smallest
+    neighbor label per src), one left join back, until no label
+    changes.  Rounds = graph diameter — near-dup clusters are
+    near-cliques (diameter 1-2); for adversarial long chains the
+    classic large-star/small-star doubling would cut rounds to
+    O(log d) (documented, not needed for dup graphs).  The driver
+    holds only the per-round changed-row count; edges and labels stay
+    in the object store (edge table is candidate-sized, labels are
+    O(nodes x 16B))."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .join import hash_join
+
+    def _undir(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, bb]), pa.int64()),
+                         "dst": pa.array(np.concatenate([bb, a]), pa.int64())})
+
+    seed_e = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                           "dst": pa.array([], pa.int64())}))
+    edges = seed_e.union(
+        edges_ds.map_batches(_undir, batch_format="pyarrow",
+                             batch_size=None)).materialize()
+
+    def _init(b: pa.Table) -> pa.Table:
+        n = b.column(node_col).cast(pa.int64())
+        return pa.table({"node": n, "label": n})
+
+    labels = nodes_ds.map_batches(_init, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+    if edges.count() == 0:
+        return labels.map_batches(
+            lambda b: pa.table({node_col: b.column("node"),
+                                "cluster_id": b.column("label")}),
+            batch_format="pyarrow", batch_size=None)
+
+    for _ in range(max_iter):
+        # smallest neighbor label per src (neighbor = edge dst)
+        nbr = hash_join(edges, labels, on=("dst",), right_on=("node",))
+        mins = nbr.groupby("src").aggregate(Min("label", alias_name="minlab"))
+        joined = hash_join(labels, mins, on=("node",), right_on=("src",),
+                           join_type="left_outer")
+
+        def _update(b: pa.Table) -> pa.Table:
+            lab = b.column("label")
+            # singletons (no neighbor) keep their label; pyarrow kernels
+            new = pc.min_element_wise(lab, pc.coalesce(b.column("minlab"),
+                                                       lab))
+            return pa.table({"node": b.column("node"), "label": new,
+                             "_changed": pc.cast(pc.not_equal(new, lab),
+                                                 pa.int64())})
+
+        updated = joined.map_batches(_update, batch_format="pyarrow",
+                                     batch_size=None).materialize()
+        n_changed = updated.map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [int(pc.sum(b.column("_changed")).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow", batch_size=None).to_pandas()["c"].sum()
+        labels = updated.select_columns(["node", "label"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({node_col: b.column("node"),
+                            "cluster_id": b.column("label")}),
+        batch_format="pyarrow", batch_size=None)

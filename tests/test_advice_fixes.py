@@ -99,3 +99,38 @@ def test_bounded_collect_probe(ray_session):
     assert mds.count() == 100  # still usable for the distributed tier
     mds2, tbl2 = dedup._bounded_collect(ds, limit=1000)
     assert tbl2 is not None and len(tbl2) == 100
+
+
+def test_connected_components_chain(ray_session):
+    """A 10-node chain needs several propagation rounds (diameter 9);
+    a star and singletons converge in one."""
+    import ray.data
+
+    from sylk.stages.dedup import connected_components
+
+    nodes = ray.data.from_items([{"doc_id": i} for i in range(16)])
+    # chain 0-..-9, star 12<-{13,14}, singletons 10, 11, 15
+    edges = [{"a": i, "b": i + 1} for i in range(9)]
+    edges += [{"a": 13, "b": 12}, {"a": 14, "b": 12}]
+    out = connected_components(
+        nodes, ray.data.from_items(edges)).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    for i in range(10):
+        assert got[i] == 0, (i, got[i])
+    for i in (12, 13, 14):
+        assert got[i] == 12
+    for i in (10, 11, 15):
+        assert got[i] == i
+
+
+def test_connected_components_no_edges(ray_session):
+    import ray.data
+
+    from sylk.stages.dedup import connected_components
+
+    nodes = ray.data.from_items([{"doc_id": i} for i in range(5)])
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64")}))
+    out = connected_components(nodes, empty).to_pandas()
+    assert (out.doc_id == out.cluster_id).all()
