@@ -859,6 +859,24 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+def q_value_quantiles_cont(sf_dir: str) -> pa.Table:
+    """INTERPOLATED (percentile_cont) global quantiles — the lerp
+    sibling of `value_quantiles`, same 3-pass selection core with two
+    order statistics per q; bit-exact vs DuckDB quantile_cont."""
+    import os
+
+    import ray.data
+
+    from ..stages.selection import distributed_quantiles_cont
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    p = distributed_quantiles_cont(ev, "value", [0.5, 0.9, 0.99])
+    return pa.table({"p50": pa.array([p[0]], pa.float64()),
+                     "p90": pa.array([p[1]], pa.float64()),
+                     "p99": pa.array([p[2]], pa.float64())})
+
+
 def q_dup_cluster_ids(sf_dir: str) -> pa.Table:
     """Near-dup pairs -> canonical clusters: exact n-gram Jaccard pairs
     feed iterative min-label propagation (connected components); every
@@ -1623,6 +1641,11 @@ def _oracle_sql_entries() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events""",
+        "value_quantiles_cont": """
+            SELECT quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events""",
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE md5_number_lower(text) % 100 <
@@ -1986,6 +2009,7 @@ QUERIES = {
     "user_hour_pairs_intersect": q_user_hour_pairs_intersect,
     "user_hour_pairs_except": q_user_hour_pairs_except,
     "dup_cluster_ids": q_dup_cluster_ids,
+    "value_quantiles_cont": q_value_quantiles_cont,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

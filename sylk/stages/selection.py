@@ -48,14 +48,13 @@ import pyarrow as pa
 from ..functions.hashing import mix64 as _mix64
 
 
-def distributed_quantiles(ds, col: str, qs, sample_per_block: int = 4096,
-                          n_candidates: int = 512, salt: int = 0):
-    """Exact q-quantiles (discrete, element-of-input) of ``ds[col]`` ->
-    list of floats aligned with ``qs``.  Nulls are excluded (matching
-    SQL aggregate semantics)."""
+def _values_at_ranks(ds, col: str, ranks_fn, sample_per_block: int = 4096,
+                     n_candidates: int = 512, salt: int = 0):
+    """Core 3-pass exact rank selection: ``ranks_fn(total) -> [rank]``
+    (1-based) is evaluated once the global count is known; returns
+    ``(total, {rank: value})``.  Shared by the discrete and the
+    interpolated (cont) quantile fronts."""
     import ray
-
-    qs = list(qs)
 
     # --- pass A: block counts + deterministic per-block sample ----------
     def _sample(b: pa.Table) -> pa.Table:
@@ -75,10 +74,10 @@ def distributed_quantiles(ds, col: str, qs, sample_per_block: int = 4096,
                            batch_size=None).take_all()
     total = int(sum(p["n"] for p in parts))
     if total == 0:
-        return [None] * len(qs)
+        return 0, {}
     pool = np.sort(np.concatenate(
         [np.asarray(p["sample"], dtype=np.float64) for p in parts]))
-    ranks = [max(1, math.ceil(q * total)) for q in qs]
+    ranks = sorted(set(ranks_fn(total)))
 
     # --- pass B: exact global ranks of <=512 candidate pivots -----------
     idx = np.unique(np.linspace(0, len(pool) - 1,
@@ -130,4 +129,53 @@ def distributed_quantiles(ds, col: str, qs, sample_per_block: int = 4096,
             below = int(count_le[int(np.searchsorted(cand, lo))])
         mine = bvals[(bvals > lo) & (bvals <= hi)]
         out.append(float(np.sort(mine)[r - below - 1]))
+    return total, dict(zip(ranks, out))
+
+
+def distributed_quantiles(ds, col: str, qs, sample_per_block: int = 4096,
+                          n_candidates: int = 512, salt: int = 0):
+    """Exact q-quantiles (discrete, element-of-input, DuckDB
+    quantile_disc rank convention max(1, ceil(q*n))) of ``ds[col]`` ->
+    list of floats aligned with ``qs``.  Nulls are excluded (matching
+    SQL aggregate semantics)."""
+    qs = list(qs)
+    total, at = _values_at_ranks(
+        ds, col, lambda n: [max(1, math.ceil(q * n)) for q in qs],
+        sample_per_block, n_candidates, salt)
+    if total == 0:
+        return [None] * len(qs)
+    return [at[max(1, math.ceil(q * total))] for q in qs]
+
+
+def distributed_quantiles_cont(ds, col: str, qs,
+                               sample_per_block: int = 4096,
+                               n_candidates: int = 512, salt: int = 0):
+    """INTERPOLATED q-quantiles (DuckDB/Postgres quantile_cont
+    convention: h = q*(n-1), lerp between the order statistics at
+    floor(h)+1 and floor(h)+2) — bit-compatible IEEE op order
+    ``lo*(1-frac) + hi*frac`` (DuckDB's Interpolate, confirmed by
+    probe; ``lo + frac*(hi-lo)`` differs in the last ulp)."""
+    qs = list(qs)
+
+    def _ranks(n):
+        rr = []
+        for q in qs:
+            h = q * (n - 1)
+            lo = int(math.floor(h))
+            rr.append(lo + 1)
+            rr.append(min(lo + 2, n))
+        return rr
+
+    total, at = _values_at_ranks(ds, col, _ranks,
+                                 sample_per_block, n_candidates, salt)
+    if total == 0:
+        return [None] * len(qs)
+    out = []
+    for q in qs:
+        h = q * (total - 1)
+        lo = int(math.floor(h))
+        frac = h - lo
+        v_lo = at[lo + 1]
+        v_hi = at[min(lo + 2, total)]
+        out.append(v_lo * (1 - frac) + v_hi * frac)
     return out
