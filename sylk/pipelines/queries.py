@@ -859,6 +859,26 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+_BM25_TERMS = ("hash", "join", "filter")
+
+
+def q_bm25_scores(sf_dir: str) -> pa.Table:
+    """Okapi BM25 relevance of every doc against a fixed query — stats
+    aggregate pass (N, avgdl, per-term df/idf) + broadcast-scalar
+    scoring pass; 6-dp rounded both sides (ln differs from DuckDB's in
+    the last ulp — the ANN-cosine rounding precedent)."""
+    import os
+
+    import ray.data
+
+    from ..stages.text import bm25_scores
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    out = bm25_scores(docs, list(_BM25_TERMS))
+    return _table(out, ["doc_id", "bm25"])
+
+
 def q_value_quantiles_cont(sf_dir: str) -> pa.Table:
     """INTERPOLATED (percentile_cont) global quantiles — the lerp
     sibling of `value_quantiles`, same 3-pass selection core with two
@@ -1641,6 +1661,38 @@ def _oracle_sql_entries() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events""",
+        # BM25: identical IEEE op order per term, left-fold term sum,
+        # 6dp rounding both sides (ln last-ulp divergence)
+        "bm25_scores": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            dltab AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                      FROM toks GROUP BY 1),
+            base AS (SELECT d.doc_id, COALESCE(l.dl, 0) AS dl
+                     FROM documents d LEFT JOIN dltab l USING (doc_id)),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS BIGINT) AS tot FROM base),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+            piv AS (SELECT b.doc_id, b.dl,
+                COALESCE(MAX(CASE WHEN term = 'hash' THEN tf END), 0) AS tf1,
+                COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf2,
+                COALESCE(MAX(CASE WHEN term = 'filter' THEN tf END), 0) AS tf3
+                    FROM base b LEFT JOIN tf t ON b.doc_id = t.doc_id
+                    GROUP BY 1, 2),
+            df AS (SELECT
+                CAST(COUNT(DISTINCT CASE WHEN term='hash' THEN doc_id END) AS BIGINT) AS df1,
+                CAST(COUNT(DISTINCT CASE WHEN term='join' THEN doc_id END) AS BIGINT) AS df2,
+                CAST(COUNT(DISTINCT CASE WHEN term='filter' THEN doc_id END) AS BIGINT) AS df3
+                   FROM tf)
+            SELECT p.doc_id,
+                   ROUND(ln(((st.n - df.df1) + 0.5)/(df.df1 + 0.5) + 1.0) * ((p.tf1*2.2)/(p.tf1 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df2) + 0.5)/(df.df2 + 0.5) + 1.0) * ((p.tf2*2.2)/(p.tf2 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df3) + 0.5)/(df.df3 + 0.5) + 1.0) * ((p.tf3*2.2)/(p.tf3 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n)))), 6) AS bm25
+            FROM piv p, st, df""",
         "value_quantiles_cont": """
             SELECT quantile_cont(value, 0.5) AS p50,
                    quantile_cont(value, 0.9) AS p90,
@@ -2010,6 +2062,7 @@ QUERIES = {
     "user_hour_pairs_except": q_user_hour_pairs_except,
     "dup_cluster_ids": q_dup_cluster_ids,
     "value_quantiles_cont": q_value_quantiles_cont,
+    "bm25_scores": q_bm25_scores,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

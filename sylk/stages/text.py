@@ -301,3 +301,67 @@ def top_term_per_doc(docs_ds, text_col: str = "text"):
                                     preserve_index=False)
 
     return tf.map_batches(_top, batch_format="pyarrow", batch_size=None)
+
+
+# --- BM25 relevance scoring -------------------------------------------------
+
+def bm25_scores(docs_ds, terms, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                round_to: int | None = 6):
+    """Okapi BM25 score of every document against a fixed term list.
+
+    Two passes: (1) a tiny stats aggregate — per block (n_docs,
+    total_tokens, contains-count per term) rows, driver-merged to N,
+    avgdl and idf_t = ln((N - df + 0.5)/(df + 0.5) + 1); (2) a
+    broadcast-scalar scoring map — per block tokenize once (the
+    term_tf_rows factorize kernel), then the left-fold sum over terms
+    of idf_t * ((tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl))).
+
+    The score is rounded to ``round_to`` decimals (both here and in
+    the SQL oracle — the ANN-cosine precedent): ln() differs from
+    DuckDB's in the last ulp on ~5% of arguments, so the unrounded
+    float would not hash-compare."""
+    import math
+
+    import ray
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        n_toks = sum(len(tl) for tl in tok_lists)
+        dfs = [sum(1 for tl in tok_lists if term in tl) for term in terms]
+        return pa.table({
+            "n": pa.array([len(texts)], pa.int64()),
+            "toks": pa.array([n_toks], pa.int64()),
+            "dfs": pa.array([dfs], pa.list_(pa.int64())),
+        })
+
+    parts = docs_ds.map_batches(_stats, batch_format="pyarrow",
+                                batch_size=None).take_all()
+    n_docs = int(sum(p["n"] for p in parts))
+    tot_toks = int(sum(p["toks"] for p in parts))
+    dfs = [int(sum(p["dfs"][i] for p in parts)) for i in range(len(terms))]
+    avgdl = float(tot_toks) / float(n_docs)
+    idfs = [math.log(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+    ref = ray.put((list(terms), idfs, avgdl))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ts, idf, ad = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        dl = np.fromiter((len(tl) for tl in tok_lists), dtype=np.float64,
+                         count=len(tok_lists))
+        denom_base = k1 * ((1.0 - b) + (b * dl) / ad)
+        score = np.zeros(len(texts), dtype=np.float64)
+        for t, w in zip(ts, idf):
+            tf = np.fromiter((tl.count(t) for tl in tok_lists),
+                             dtype=np.float64, count=len(tok_lists))
+            score = score + w * ((tf * (k1 + 1)) / (tf + denom_base))
+        if round_to is not None:
+            score = np.round(score, round_to)
+        return pa.table({id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                         "bm25": pa.array(score, pa.float64())})
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow",
+                               batch_size=None)
