@@ -859,6 +859,42 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+def q_rolling_value_sum(sf_dir: str) -> pa.Table:
+    """``SUM(val) OVER (... ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)``
+    per user — bounded rolling window with list-tail seeds across block
+    seams; integer measure keeps the window sum exact."""
+    import os
+
+    import ray.data
+
+    from ..stages.asof import rolling_sum
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t_us = b.column("ts").cast(pa.int64())
+        val = pc.cast(pc.subtract(
+            b.column("event_id"),
+            pc.multiply(pc.divide(b.column("event_id"), 100), 100)),
+            pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "t_us": t_us, "val": val})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = rolling_sum(ds, "user_id", ["t_us", "event_id"], "val", 4, "rsum")
+
+    def _cast(df):
+        df = df[["event_id", "user_id", "rsum"]].copy()
+        df["rsum"] = df["rsum"].astype("int64")
+        return df
+
+    out = out.map_batches(_cast, batch_format="pandas", batch_size=None)
+    return _table(out, ["event_id", "user_id", "rsum"])
+
+
 _BM25_TERMS = ("hash", "join", "filter")
 
 
@@ -1840,6 +1876,14 @@ def _oracle_sql_entries() -> dict[str, str]:
             EXCEPT
             SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24
             FROM events WHERE epoch_us(ts) >= {_MID_MONTH_US}""",
+        "rolling_value_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(event_id % 100) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS rsum
+            FROM events""",
         "lag_value_per_user": """
             SELECT event_id, user_id,
                    LAG(value) OVER (PARTITION BY user_id
@@ -2063,6 +2107,7 @@ QUERIES = {
     "dup_cluster_ids": q_dup_cluster_ids,
     "value_quantiles_cont": q_value_quantiles_cont,
     "bm25_scores": q_bm25_scores,
+    "rolling_value_sum": q_rolling_value_sum,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

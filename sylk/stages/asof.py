@@ -323,3 +323,79 @@ def lead(ds, key: str, order_cols, value_col: str, out_col: str,
         return df.drop(columns=neg)
 
     return out.map_batches(_drop, batch_format="pandas", batch_size=None)
+
+
+# --- rolling window aggregate (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW) --
+
+def rolling_sum(ds, key: str, order_cols, value_col: str, w: int,
+                out_col: str):
+    """``SUM(value) OVER (PARTITION BY key ORDER BY order ROWS BETWEEN
+    w-1 PRECEDING AND CURRENT ROW)``.
+
+    Same sorted-block two-pass shape as the carries, but the seed is a
+    LIST: each key-run's state is its last min(w-1, len) values, the
+    driver concatenates every earlier run's tail (keeping the last w-1
+    — anything deeper can never reach a later run's window) and
+    broadcasts per-run tails; pass B fixes only each run's first w-1
+    rows with suffix sums of the tail.  Integer values stay exact (the
+    pandas rolling float64 intermediate is exact below 2^53).
+
+    Seed state is O(#runs x w); the distributed alternative is the
+    same hash-join tier as `_carry_join` with the tail packed as a
+    list column (not yet needed — w is small by definition)."""
+    import ray
+
+    order_cols = list(order_cols)
+    sorted_ds = ds.sort([key] + order_cols).materialize()
+
+    def _state(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 **{c: pd.Series([], dtype=df[c].dtype)
+                                    for c in order_cols},
+                                 "_tail": pd.Series([], dtype="object")})
+        firsts = _run_key(df, key, order_cols)
+        tails = df.groupby(key, sort=False)[value_col].agg(
+            lambda s: s.to_numpy()[-(w - 1):].astype("float64").tolist()
+            if w > 1 else [])
+        firsts["_tail"] = firsts[key].map(tails)
+        return firsts
+
+    states = (sorted_ds.map_batches(_state, batch_format="pandas",
+                                    batch_size=None)
+              .to_pandas().sort_values([key] + order_cols, kind="mergesort"))
+    seed: dict = {}
+    cols = [key] + order_cols
+    for k, grp in states.groupby(key, sort=False):
+        acc = np.empty(0, dtype=np.float64)
+        for row, tail in zip(grp[cols].to_numpy(), grp["_tail"]):
+            seed[tuple(row)] = acc[len(acc) - min(len(acc), w - 1):].copy()
+            acc = np.concatenate(
+                [acc, np.asarray(tail, dtype=np.float64)])[-(max(w - 1, 1)):]
+    seed_ref = ray.put(seed)
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(**{out_col: pd.Series([], dtype="float64")})
+        lookup = ray.get(seed_ref)
+        g = df.groupby(key, sort=False)
+        rs = g[value_col].rolling(w, min_periods=1).sum().to_numpy()
+        pos = g.cumcount().to_numpy()
+        firsts = _run_key(df, key, order_cols)
+        out = rs.copy()
+        if w > 1:
+            for k, row in zip(firsts[key],
+                              firsts[[key] + order_cols].to_numpy()):
+                tail = lookup.get(tuple(row))
+                if tail is None or len(tail) == 0:
+                    continue
+                # suffix sums: ss[j] = sum of the last j tail values
+                ss = np.concatenate(([0.0], np.cumsum(tail[::-1])))
+                mask = (df[key] == k).to_numpy()
+                p = pos[mask]
+                need = np.minimum(np.maximum(w - 1 - p, 0), len(tail))
+                out[mask] = out[mask] + ss[need]
+        return df.assign(**{out_col: out})
+
+    return sorted_ds.map_batches(_fill, batch_format="pandas",
+                                 batch_size=None)

@@ -66,3 +66,17 @@ def test_entry_smoke(ray_session):
     df = e.entry()
     assert list(df.columns) == ["route", "route_key", "n"]
     assert len(df) > 0 and df.n.sum() > 0
+
+
+def test_driver_window_all_oracle_backed():
+    """The graft driver records correctness for only the FIRST 50
+    queries() keys — every one of those must have an exact SQL oracle
+    (registry-order regression guard; conformance must sit early)."""
+    import __ray_entry__ as e
+
+    q = list(e.queries())
+    o = e.oracle_sql()
+    head = q[:50]
+    missing = [k for k in head if k not in o]
+    assert missing == [], missing
+    assert "conformance" in head[:10]

@@ -154,3 +154,25 @@ def test_lag_distributed_equals_broadcast(ray_session):
     b = base.sort_values(key).reset_index(drop=True)
     d = dist.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(b, d[b.columns], check_dtype=False)
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    """Hot key across 16 blocks: the w-row window must sum exactly
+    across block seams (seed tails)."""
+    import ray.data
+
+    from sylk.stages.asof import rolling_sum
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"k": rng.integers(0, 3, 800), "o": np.arange(800),
+                       "v": rng.integers(0, 100, 800)})
+    for w in (1, 2, 4, 7):
+        ds = ray.data.from_pandas(df).repartition(16)
+        got = rolling_sum(ds, "k", ["o"], "v", w, "rs").to_pandas() \
+            .sort_values("o").reset_index(drop=True)
+        exp = df.sort_values(["k", "o"]).groupby("k")["v"] \
+            .rolling(w, min_periods=1).sum().droplevel(0) \
+            .reindex(df.index)
+        pd.testing.assert_series_equal(
+            got.set_index("o")["rs"].reindex(df.o).reset_index(drop=True),
+            exp.reset_index(drop=True), check_names=False)
