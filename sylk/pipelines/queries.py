@@ -859,6 +859,39 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+def q_repeat_suppressed_msgs(sf_dir: str) -> pa.Table:
+    """syslogd "last message repeated k times" suppression over the
+    parsed stream: keep only rows whose msg differs from the host's
+    previous message (timestamp+turn order) — consecutive_dedup with a
+    STRING value carried across block seams."""
+    out = consecutive_dedup_from_parsed(sf_dir)
+    return _table(out, ["turn_idx", "hostname", "msg"])
+
+
+def consecutive_dedup_from_parsed(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.asof import consecutive_dedup
+
+    parsed = _ok(_parsed(sf_dir))
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t_us = pc.add(pc.multiply(b.column("timestamp"), 1_000_000),
+                      pc.divide(b.column("timestamp_nanos"), 1000))
+        return pa.table({"turn_idx": b.column("turn_idx").cast(pa.int64()),
+                         "hostname": b.column("hostname"),
+                         "msg": b.column("msg"),
+                         "t_us": pc.cast(t_us, pa.int64())})
+
+    ds = parsed.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = consecutive_dedup(ds, "hostname", ["t_us", "turn_idx"], "msg")
+
+    def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["turn_idx", "hostname", "msg"]]
+
+    return out.map_batches(_proj, batch_format="pandas", batch_size=None)
+
+
 def q_rolling_value_sum(sf_dir: str) -> pa.Table:
     """``SUM(val) OVER (... ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)``
     per user — bounded rolling window with list-tail seeds across block
@@ -1876,6 +1909,19 @@ def _oracle_sql_entries() -> dict[str, str]:
             EXCEPT
             SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24
             FROM events WHERE epoch_us(ts) >= {_MID_MONTH_US}""",
+        "repeat_suppressed_msgs": f"""
+            WITH p AS (
+                SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                       {_HOST} AS hostname,
+                       'evt k=' || CAST(event_id % 7 AS VARCHAR) AS msg,
+                       epoch_us(ts) AS t_us
+                FROM events WHERE {_OK}),
+            l AS (SELECT *, LAG(msg) OVER (PARTITION BY hostname
+                                           ORDER BY t_us, turn_idx)
+                              AS prev_msg
+                  FROM p)
+            SELECT turn_idx, hostname, msg FROM l
+            WHERE prev_msg IS NULL OR prev_msg <> msg""",
         "rolling_value_sum": """
             SELECT event_id, user_id,
                    CAST(SUM(event_id % 100) OVER (
@@ -2108,6 +2154,7 @@ QUERIES = {
     "value_quantiles_cont": q_value_quantiles_cont,
     "bm25_scores": q_bm25_scores,
     "rolling_value_sum": q_rolling_value_sum,
+    "repeat_suppressed_msgs": q_repeat_suppressed_msgs,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -399,3 +399,55 @@ def rolling_sum(ds, key: str, order_cols, value_col: str, w: int,
 
     return sorted_ds.map_batches(_fill, batch_format="pandas",
                                  batch_size=None)
+
+
+# --- consecutive-duplicate suppression --------------------------------------
+
+def consecutive_dedup(ds, key: str, order_cols, value_col: str):
+    """Keep only rows that START a run of equal consecutive
+    ``value_col`` values within each key's ordered stream — the syslog
+    daemon's "last message repeated k times" suppression, as a dataflow
+    operator.  Values may be any comparable dtype (strings included);
+    the seed is the previous run's last value verbatim."""
+    import ray
+
+    order_cols = list(order_cols)
+    sorted_ds = ds.sort([key] + order_cols).materialize()
+
+    def _state(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 **{c: pd.Series([], dtype=df[c].dtype)
+                                    for c in order_cols},
+                                 "_lastval": pd.Series([], dtype="object")})
+        firsts = _run_key(df, key, order_cols)
+        lastrows = df.drop_duplicates(subset=[key], keep="last")
+        firsts["_lastval"] = firsts[key].map(
+            lastrows.set_index(key)[value_col])
+        return firsts
+
+    states = (sorted_ds.map_batches(_state, batch_format="pandas",
+                                    batch_size=None)
+              .to_pandas().sort_values([key] + order_cols, kind="mergesort"))
+    states["_seed"] = states.groupby(key, sort=False)["_lastval"].shift()
+    cols = [key] + order_cols
+    seed = dict(zip(map(tuple, states[cols].to_numpy()), states["_seed"]))
+    seed_ref = ray.put(seed)
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        lookup = ray.get(seed_ref)
+        g = df.groupby(key, sort=False)
+        prev = g[value_col].shift()
+        first_mask = ~df[key].duplicated()
+        firsts = _run_key(df, key, order_cols)
+        run_seed = {k: lookup.get(tuple(row))
+                    for k, row in zip(firsts[key],
+                                      firsts[[key] + order_cols].to_numpy())}
+        prev = prev.where(~first_mask, df[key].map(run_seed))
+        keep = prev.isna() | (prev != df[value_col])
+        return df[keep]
+
+    return sorted_ds.map_batches(_fill, batch_format="pandas",
+                                 batch_size=None)
