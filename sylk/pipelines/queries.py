@@ -532,6 +532,31 @@ def q_top_apps_per_host(sf_dir: str) -> pa.Table:
     return _table(out, ["hostname", "appname", "n", "rank"])
 
 
+def q_doclen_quantiles_cont(sf_dir: str) -> pa.Table:
+    """INTERPOLATED per-language length quantiles — the same
+    distributed histogram with the percentile_cont lerp finish
+    (doubles; DuckDB Interpolate op order)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_quantiles
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["lang", "n_chars"])
+    out = grouped_quantiles(docs, "lang", "n_chars", [0.5, 0.9, 0.99],
+                            ["p50", "p90", "p99"], cont=True)
+
+    def _f64(df):
+        for c in ("p50", "p90", "p99"):
+            df[c] = df[c].astype("float64")
+        return df
+
+    out = out.map_batches(_f64, batch_format="pandas", batch_size=None)
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.select(["lang", "p50", "p90", "p99"])
+
+
 def q_doclen_quantiles(sf_dir: str) -> pa.Table:
     """EXACT per-language length quantiles (p50/p90/p99) via the
     distributed histogram: shuffle payload = distinct (lang, n_chars)
@@ -857,6 +882,38 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     out = grouped_centroid_sums(
         emb.map_batches(_lab64, batch_format="pyarrow", batch_size=None))
     return _table(out, ["label", "dim", "sum_q", "n"])
+
+
+def q_event_seq_per_user(sf_dir: str) -> pa.Table:
+    """``ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` — the unit-measure special case of the additive carry
+    (running_total with val=1), integer-exact across seams."""
+    import os
+
+    import ray.data
+
+    from ..stages.asof import running_total
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "t_us": b.column("ts").cast(pa.int64()),
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = running_total(ds, "user_id", ["t_us", "event_id"], "one", "rn")
+
+    def _cast(df):
+        df = df[["event_id", "user_id", "rn"]].copy()
+        df["rn"] = df["rn"].astype("int64")
+        return df
+
+    out = out.map_batches(_cast, batch_format="pandas", batch_size=None)
+    return _table(out, ["event_id", "user_id", "rn"])
 
 
 def q_repeat_suppressed_msgs(sf_dir: str) -> pa.Table:
@@ -1856,6 +1913,12 @@ def _oracle_sql_entries() -> dict[str, str]:
                    quantile_disc(n_chars, 0.9) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents GROUP BY 1""",
+        "doclen_quantiles_cont": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents GROUP BY 1""",
         "exact_distinct_hosts": f"""
             SELECT COUNT(DISTINCT {_HOST}) AS n_hosts
             FROM events WHERE {_OK}""",
@@ -1909,6 +1972,11 @@ def _oracle_sql_entries() -> dict[str, str]:
             EXCEPT
             SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24
             FROM events WHERE epoch_us(ts) >= {_MID_MONTH_US}""",
+        "event_seq_per_user": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+            FROM events""",
         "repeat_suppressed_msgs": f"""
             WITH p AS (
                 SELECT CAST(event_id AS BIGINT) AS turn_idx,
@@ -2155,6 +2223,8 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "rolling_value_sum": q_rolling_value_sum,
     "repeat_suppressed_msgs": q_repeat_suppressed_msgs,
+    "event_seq_per_user": q_event_seq_per_user,
+    "doclen_quantiles_cont": q_doclen_quantiles_cont,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

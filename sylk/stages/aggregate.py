@@ -223,7 +223,7 @@ def topk_per_group(counts_ds, group_keys, order_col: str, k: int,
 
 
 def grouped_quantiles(ds, key: str, value_col: str, qs, out_names,
-                      pre_grouped: bool = False):
+                      pre_grouped: bool = False, cont: bool = False):
     """EXACT distributed discrete quantiles per group over a
     bounded-domain value column, as a two-phase histogram: per-block
     pyarrow ``group_by(key, value)`` count partials (the only shuffle
@@ -264,8 +264,20 @@ def grouped_quantiles(ds, key: str, value_col: str, qs, out_names,
         vals = g[value_col].to_numpy()
         row = {key: g[key].iloc[0]}
         for q, name in zip(qs, out_names):
-            rank = max(1, math.ceil(q * total))
-            row[name] = vals[int(np.searchsorted(c, rank, side="left"))]
+            if cont:
+                # percentile_cont: h = q*(n-1), lerp v1*(1-f) + v2*f —
+                # DuckDB's Interpolate op order (probe-verified in
+                # selection.distributed_quantiles_cont)
+                h = q * (total - 1)
+                lo = int(math.floor(h))
+                frac = h - lo
+                v1 = vals[int(np.searchsorted(c, lo + 1, side="left"))]
+                v2 = vals[int(np.searchsorted(c, min(lo + 2, total),
+                                              side="left"))]
+                row[name] = float(v1) * (1 - frac) + float(v2) * frac
+            else:
+                rank = max(1, math.ceil(q * total))
+                row[name] = vals[int(np.searchsorted(c, rank, side="left"))]
         return pd.DataFrame([row])
 
     return hist.groupby(key).map_groups(_q, batch_format="pandas")
