@@ -884,6 +884,39 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+def q_doc_token_positions(sf_dir: str) -> pa.Table:
+    """Explode/unnest (posexplode): one output row per (doc, position,
+    token) — the vectorized map_batches form of ``Dataset.flat_map``
+    (numpy repeat over token-run lengths, no per-row Python).  Bounded
+    to doc_id < 50 so the oracle compare stays small."""
+    import os
+
+    import ray.data
+
+    docs = (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                  columns=["doc_id", "text"])
+            .filter(expr="doc_id < 50"))
+
+    def _explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+            if len(lens) else np.array([], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens).astype(np.int64)),
+            "pos": pa.array(pos, pa.int64()),
+            "token": pa.array([w for tl in tok_lists for w in tl],
+                              pa.string()),
+        })
+
+    out = docs.map_batches(_explode, batch_format="pyarrow",
+                           batch_size=None)
+    return _table(out, ["doc_id", "pos", "token"])
+
+
 def q_event_seq_per_user(sf_dir: str) -> pa.Table:
     """``ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts,
     event_id)`` — the unit-measure special case of the additive carry
@@ -1972,6 +2005,14 @@ def _oracle_sql_entries() -> dict[str, str]:
             EXCEPT
             SELECT user_id, (epoch_us(ts) // {_HOUR_US}) % 24
             FROM events WHERE epoch_us(ts) >= {_MID_MONTH_US}""",
+        "doc_token_positions": r"""
+            SELECT doc_id,
+                   CAST(unnest(range(len(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')))) AS BIGINT) AS pos,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 50""",
         "event_seq_per_user": """
             SELECT event_id, user_id,
                    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
@@ -2225,6 +2266,7 @@ QUERIES = {
     "repeat_suppressed_msgs": q_repeat_suppressed_msgs,
     "event_seq_per_user": q_event_seq_per_user,
     "doclen_quantiles_cont": q_doclen_quantiles_cont,
+    "doc_token_positions": q_doc_token_positions,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)
