@@ -884,6 +884,17 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+def q_sink_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(facility, severity): all 4 grouping sets from one
+    partial pass, every coarser set reduced from the finest already-
+    reduced level (aggregate.cube_counts)."""
+    from ..stages.aggregate import cube_counts
+
+    out = cube_counts(_parsed(sf_dir), ["facility", "severity"],
+                      ok_filter=True)
+    return _table(out, ["facility", "severity", "n"])
+
+
 def q_doc_token_positions(sf_dir: str) -> pa.Table:
     """Explode/unnest (posexplode): one output row per (doc, position,
     token) — the vectorized map_batches form of ``Dataset.flat_map``
@@ -1919,6 +1930,11 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST({_SEV} AS BIGINT) AS severity, COUNT(*) AS n
             FROM events WHERE {_OK}
             GROUP BY ROLLUP(facility, severity)""",
+        "sink_cube": f"""
+            SELECT CAST({_FAC} AS BIGINT) AS facility,
+                   CAST({_SEV} AS BIGINT) AS severity, COUNT(*) AS n
+            FROM events WHERE {_OK}
+            GROUP BY CUBE(facility, severity)""",
         "user_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t
                        FROM events),
@@ -2267,6 +2283,7 @@ QUERIES = {
     "event_seq_per_user": q_event_seq_per_user,
     "doclen_quantiles_cont": q_doclen_quantiles_cont,
     "doc_token_positions": q_doc_token_positions,
+    "sink_cube": q_sink_cube,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

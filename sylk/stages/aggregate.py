@@ -405,3 +405,46 @@ def rollup_counts(parsed_ds, keys, ok_filter: bool | None = True):
     for lv in levels[1:]:
         out = out.union(lv)
     return out.union(grand)
+
+
+def cube_counts(parsed_ds, keys, ok_filter: bool | None = True):
+    """GROUP BY CUBE(keys): counts for EVERY subset of ``keys`` (2^k
+    grouping sets), absent columns null — same one-partial-pass shape
+    as :func:`rollup_counts`, every coarser set reduced from the finest
+    already-tiny level, never from the corpus."""
+    import itertools
+
+    import ray.data
+
+    keys = list(keys)
+    partials = parsed_ds.map_batches(
+        lambda b: _partial_counts(b, keys, ok_filter),
+        batch_format="pyarrow", batch_size=None)
+
+    def _cast_level(level_keys):
+        def _c(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = b.column(k).cast(pa.int64())
+                else:
+                    cols[k] = pa.nulls(n, pa.int64())
+            cols["n"] = b.column("n").cast(pa.int64())
+            return pa.table(cols)
+        return _c
+
+    finest = (partials.groupby(keys).aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    out = finest.map_batches(_cast_level(keys), batch_format="pyarrow")
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in itertools.combinations(keys, r):
+            lv = finest.groupby(list(subset)).aggregate(
+                Sum("n", alias_name="n"))
+            out = out.union(lv.map_batches(_cast_level(set(subset)),
+                                           batch_format="pyarrow"))
+    total = finest.aggregate(Sum("n", alias_name="n"))["n"] or 0
+    grand = ray.data.from_arrow(pa.table(
+        {**{k: pa.nulls(1, pa.int64()) for k in keys},
+         "n": pa.array([total], pa.int64())}))
+    return out.union(grand)
