@@ -3,13 +3,16 @@ from .enrich import Enricher  # noqa: F401
 
 # operator families (imported lazily by most callers; re-exported here
 # as the discoverable API surface)
-from .aggregate import (grouped_counts, grouped_quantiles,  # noqa: F401
-                        latest_per_key, rollup_counts,
+from .aggregate import (cube_counts, grouped_counts,  # noqa: F401
+                        grouped_quantiles, latest_per_key, rollup_counts,
                         sliding_window_counts, topk_per_group)
-from .asof import fill_forward, lag, lead, running_total  # noqa: F401
+from .asof import (consecutive_dedup, fill_forward, lag, lead,  # noqa: F401
+                   rolling_sum, running_total)
 from .temporal import asof_join_value, range_join  # noqa: F401
 from .join import (anti_join, bloom_semi_join, broadcast_join,  # noqa: F401
-                   bucketed_join, bucketed_write, hash_join, semi_join)
+                   bucketed_join, bucketed_write, except_distinct,
+                   hash_join, intersect_distinct, semi_join)
 from .sample import (deterministic_sample, group_reservoir,  # noqa: F401
                      stratified_sample)
 from .sessionize import gap_sessions, sessionize  # noqa: F401
+from .dedup import connected_components  # noqa: F401
