@@ -433,7 +433,11 @@ def _coarse_grouped_pairs(rows_ds, key_fn, pairs_fn):
     from ..functions.hashing import mix64
 
     n = rows_ds.count()
-    n_groups = max(32, min(1024, n // _COARSE_GROUP_ROWS + 1))
+    # cap bounds the hash-shuffle partition count; beyond it per-group
+    # rows grow linearly with the corpus (lexsort holds one group in a
+    # worker heap — at 2M rows/group the cap supports ~8x10^9 index
+    # rows; shard by band first if a corpus ever exceeds that)
+    n_groups = max(32, min(4096, n // _COARSE_GROUP_ROWS + 1))
 
     def _add_pkey(b: pa.Table) -> pa.Table:
         key = key_fn(b)
