@@ -1285,6 +1285,43 @@ def q_region_rollup(sf_dir: str) -> pa.Table:
     return _table(out, ["r_name", "c_mktsegment", "n_orders", "revenue_cents"])
 
 
+def q_supplier_brand_revenue(sf_dir: str) -> pa.Table:
+    """3-dim star enrich over the previously-untouched supplier/part
+    tables: lineitem streams against broadcast supplier->nation and
+    part dims, two-phase rollup of discounted revenue per (supplier
+    nation, part brand) — exact int64 cents via the shared
+    floor(x+0.5) pattern."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.join import broadcast_join, cents_column, grouped_agg
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    sdim = (supp.join(nat, keys=["s_nationkey"], right_keys=["n_nationkey"],
+                      join_type="inner")
+                .select(["s_suppkey", "n_name"]))
+    pdim = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
+    j = broadcast_join(li, sdim, on=["l_suppkey"], right_on=["s_suppkey"])
+    j = broadcast_join(j, pdim, on=["l_partkey"], right_on=["p_partkey"])
+    j = j.map_batches(
+        lambda b: cents_column(b, "revenue_cents",
+                               ["l_extendedprice", "l_discount"],
+                               lambda ep, d: ep * (1.0 - d) * 100.0),
+        batch_format="pyarrow", batch_size=None)
+    out = grouped_agg(j, ["n_name", "p_brand"], ["revenue_cents"],
+                      count_name="n_items")
+    return _table(out, ["n_name", "p_brand", "n_items", "revenue_cents"])
+
+
 def q_priority_join_rollup(sf_dir: str) -> pa.Table:
     """Fact-fact distributed hash join: lineitem x orders on orderkey —
     both sides large, so hash-partitioned ``Dataset.join`` (one exchange
@@ -1930,6 +1967,17 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST({_SEV} AS BIGINT) AS severity, COUNT(*) AS n
             FROM events WHERE {_OK}
             GROUP BY ROLLUP(facility, severity)""",
+        "supplier_brand_revenue": """
+            SELECT n_name, p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(
+                       l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN part ON p_partkey = l_partkey
+            GROUP BY 1, 2""",
         "sink_cube": f"""
             SELECT CAST({_FAC} AS BIGINT) AS facility,
                    CAST({_SEV} AS BIGINT) AS severity, COUNT(*) AS n
@@ -2284,6 +2332,7 @@ QUERIES = {
     "doclen_quantiles_cont": q_doclen_quantiles_cont,
     "doc_token_positions": q_doc_token_positions,
     "sink_cube": q_sink_cube,
+    "supplier_brand_revenue": q_supplier_brand_revenue,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)
