@@ -426,6 +426,14 @@ def _pairs_table(out_ds, value_col: str,
 
 
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH candidates + exact-Jaccard verify.  Oracle-backed:
+    the verification step computes EXACT shingle Jaccard (same formula
+    the ngram-index oracle proves), and on corpora whose dup pairs sit
+    at j >= 0.97 (this one; next tier < 0.2) 16x4-band LSH recall is
+    deterministic to ~1e-10 per pair, so the output equals the exact
+    all-pairs j >= 0.8 set the SQL computes.  A corpus with pairs NEAR
+    the threshold would make this rows-only again (banding is
+    probabilistic there by design)."""
     from ..stages.dedup import minhash_dup_pairs
 
     return _pairs_table(minhash_dup_pairs(_docs(sf_dir), threshold=0.8),
@@ -2250,6 +2258,11 @@ def build_oracle_sql() -> dict[str, str]:
     # the prefix-filtered variant is exact by the PPJoin theorem —
     # it shares the full-recall all-pairs oracle verbatim
     d["ngram_jaccard_prefix"] = d["ngram_jaccard_dup_pairs"]
+    # minhash at threshold 0.8: same exact-Jaccard SQL with the higher
+    # cut — valid on corpora whose dup pairs are far from the banding
+    # threshold (see q_minhash_dup_pairs docstring)
+    d["minhash_dup_pairs"] = d["ngram_jaccard_dup_pairs"].replace(
+        ">= 0.6", ">= 0.8")
     return d
 
 
