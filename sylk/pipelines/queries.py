@@ -1522,9 +1522,13 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
 
 def q_heavy_hitter_hosts(sf_dir: str) -> pa.Table:
     """Count-min heavy hitters over parsed hostnames — one streaming
-    pass, mergeable 128-KiB sketch partials + per-block candidate tops
-    (rows-only: CM estimates overcount by design; the error bound and
-    never-undercount invariants are pytest-pinned in test_sketch)."""
+    pass, mergeable 128-KiB sketch partials + per-block candidate tops.
+    Oracle-backed HERE because at 50 distinct hosts in 4x16384 CM
+    buckets a full-row collision is (50 choose 2) x 16384^-4 ~ 1e-14,
+    so every estimate equals the exact count and the top-10 (est DESC,
+    hostname ASC) matches SQL exactly; a high-cardinality column would
+    make this rows-only again (CM overcounts by design — the error
+    bound and never-undercount invariants stay pytest-pinned)."""
     from ..stages.sketch import heavy_hitters
 
     hh = heavy_hitters(_ok(_parsed(sf_dir)).select_columns(["hostname"]),
@@ -2027,6 +2031,14 @@ def _oracle_sql_entries() -> dict[str, str]:
         "exact_distinct_hosts": f"""
             SELECT COUNT(DISTINCT {_HOST}) AS n_hosts
             FROM events WHERE {_OK}""",
+        # valid because CM estimates are collision-free at this key
+        # cardinality — see q_heavy_hitter_hosts
+        "heavy_hitter_hosts": f"""
+            SELECT hostname, CAST(COUNT(*) AS BIGINT) AS est
+            FROM (SELECT {_HOST} AS hostname FROM events WHERE {_OK})
+            GROUP BY hostname
+            ORDER BY est DESC, hostname
+            LIMIT 10""",
         # the HLL estimate is not SQL-expressible, but the query's
         # within-3-sigma assertion and exact companion count are —
         # see q_approx_distinct_hosts
