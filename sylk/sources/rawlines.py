@@ -38,3 +38,35 @@ def read_syslog_lines(paths, include_line_hash: bool = False):
                                                   pa.int64()))
 
     return ds.map_batches(_stamp, batch_format="pyarrow", batch_size=None)
+
+
+def read_syslog_lines_gz(paths):
+    """Gzip-compressed ``.log.gz`` files of raw RFC 5424 lines — the
+    shape rotated syslog archives actually ship in.  Same output as
+    :func:`read_syslog_lines`; decompression streams inside the read
+    tasks (``arrow_open_stream_args``), never on the driver."""
+    import ray.data
+
+    return ray.data.read_text(
+        paths, drop_empty_lines=False,
+        arrow_open_stream_args={"compression": "gzip"})
+
+
+def read_events_jsonl(paths):
+    """Newline-delimited-JSON events source (the export format most log
+    shippers emit): one JSON object per line with the events-table
+    fields; ``ts`` arrives as ISO-8601 text and is restored to
+    timestamp[us] so the transcript/parse chain runs unchanged."""
+    import ray.data
+
+    ds = ray.data.read_json(paths)
+
+    def _restore(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        if not pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        idx = b.schema.get_field_index("ts")
+        return b.set_column(idx, "ts", ts)
+
+    return ds.map_batches(_restore, batch_format="pyarrow",
+                          batch_size=None)

@@ -248,3 +248,62 @@ def test_flagship_text_format(ray_session, tmp_path):
                       input_format="text")
     assert s2["units_skipped"] == 2 and s2["rows"] == 2000
     assert s1["sink_counts"] == s2["sink_counts"]
+
+
+def test_gzip_lines_parity(ray_session, tmp_path):
+    """Gzip-compressed .log.gz parses identically to the plain text
+    source (decompression streams inside read tasks)."""
+    import gzip
+
+    import pandas as pd
+
+    from sylk.sources.rawlines import read_syslog_lines, read_syslog_lines_gz
+    from sylk.sources.transcripts import synth_batch
+    from sylk.stages.parse import parse_batch
+
+    lines = synth_batch(np.arange(300, dtype=np.int64)).column("text").to_pylist()
+    plain = tmp_path / "a.log"
+    plain.write_text("\n".join(lines) + "\n")
+    gz = tmp_path / "a.log.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    p1 = read_syslog_lines([str(plain)]).map_batches(
+        parse_batch, batch_format="pyarrow").to_pandas()
+    p2 = read_syslog_lines_gz([str(gz)]).map_batches(
+        parse_batch, batch_format="pyarrow").to_pandas()
+    key = ["text"]
+    pd.testing.assert_frame_equal(
+        p1.sort_values(key).reset_index(drop=True),
+        p2.sort_values(key).reset_index(drop=True))
+
+
+def test_jsonl_events_parity(ray_session, tmp_path):
+    """NDJSON events feed the transcript->parse chain identically to
+    parquet events (ts restored to timestamp[us])."""
+    import json
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sylk.sources.rawlines import read_events_jsonl
+    from sylk.sources.transcripts import events_to_transcripts
+    from sylk.stages.parse import parse_batch
+
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    rows = tbl.to_pylist()
+    jl = tmp_path / "events.jsonl"
+    with open(jl, "w") as f:
+        for r in rows:
+            r["ts"] = r["ts"].isoformat()
+            f.write(json.dumps(r) + "\n")
+    ds = read_events_jsonl([str(jl)])
+    parsed_j = ds.map_batches(events_to_transcripts, batch_format="pandas") \
+        .map_batches(parse_batch, batch_format="pyarrow").to_pandas()
+    import ray.data
+    parsed_p = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet") \
+        .map_batches(events_to_transcripts, batch_format="pandas") \
+        .map_batches(parse_batch, batch_format="pyarrow").to_pandas()
+    key = ["turn_idx"]
+    pd.testing.assert_frame_equal(
+        parsed_j.sort_values(key).reset_index(drop=True),
+        parsed_p.sort_values(key).reset_index(drop=True))
