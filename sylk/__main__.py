@@ -29,7 +29,7 @@ def main(argv=None) -> int:
     run.add_argument("--files-per-unit", type=int, default=16)
     run.add_argument("--concurrent-units", type=int, default=2)
     run.add_argument("--num-cpus", type=int, default=None)
-    run.add_argument("--format", choices=("parquet", "text"),
+    run.add_argument("--format", choices=("parquet", "text", "text_gz"),
                      default="parquet",
                      help="input shards: transcript parquet or raw .log lines")
 

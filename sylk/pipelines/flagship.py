@@ -168,6 +168,11 @@ def run_flagship(
         if input_format == "text":
             # raw RFC 5424 line files (the crate's native input shape)
             ds = ray.data.read_text(files, drop_empty_lines=False)
+        elif input_format == "text_gz":
+            # rotated syslog archives; decompression streams in-task
+            from ..sources.rawlines import read_syslog_lines_gz
+
+            ds = read_syslog_lines_gz(files)
         else:
             ds = ray.data.read_parquet(files, override_num_blocks=len(files))
         parsed = parse_enrich(ds, enrich_concurrency)

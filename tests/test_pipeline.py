@@ -307,3 +307,28 @@ def test_jsonl_events_parity(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         parsed_j.sort_values(key).reset_index(drop=True),
         parsed_p.sort_values(key).reset_index(drop=True))
+
+
+def test_flagship_text_gz_format(ray_session, tmp_path):
+    """run_flagship over gzip .log.gz shards produces the same sink
+    counts as plain text shards of the same lines."""
+    import gzip
+
+    import numpy as np
+
+    from sylk.pipelines.flagship import run_flagship
+    from sylk.sources.transcripts import synth_batch
+
+    t = synth_batch(np.arange(1000, dtype=np.int64))
+    lines = t.column("text").to_pylist()
+    plain = tmp_path / "s.log"
+    plain.write_text("\n".join(lines) + "\n")
+    gz = tmp_path / "s.log.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    s1 = run_flagship([str(plain)], str(tmp_path / "o1"), files_per_unit=1,
+                      concurrent_units=1, input_format="text")
+    s2 = run_flagship([str(gz)], str(tmp_path / "o2"), files_per_unit=1,
+                      concurrent_units=1, input_format="text_gz")
+    assert s1["rows"] == s2["rows"] == 1000
+    assert s1["sink_counts"] == s2["sink_counts"]
