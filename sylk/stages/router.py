@@ -72,3 +72,32 @@ def route_and_write(parsed_ds, out_dir: str, by_sink: bool = True, **write_kwarg
         ds = ds.sort("route_id")
     ds.write_parquet(out_dir, partition_cols=["route", "route_key"], **write_kwargs)
     return out_dir
+
+
+def route_and_write_jsonl(parsed_ds, out_dir: str, by_sink: bool = True):
+    """Routed fan-out to newline-delimited JSON sinks — the shape a
+    downstream log consumer (the crate's serde surface) ingests
+    directly.  Same Hive layout and range-partition-by-sink policy as
+    the parquet sink (this Ray version's ``write_json`` lacks
+    ``partition_cols``, so each task writes its block's few route
+    groups itself — the pre-sort keeps groups-per-block O(1)).  Use
+    :func:`route_and_write` when the consumer is columnar (parquet
+    footers also power the manifest metrics)."""
+    import os
+    import uuid
+
+    ds = parsed_ds.map_batches(add_route_columns, batch_format="pyarrow")
+    if by_sink:
+        ds = ds.sort("route_id")
+
+    def _write(df) -> "pa.Table":
+        for (r, k), g in df.groupby(["route", "route_key"], sort=False):
+            d = os.path.join(out_dir, f"route={r}", f"route_key={k}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{uuid.uuid4().hex}.json")
+            g.drop(columns=["route", "route_key", "route_id"]).to_json(
+                path, orient="records", lines=True)
+        return pa.table({"n": pa.array([len(df)], pa.int64())})
+
+    ds.map_batches(_write, batch_format="pandas", batch_size=None).count()
+    return out_dir

@@ -51,3 +51,44 @@ def test_mixed_batch_clusters_by_id():
     for i in range(1, len(pairs) - 1):
         if pairs[i - 1] == pairs[i + 1]:
             assert pairs[i] == pairs[i - 1]
+
+
+def test_routed_jsonl_matches_parquet(ray_session, tmp_path):
+    """The JSONL sink writes the same routed rows in the same Hive
+    layout as the parquet sink."""
+    import glob
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from sylk.pipelines.flagship import parse_enrich
+    from sylk.sources.transcripts import synth_batch
+    from sylk.stages.router import route_and_write, route_and_write_jsonl
+
+    t = synth_batch(np.arange(500, dtype=np.int64))
+    parsed = parse_enrich(ray.data.from_arrow(t).repartition(4))
+    route_and_write(parsed, str(tmp_path / "pq"))
+    parsed2 = parse_enrich(ray.data.from_arrow(t).repartition(4))
+    route_and_write_jsonl(parsed2, str(tmp_path / "js"))
+
+    pq_files = glob.glob(str(tmp_path / "pq" / "**" / "*.parquet"),
+                         recursive=True)
+    js_files = glob.glob(str(tmp_path / "js" / "**" / "*.json"),
+                         recursive=True)
+    assert js_files, "json sink wrote nothing"
+    pq_rows = ray.data.read_parquet(pq_files).to_pandas()
+    js_rows = pd.DataFrame([json.loads(line)
+                            for f in js_files for line in open(f)])
+    assert len(pq_rows) == len(js_rows) == 500
+    key = ["turn_idx"]
+    a = pq_rows.sort_values(key).reset_index(drop=True)
+    b = js_rows.sort_values(key).reset_index(drop=True)
+    for col in ("hostname", "msg", "sd", "severity", "facility"):
+        assert a[col].fillna("~").astype(str).tolist() == \
+            b[col].fillna("~").astype(str).tolist(), col
+    # Hive dirs agree
+    pq_dirs = {f.split("/pq/")[1].rsplit("/", 1)[0] for f in pq_files}
+    js_dirs = {f.split("/js/")[1].rsplit("/", 1)[0] for f in js_files}
+    assert pq_dirs == js_dirs
