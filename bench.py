@@ -152,6 +152,15 @@ def bench_join_rollup(_files) -> dict:
     return {"rows": t.num_rows}
 
 
+def bench_asof_join(_files) -> dict:
+    """Temporal as-of join (tagged-union fill-forward carry) over the
+    events table — the round-3 operator family's headline."""
+    from sylk.pipelines.queries import q_asof_purchase_value
+
+    t = q_asof_purchase_value(SF_DIR)
+    return {"rows": t.num_rows}
+
+
 BENCHES = {
     "flagship": bench_flagship,
     "parse_agg": bench_parse_agg,
@@ -159,6 +168,7 @@ BENCHES = {
     "minhash_dedup": bench_minhash_dedup,
     "ann_bruteforce": bench_ann,
     "join_rollup": bench_join_rollup,
+    "asof_join": bench_asof_join,
 }
 
 
