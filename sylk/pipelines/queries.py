@@ -67,6 +67,16 @@ _I64 = {
     "p50": pa.int64(),
     "p90": pa.int64(),
     "p99": pa.int64(),
+    "doc_id": pa.int64(),
+    "n_emails": pa.int64(),
+    "n_ipv4": pa.int64(),
+    "n_hit": pa.int64(),
+    "n_2grams": pa.int64(),
+    "distinct_2grams": pa.int64(),
+    "top_2gram_count": pa.int64(),
+    "n_rows": pa.int64(),
+    "n_null": pa.int64(),
+    "n_distinct": pa.int64(),
 }
 
 
@@ -335,6 +345,97 @@ def q_lang_id(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow", concurrency=2)
     cols = ["doc_id", "lang_pred", "lang_conf"]
     return _table(ds.select_columns(cols), cols)
+
+
+# --- curation family (documents) -------------------------------------------
+
+def _augment_pii(batch: pa.Table) -> pa.Table:
+    """Deterministically append synthetic PII to each doc (the corpus is
+    prose, so the redaction demo needs material): one email and one
+    dotted-quad derived from doc_id — identical construction in the SQL
+    oracle."""
+    import pyarrow.compute as pc
+
+    ids = pc.cast(batch.column("doc_id"), pa.int64())
+    s = lambda x: pc.cast(x, pa.string())  # noqa: E731
+    aug = pc.binary_join_element_wise(
+        batch.column("text"), " contact=u", s(ids), "@ex",
+        s(pc.bit_wise_and(ids, 7)), ".org src=10.",
+        s(pc.bit_wise_and(ids, 255)), ".0.",
+        s(pc.bit_wise_and(ids, 127)), " end", "")
+    return batch.set_column(batch.schema.get_field_index("text"),
+                            "text", aug)
+
+
+def q_pii_redaction(sf_dir: str) -> pa.Table:
+    from ..stages.curate import redact_pii_batch
+
+    ds = (_docs(sf_dir)
+          .map_batches(_augment_pii, batch_format="pyarrow")
+          .map_batches(redact_pii_batch, batch_format="pyarrow"))
+    cols = ["doc_id", "n_emails", "n_ipv4", "redacted"]
+    return _table(ds.select_columns(cols), cols)
+
+
+def q_decontaminate_docs(sf_dir: str) -> pa.Table:
+    """Eval-set decontamination: docs sharing any word 8-gram with the
+    'benchmark' slice (doc_id % 29 == 0), with the distinct-shingle hit
+    count.  Benchmark docs themselves are excluded from the output."""
+    import pyarrow.compute as pc
+
+    from ..stages.curate import decontaminate
+
+    def _slice(bench_side: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+            is_bench = pc.equal(_mod(ids, 29), 0)
+            return b.filter(is_bench if bench_side else
+                            pc.invert(is_bench))
+        return fn
+
+    def _mod(arr, m):
+        return pc.subtract(arr, pc.multiply(
+            pc.divide(arr, m), pa.scalar(m, pa.int64())))
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_slice(False), batch_format="pyarrow")
+    out = decontaminate(corpus, bench, k=8)
+    return _table(out, ["doc_id", "n_hit"])
+
+
+def q_repetition_scores(sf_dir: str) -> pa.Table:
+    from ..stages.curate import repetition_scores_batch
+
+    ds = _docs(sf_dir).map_batches(repetition_scores_batch,
+                                   batch_format="pyarrow")
+    cols = ["doc_id", "n_2grams", "distinct_2grams", "top_2gram_count",
+            "dup_2gram_frac"]
+    return _table(ds.select_columns(cols), cols)
+
+
+_ORDERS_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def q_profile_orders(sf_dir: str) -> pa.Table:
+    import os
+
+    import ray.data
+
+    from ..stages.curate import profile_columns
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=list(_ORDERS_PROFILE_COLS))
+    out = profile_columns(ds, _ORDERS_PROFILE_COLS)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["column_name", "n_rows", "n_null",
+                                 "n_distinct"])
+
+    out = out.select_columns(["col", "n_rows", "n_null", "n_distinct"]) \
+             .map_batches(_rename, batch_format="pyarrow")
+    return _table(out, ["column_name", "n_rows", "n_null", "n_distinct"])
 
 
 # --- similarity / dedup over embeddings ------------------------------------
@@ -2262,7 +2363,77 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c USING (doc_id)""",
         "conformance": _conformance_oracle_sql(),
+        "pii_redaction": _pii_redaction_oracle_sql(),
+        "decontaminate_docs": r"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+')
+                          AS t FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest([array_to_string(t[i:i+7], ' ')
+                                  FOR i IN generate_series(1, len(t)-7)])
+                            AS g
+                   FROM toks WHERE len(t) >= 8),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0)
+            SELECT s.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM sh s JOIN bench b ON s.g = b.g
+            WHERE s.doc_id % 29 <> 0
+            GROUP BY 1""",
+        "repetition_scores": r"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+')
+                          AS t FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([t[i] || ' ' || t[i+1]
+                                 FOR i IN generate_series(1, len(t)-1)])
+                           AS gram
+                  FROM toks WHERE len(t) >= 2),
+            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+            s AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS m
+                  FROM gc GROUP BY 1)
+            SELECT d.doc_id AS doc_id,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_2grams,
+                   CAST(COALESCE(s.d, 0) AS BIGINT) AS distinct_2grams,
+                   CAST(COALESCE(s.m, 0) AS BIGINT) AS top_2gram_count,
+                   CASE WHEN s.n IS NULL THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(s.n - s.d AS DOUBLE)
+                             / CAST(s.n AS DOUBLE) END AS dup_2gram_frac
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+        "profile_orders": _profile_orders_oracle_sql(),
     }
+
+
+def _pii_redaction_oracle_sql() -> str:
+    """Same two-step redaction order as ``redact_pii_batch`` (emails on
+    the original, IPs on the email-redacted text); pyarrow and DuckDB
+    both run RE2, so the patterns behave identically."""
+    from ..stages.curate import EMAIL_RE, IPV4_RE
+
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact=u' || CAST(doc_id AS VARCHAR) || '@ex'
+                      || CAST(doc_id % 8 AS VARCHAR) || '.org src=10.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST(doc_id % 128 AS VARCHAR) || ' end' AS text
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+                   AS BIGINT) AS n_emails,
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS r1
+          FROM aug)
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(r1, '{IPV4_RE}'))
+                 AS BIGINT) AS n_ipv4,
+               regexp_replace(r1, '{IPV4_RE}', '<IP>', 'g') AS redacted
+        FROM e"""
+
+
+def _profile_orders_oracle_sql() -> str:
+    return "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+              CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM orders""" for c in _ORDERS_PROFILE_COLS)
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -2358,6 +2529,10 @@ QUERIES = {
     "doc_token_positions": q_doc_token_positions,
     "sink_cube": q_sink_cube,
     "supplier_brand_revenue": q_supplier_brand_revenue,
+    "pii_redaction": q_pii_redaction,
+    "decontaminate_docs": q_decontaminate_docs,
+    "repetition_scores": q_repetition_scores,
+    "profile_orders": q_profile_orders,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -16,3 +16,5 @@ from .sample import (deterministic_sample, group_reservoir,  # noqa: F401
                      stratified_sample)
 from .sessionize import gap_sessions, sessionize  # noqa: F401
 from .dedup import connected_components  # noqa: F401
+from .curate import (decontaminate, profile_columns,  # noqa: F401
+                     redact_pii_batch, repetition_scores_batch)
