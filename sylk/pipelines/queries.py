@@ -438,6 +438,81 @@ def q_profile_orders(sf_dir: str) -> pa.Table:
     return _table(out, ["column_name", "n_rows", "n_null", "n_distinct"])
 
 
+def q_modal_order_status(sf_dir: str) -> pa.Table:
+    """Grouped MODE: the most frequent o_orderstatus per
+    o_orderpriority (deterministic ascending tie-break) — two-phase
+    count then k=1 ranked argmax, so one group's rows = distinct
+    statuses, never raw orders."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts, topk_per_group
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderstatus"])
+    counts = grouped_counts(ds, ["o_orderpriority", "o_orderstatus"])
+    top = topk_per_group(counts, ["o_orderpriority"], "n", 1,
+                         tie_cols=["o_orderstatus"])
+    cols = ["o_orderpriority", "o_orderstatus", "n"]
+    return _table(top.select_columns(cols), cols)
+
+
+def q_orders_unpivot(sf_dir: str) -> pa.Table:
+    """UNPIVOT / melt: wide order measures to (key, metric, value) long
+    form — a pure per-block reshape, no shuffle at any scale."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    def _melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = pc.cast(b.column("o_orderkey"), pa.int64()).combine_chunks()
+        tp = pc.cast(b.column("o_totalprice"), pa.float64()).combine_chunks()
+        ck = pc.cast(b.column("o_custkey"), pa.float64()).combine_chunks()
+        return pa.table({
+            "o_orderkey": pa.concat_arrays([k, k]),
+            "metric": pa.array(["o_totalprice"] * n + ["o_custkey"] * n,
+                               pa.string()),
+            "value": pa.concat_arrays([tp, ck]),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_custkey"])
+    out = ds.map_batches(_melt, batch_format="pyarrow")
+    return _table(out, ["o_orderkey", "metric", "value"])
+
+
+def q_dedup_keep_docs(sf_dir: str) -> pa.Table:
+    """End-to-end dedup deliverable: the KEEP list after near-dup
+    clustering — one representative (smallest doc_id) per connected
+    component, singletons kept.  This is the doc set a curation
+    pipeline would actually train on."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.dedup import connected_components, ngram_jaccard_dup_pairs
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dup_pairs(docs, threshold=0.6)
+    nodes = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                  columns=["doc_id"])
+    clustered = connected_components(nodes, pairs, node_col="doc_id")
+
+    def _reps(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("doc_id"), b.column("cluster_id"))
+        return b.filter(keep).select(["doc_id"])
+
+    out = clustered.map_batches(_reps, batch_format="pyarrow")
+    return _table(out, ["doc_id"])
+
+
 # --- similarity / dedup over embeddings ------------------------------------
 
 _N_ANN_QUERIES = 8
@@ -2397,6 +2472,21 @@ def _oracle_sql_entries() -> dict[str, str]:
                              / CAST(s.n AS DOUBLE) END AS dup_2gram_frac
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
         "profile_orders": _profile_orders_oracle_sql(),
+        "modal_order_status": """
+            WITH c AS (SELECT o_orderpriority, o_orderstatus,
+                              COUNT(*) AS n
+                       FROM orders GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY o_orderpriority
+                      ORDER BY n DESC, o_orderstatus) AS rk FROM c)
+            SELECT o_orderpriority, o_orderstatus, CAST(n AS BIGINT) AS n
+            FROM r WHERE rk = 1""",
+        "orders_unpivot": """
+            SELECT o_orderkey, 'o_totalprice' AS metric,
+                   CAST(o_totalprice AS DOUBLE) AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'o_custkey' AS metric,
+                   CAST(o_custkey AS DOUBLE) AS value FROM orders""",
     }
 
 
@@ -2446,6 +2536,10 @@ def build_oracle_sql() -> dict[str, str]:
     # threshold (see q_minhash_dup_pairs docstring)
     d["minhash_dup_pairs"] = d["ngram_jaccard_dup_pairs"].replace(
         ">= 0.6", ">= 0.8")
+    # the keep list is the representative slice of the cluster map —
+    # same recursive-CTE oracle, filtered to doc_id = cluster_id
+    d["dedup_keep_docs"] = (f"SELECT doc_id FROM ({d['dup_cluster_ids']})"
+                            " WHERE doc_id = cluster_id")
     return d
 
 
@@ -2533,6 +2627,9 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "repetition_scores": q_repetition_scores,
     "profile_orders": q_profile_orders,
+    "modal_order_status": q_modal_order_status,
+    "orders_unpivot": q_orders_unpivot,
+    "dedup_keep_docs": q_dedup_keep_docs,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)
