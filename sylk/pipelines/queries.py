@@ -377,31 +377,46 @@ def q_pii_redaction(sf_dir: str) -> pa.Table:
     return _table(ds.select_columns(cols), cols)
 
 
-def q_decontaminate_docs(sf_dir: str) -> pa.Table:
-    """Eval-set decontamination: docs sharing any word 8-gram with the
-    'benchmark' slice (doc_id % 29 == 0), with the distinct-shingle hit
-    count.  Benchmark docs themselves are excluded from the output."""
+def _bench_slice(bench_side: bool):
+    """Vectorized block filter selecting the doc_id % 29 == 0 'eval'
+    slice (bench_side=True) or its complement."""
     import pyarrow.compute as pc
-
-    from ..stages.curate import decontaminate
-
-    def _slice(bench_side: bool):
-        def fn(b: pa.Table) -> pa.Table:
-            ids = pc.cast(b.column("doc_id"), pa.int64())
-            is_bench = pc.equal(_mod(ids, 29), 0)
-            return b.filter(is_bench if bench_side else
-                            pc.invert(is_bench))
-        return fn
 
     def _mod(arr, m):
         return pc.subtract(arr, pc.multiply(
             pc.divide(arr, m), pa.scalar(m, pa.int64())))
 
+    def fn(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        is_bench = pc.equal(_mod(ids, 29), 0)
+        return b.filter(is_bench if bench_side else pc.invert(is_bench))
+    return fn
+
+
+def q_decontaminate_docs(sf_dir: str) -> pa.Table:
+    """Eval-set decontamination: docs sharing any word 8-gram with the
+    'benchmark' slice (doc_id % 29 == 0), with the distinct-shingle hit
+    count.  Benchmark docs themselves are excluded from the output."""
+    from ..stages.curate import decontaminate
+
     docs = _docs(sf_dir)
-    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
-    corpus = docs.map_batches(_slice(False), batch_format="pyarrow")
+    bench = docs.map_batches(_bench_slice(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_bench_slice(False), batch_format="pyarrow")
     out = decontaminate(corpus, bench, k=8)
     return _table(out, ["doc_id", "n_hit"])
+
+
+def q_curated_corpus(sf_dir: str) -> pa.Table:
+    """The composed curation pipeline (pipelines/curation.py) end to
+    end: exact dedup -> near-dup reps -> repetition/length gate ->
+    eval-slice decontamination; result = the kept doc ids, verified by
+    ONE single-statement SQL oracle."""
+    from .curation import curate_corpus
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(_bench_slice(True), batch_format="pyarrow")
+    out = curate_corpus(docs, bench)
+    return _table(out, ["doc_id"])
 
 
 def q_repetition_scores(sf_dir: str) -> pa.Table:
@@ -2397,46 +2412,11 @@ def _oracle_sql_entries() -> dict[str, str]:
             WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6""",
         # dup-pair transitive closure: the SAME pair derivation feeds a
         # recursive min-label CTE; singleton docs keep their own id
-        "dup_cluster_ids": r"""
-            WITH RECURSIVE toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\s+'),
-                                 x -> x <> '') AS ts
-              FROM documents
-            ),
-            grams AS (
-              SELECT doc_id,
-                     CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-                          ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                FOR i IN generate_series(1, len(ts)-2)]
-                     END AS gs
-              FROM toks WHERE len(ts) > 0
-            ),
-            dsh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
-            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-              FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
-              GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT a, b FROM inter
-              JOIN sizes sa ON sa.doc_id = a
-              JOIN sizes sb ON sb.doc_id = b
-              WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
-            ),
-            undir AS (SELECT a AS src, b AS dst FROM pairs
-                      UNION SELECT b, a FROM pairs),
-            reach(src, dst) AS (
-              SELECT src, dst FROM undir
-              UNION
-              SELECT r.src, u.dst FROM reach r
-              JOIN undir u ON r.dst = u.src WHERE u.dst <> r.src
-            ),
-            comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-                     FROM reach GROUP BY src)
+        "dup_cluster_ids": f"""
+            WITH RECURSIVE {_cluster_ctes("documents")}
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c USING (doc_id)""",
+        "curated_corpus": _curated_corpus_oracle_sql(),
         "conformance": _conformance_oracle_sql(),
         "pii_redaction": _pii_redaction_oracle_sql(),
         "decontaminate_docs": r"""
@@ -2488,6 +2468,99 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT o_orderkey, 'o_custkey' AS metric,
                    CAST(o_custkey AS DOUBLE) AS value FROM orders""",
     }
+
+
+def _cluster_ctes(src: str) -> str:
+    """CTE chain (toks..comp) computing near-dup connected components
+    (word-3-gram Jaccard >= 0.6) over ``src``(doc_id, text).  Shared by
+    the dup_cluster_ids oracle and the composed curated_corpus oracle."""
+    return rf"""toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM {src}
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                          ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                FOR i IN generate_series(1, len(ts)-2)]
+                     END AS gs
+              FROM toks WHERE len(ts) > 0
+            ),
+            dsh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+              FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+            ),
+            undir AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM undir
+              UNION
+              SELECT r.src, u.dst FROM reach r
+              JOIN undir u ON r.dst = u.src WHERE u.dst <> r.src
+            ),
+            comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                     FROM reach GROUP BY src)"""
+
+
+def _curated_corpus_oracle_sql() -> str:
+    """Single-statement oracle for the COMPOSED curation pipeline
+    (pipelines/curation.py): exact-dedup keep -> near-dup reps ->
+    repetition/length gate (>= 20 tokens, dup-2-gram fraction <= 0.05)
+    -> eval-slice (doc_id mod 29) decontamination via word 8-grams."""
+    return rf"""
+        WITH RECURSIVE
+        ek AS (SELECT MIN(doc_id) AS doc_id FROM documents
+               GROUP BY md5(text)),
+        d1 AS (SELECT d.doc_id, d.text FROM documents d
+               JOIN ek USING (doc_id)),
+        {_cluster_ctes("d1")},
+        d2 AS (SELECT d1.doc_id, d1.text FROM d1
+               LEFT JOIN comp c USING (doc_id)
+               WHERE COALESCE(c.cluster_id, d1.doc_id) = d1.doc_id),
+        tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+               FROM d2),
+        g2 AS (SELECT doc_id,
+                      unnest([t[i] || ' ' || t[i+1]
+                              FOR i IN generate_series(1, len(t)-1)])
+                        AS gram
+               FROM tk WHERE len(t) >= 2),
+        gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        rs AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd
+               FROM gc GROUP BY 1),
+        d3 AS (SELECT d2.doc_id FROM d2
+               JOIN tk USING (doc_id)
+               LEFT JOIN rs USING (doc_id)
+               WHERE len(tk.t) >= 20
+                 AND COALESCE(CAST(rs.n - rs.nd AS DOUBLE)
+                              / CAST(rs.n AS DOUBLE), 0) <= 0.05),
+        bt AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+               FROM documents WHERE doc_id % 29 = 0),
+        bsh AS (SELECT DISTINCT
+                       unnest([array_to_string(t[i:i+7], ' ')
+                               FOR i IN generate_series(1, len(t)-7)])
+                         AS g
+                FROM bt WHERE len(t) >= 8),
+        csh AS (SELECT DISTINCT doc_id,
+                       unnest([array_to_string(t[i:i+7], ' ')
+                               FOR i IN generate_series(1, len(t)-7)])
+                         AS g
+                FROM tk WHERE len(t) >= 8),
+        hits AS (SELECT DISTINCT c2.doc_id FROM csh c2
+                 JOIN bsh b ON c2.g = b.g)
+        SELECT d3.doc_id FROM d3
+        WHERE d3.doc_id % 29 <> 0
+          AND d3.doc_id NOT IN (SELECT doc_id FROM hits)"""
 
 
 def _pii_redaction_oracle_sql() -> str:
@@ -2630,6 +2703,7 @@ QUERIES = {
     "modal_order_status": q_modal_order_status,
     "orders_unpivot": q_orders_unpivot,
     "dedup_keep_docs": q_dedup_keep_docs,
+    "curated_corpus": q_curated_corpus,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -68,7 +68,14 @@ def _bounded_collect(ds, limit: int):
 
     mds = ds.materialize()
     if mds.count() <= limit:
-        return mds, pa.concat_tables(ray.get(mds.to_arrow_refs()))
+        # empty blocks can surface schema-less (zero columns) from
+        # upstream map_groups stages; drop them before the concat
+        blocks = [b for b in ray.get(mds.to_arrow_refs())
+                  if b.num_columns > 0]
+        if not blocks:
+            return mds, pa.Table.from_pydict(
+                {f.name: pa.array([], f.type) for f in mds.schema().base_schema})
+        return mds, pa.concat_tables(blocks)
     return mds, None
 
 
@@ -592,8 +599,16 @@ def _verify_pairs_join(pairs_ds, source_ds, id_col: str, val_col: str,
                             batch_size=None, zero_copy_batch=True)
     # a member missing from the source drops its pairs (inner join) —
     # same "not verifiable" semantics as the broadcast tier
+    from .join import _sane_blocks
+
+    src_a = src_a.map_batches(_sane_blocks, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    src_b = src_b.map_batches(_sane_blocks, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
     j = pairs_ds.join(src_a, "inner", num_partitions,
                       on=("a",), right_on=("_ja",))
+    j = j.map_batches(_sane_blocks, batch_format="pyarrow",
+                      batch_size=None, zero_copy_batch=True)
     j = j.join(src_b, "inner", num_partitions,
                on=("b",), right_on=("_jb",))
 
@@ -911,17 +926,23 @@ def exact_dedup_groups(docs_ds, text_col: str = "text"):
 
 def exact_dedup(docs_ds, text_col: str = "text"):
     """Deduplicated dataset: one row (lowest doc_id) per content hash.
-    Shuffle key = content hash (uniform — no skew by construction)."""
+    Shuffle key = content hash (uniform — no skew by construction).
+
+    Two-phase: a groupby MIN aggregate picks the keeper id per hash,
+    then a semi-join keeps those rows — no per-group Python (a
+    map_groups here also emits schema-less empty blocks that poison
+    downstream hash joins; see test_curate_corpus_end_to_end_planted)."""
+    from ray.data.aggregate import Min
+
+    from .join import semi_join
     from .text import fingerprint_batch
 
     hashed = docs_ds.map_batches(
         lambda b: fingerprint_batch(b, text_col), batch_format="pyarrow"
     )
-
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
-
-    return hashed.groupby("content_md5").map_groups(_first, batch_format="pandas")
+    keep = hashed.groupby("content_md5").aggregate(
+        Min("doc_id", alias_name="keep_id"))
+    return semi_join(hashed, keep, on="doc_id", right_key="keep_id")
 
 
 def dedup_turns(transcripts_ds, driver_limit: int = 5_000_000):

@@ -39,6 +39,47 @@ import pyarrow.compute as pc
 _DRIVER_KEY_LIMIT = 5_000_000
 
 
+def _patch_hash_shuffle_schema_broadcast() -> None:
+    """Work around a Ray 2.49 hash-shuffle bug: the operator broadcasts
+    the input schema to all aggregators only with the FIRST block of
+    each input sequence (``_has_schemas_broadcasted``), but
+    ``_shuffle_block`` returns early for 0-row blocks WITHOUT sending
+    anything — so when the first block happens to be empty (a seed
+    union, a filter that emptied a block, a map task that yielded
+    nothing), partitions that receive no rows finalize a ZERO-COLUMN
+    table and ``pyarrow.Table.join`` dies with ArrowInvalid
+    "No match ... FieldRef.Name(<key>)".
+
+    Fix: drop 0-row blocks from each input bundle before the operator
+    sees them, so the first block it processes (and broadcasts schema
+    from) is always non-empty.  Idempotent; driver-side only."""
+    from ray.data._internal.execution.interfaces.ref_bundle import RefBundle
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+    cls = _hs.HashShufflingOperatorBase
+    if getattr(cls, "_sylk_schema_broadcast_patch", False):
+        return
+    orig = cls._do_add_input_inner
+
+    def _patched(self, input_bundle, input_index):
+        pairs = [(r, m) for r, m in zip(input_bundle.block_refs,
+                                        input_bundle.metadata)
+                 if m.num_rows is None or m.num_rows > 0]
+        if len(pairs) < len(input_bundle.block_refs):
+            if not pairs:
+                return None
+            input_bundle = RefBundle(tuple(pairs),
+                                     owns_blocks=input_bundle.owns_blocks,
+                                     schema=input_bundle.schema)
+        return orig(self, input_bundle, input_index)
+
+    cls._do_add_input_inner = _patched
+    cls._sylk_schema_broadcast_patch = True
+
+
+_patch_hash_shuffle_schema_broadcast()
+
+
 def _default_partitions() -> int:
     import ray
 
@@ -90,10 +131,22 @@ def _size_based_partitions(left_ds, right_ds) -> int:
 
 
 def _strip_schema_metadata(b: pa.Table) -> pa.Table:
-    # blocks born from pandas carry a schema-metadata dict that Ray's
-    # hash-shuffle schema dedup can't hash (it warns per block); the
-    # metadata is meaningless post-join, so drop it (zero-copy).
+    # pandas-born schema metadata confuses Ray's shuffle schema dedup;
+    # drop it (zero-copy).
     return b.replace_schema_metadata(None) if b.schema.metadata else b
+
+
+def _sane_blocks(b: pa.Table):
+    # Two hash-shuffle poisons, scrubbed at every join boundary (in AND
+    # out): (1) blocks born from pandas carry a schema-metadata dict that
+    # Ray's shuffle schema dedup can't hash (warns per block) — drop it
+    # (zero-copy); (2) Ray's join finalize emits ZERO-COLUMN empty blocks
+    # for partitions that received no rows, and a later pyarrow join
+    # can't resolve its key fields against that empty schema
+    # (ArrowInvalid "No match ... FieldRef") — drop such blocks entirely
+    # (a generator UDF may yield nothing for a block).
+    if b.num_columns:
+        yield b.replace_schema_metadata(None) if b.schema.metadata else b
 
 
 def hash_join(left_ds, right_ds, on, right_on=None, join_type: str = "inner",
@@ -102,17 +155,19 @@ def hash_join(left_ds, right_ds, on, right_on=None, join_type: str = "inner",
     on the key, join per partition (``Dataset.join``)."""
     if num_partitions is None:
         num_partitions = _size_based_partitions(left_ds, right_ds)
-    left_ds = left_ds.map_batches(_strip_schema_metadata,
+    left_ds = left_ds.map_batches(_sane_blocks,
                                   batch_format="pyarrow", batch_size=None,
                                   zero_copy_batch=True)
-    right_ds = right_ds.map_batches(_strip_schema_metadata,
+    right_ds = right_ds.map_batches(_sane_blocks,
                                     batch_format="pyarrow", batch_size=None,
                                     zero_copy_batch=True)
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = ((right_on,) if isinstance(right_on, str) else tuple(right_on)) \
         if right_on is not None else on
-    return left_ds.join(right_ds, join_type, num_partitions,
-                        on=on, right_on=right_on)
+    joined = left_ds.join(right_ds, join_type, num_partitions,
+                          on=on, right_on=right_on)
+    return joined.map_batches(_sane_blocks, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
 
 
 def _semi_anti(left_ds, right_ds, on: str, right_key: str, anti: bool,

@@ -170,6 +170,34 @@ def test_profile_columns_with_nulls_and_dupes():
                         "n_distinct": 2}
 
 
+def test_curate_corpus_end_to_end_planted():
+    """Each curation stage drops exactly its planted victim: exact dup,
+    near-dup, repetition spam, eval-contaminated doc."""
+    import ray.data
+
+    from sylk.pipelines.curation import curate_corpus
+
+    clean3 = "w" + " ".join(f"tok{i}" for i in range(19))
+    near_a = " ".join(f"n{i}" for i in range(20))
+    near_b = near_a.replace("n10", "DIFFERENT")
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    corpus = ray.data.from_items([
+        {"doc_id": 1, "text": clean3},
+        {"doc_id": 2, "text": clean3},                  # exact dup of 1
+        {"doc_id": 3, "text": near_a},
+        {"doc_id": 4, "text": near_b},                  # near dup of 3
+        {"doc_id": 5, "text": "x y " * 30},             # repetition spam
+        {"doc_id": 6,                                    # contaminated
+         "text": "prefix alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 7, "text": " ".join(f"ok{i}" for i in range(25))},
+    ])
+    bench = ray.data.from_items([{"doc_id": 100, "text": bench_text}])
+    kept = sorted(r["doc_id"] for r in
+                  curate_corpus(corpus, bench, min_tokens=3,
+                                max_dup_frac=0.3, decon_k=8).take_all())
+    assert kept == [1, 3, 7]
+
+
 def test_profile_columns_empty_string_vs_stats_row():
     import ray.data
 
