@@ -77,6 +77,12 @@ _I64 = {
     "n_rows": pa.int64(),
     "n_null": pa.int64(),
     "n_distinct": pa.int64(),
+    "chunk_idx": pa.int64(),
+    "cum_tokens": pa.int64(),
+    "rank_fp": pa.int64(),
+    "min_event_id": pa.int64(),
+    "max_event_id": pa.int64(),
+    "sum_user_id": pa.int64(),
 }
 
 
@@ -417,6 +423,125 @@ def q_curated_corpus(sf_dir: str) -> pa.Table:
     bench = docs.map_batches(_bench_slice(True), batch_format="pyarrow")
     out = curate_corpus(docs, bench)
     return _table(out, ["doc_id"])
+
+
+def q_doc_chunks(sf_dir: str) -> pa.Table:
+    """Context-window sharding: overlapping 64-token windows, stride
+    48, over every document — the pre-tokenization shard step."""
+    from ..stages.text import chunk_documents_batch
+
+    out = _docs(sf_dir).map_batches(
+        lambda b: chunk_documents_batch(b, chunk_size=64, stride=48),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cols = ["doc_id", "chunk_idx", "n_tokens", "chunk_text"]
+    return _table(out.select_columns(cols), cols)
+
+
+_TOKEN_BUDGET = 5_000
+
+
+def q_token_budget_mix(sf_dir: str) -> pa.Table:
+    """Data mixing by token budget: walk each language's docs in
+    doc_id order and keep docs while the language's cumulative token
+    count stays within the budget — the per-domain sampling step of a
+    training-mix recipe.  Composes token counting with the skew-safe
+    distributed running total (asof.running_total)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.asof import running_total
+    from ..stages.text import _TOKEN_RE
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b.column("text"), _TOKEN_RE),
+                    pa.int64())
+        return pa.table({"lang": b.column("lang"),
+                         "doc_id": b.column("doc_id"),
+                         "nt": n})
+
+    counted = docs.map_batches(_tok, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    cum = running_total(counted, key="lang", order_cols=["doc_id"],
+                        value_col="nt", out_col="cum")
+
+    def _gate(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(b.column("cum")), pa.int64())
+        keep = pc.less_equal(c, pa.scalar(_TOKEN_BUDGET, pa.int64()))
+        t = pa.table({"lang": b.column("lang"),
+                      "doc_id": b.column("doc_id"),
+                      "cum_tokens": c})
+        return t.filter(keep)
+
+    out = cum.map_batches(_gate, batch_format="pyarrow")
+    cols = ["lang", "doc_id", "cum_tokens"]
+    return _table(out, cols)
+
+
+def q_event_transition_rank(sf_dir: str) -> pa.Table:
+    """PageRank over the event-type transition graph: edges = ordered
+    consecutive event-type pairs per user (asof.transitions), weights =
+    transition counts; 5 fixed-point iterations (graph.pagerank) so the
+    result is bit-identical to the unrolled-CTE SQL oracle."""
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.asof import transitions
+    from ..stages.graph import pagerank
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    trans = transitions(events, key="user_id",
+                        order_cols=["ts", "event_id"],
+                        value_col="event_type")
+    edges = trans.groupby(["src", "dst"]).aggregate(Count(alias_name="w"))
+    ranks = pagerank(edges, weight_col="w", iterations=5,
+                     node_col="event_type", rank_col="rank_fp")
+    return _table(ranks, ["event_type", "rank_fp"])
+
+
+def q_events_csv_rollup(sf_dir: str) -> pa.Table:
+    """CSV source parity: export events to CSV once (cached per
+    sf_dir under /tmp), read it back through the streaming CSV source,
+    and roll up integer-exact per-type stats.  Proves the CSV read
+    path end-to-end against the parquet oracle."""
+    import hashlib
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..sources.rawlines import read_events_csv
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/sylk_csv_{tag}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        ds = ray.data.read_parquet(
+            src, columns=["event_id", "user_id", "event_type"])
+        ds.write_csv(out_dir)
+        with open(done, "w") as f:
+            f.write(src)
+    files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".csv")]
+    ev = read_events_csv(files)
+    out = ev.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("event_id", alias_name="min_event_id"),
+        Max("event_id", alias_name="max_event_id"),
+        Sum("user_id", alias_name="sum_user_id"))
+    cols = ["event_type", "n", "min_event_id", "max_event_id",
+            "sum_user_id"]
+    return _table(out, cols)
 
 
 def q_repetition_scores(sf_dir: str) -> pa.Table:
@@ -2417,6 +2542,35 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c USING (doc_id)""",
         "curated_corpus": _curated_corpus_oracle_sql(),
+        "doc_chunks": r"""
+            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                        FROM documents),
+            st AS (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s
+                   FROM tk WHERE len(t) > 0)
+            SELECT doc_id, s // 48 AS chunk_idx,
+                   least(s + 64, len(t)) - s AS n_tokens,
+                   array_to_string(
+                     list_slice(t, s + 1, least(s + 64, len(t))),
+                     ' ') AS chunk_text
+            FROM st""",
+        "token_budget_mix": rf"""
+            WITH tk AS (SELECT lang, doc_id,
+                               len(regexp_extract_all(text, '\S+')) AS nt
+                        FROM documents),
+            c AS (SELECT lang, doc_id,
+                         CAST(SUM(nt) OVER (PARTITION BY lang
+                                            ORDER BY doc_id)
+                              AS BIGINT) AS cum_tokens
+                  FROM tk)
+            SELECT lang, doc_id, cum_tokens FROM c
+            WHERE cum_tokens <= {_TOKEN_BUDGET}""",
+        "event_transition_rank": _pagerank_oracle_sql(),
+        "events_csv_rollup": """
+            SELECT event_type, COUNT(*) AS n,
+                   MIN(event_id) AS min_event_id,
+                   MAX(event_id) AS max_event_id,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+            FROM events GROUP BY 1""",
         "conformance": _conformance_oracle_sql(),
         "pii_redaction": _pii_redaction_oracle_sql(),
         "decontaminate_docs": r"""
@@ -2511,6 +2665,42 @@ def _cluster_ctes(src: str) -> str:
             ),
             comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
                      FROM reach GROUP BY src)"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-point PageRank over the event-type transition
+    graph — one CTE per iteration, BIGINT floor-division arithmetic
+    identical to graph.pagerank (SCALE 1e12, PSCALE 1e6, damping
+    85/100), so both engines agree bit-for-bit."""
+    base = "(15 * (1000000000000 // (SELECT n FROM nn))) // 100"
+    ctes = ["""ordered AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events),
+            e AS (SELECT prev AS src, event_type AS dst, COUNT(*) AS w
+                  FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2),
+            ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS o
+                   FROM e GROUP BY 1),
+            ep AS (SELECT e.src, e.dst, (e.w * 1000000) // ow.o AS p
+                   FROM e JOIN ow USING (src)),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+                   FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+              SELECT nodes.node,
+                     {base} + (85 * COALESCE(c.s, 0)) // 100 AS r
+              FROM nodes LEFT JOIN (
+                SELECT ep.dst AS node,
+                       CAST(SUM((p.r * ep.p) // 1000000) AS BIGINT) AS s
+                FROM ep JOIN r{i - 1} p ON p.node = ep.src
+                GROUP BY 1) c USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp"
+              f" FROM r{iterations}")
 
 
 def _curated_corpus_oracle_sql() -> str:
@@ -2704,6 +2894,10 @@ QUERIES = {
     "orders_unpivot": q_orders_unpivot,
     "dedup_keep_docs": q_dedup_keep_docs,
     "curated_corpus": q_curated_corpus,
+    "doc_chunks": q_doc_chunks,
+    "token_budget_mix": q_token_budget_mix,
+    "event_transition_rank": q_event_transition_rank,
+    "events_csv_rollup": q_events_csv_rollup,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -70,3 +70,24 @@ def read_events_jsonl(paths):
 
     return ds.map_batches(_restore, batch_format="pyarrow",
                           batch_size=None)
+
+
+def read_events_csv(paths):
+    """CSV events source (the lowest-common-denominator export format).
+    One header row per file; ``ts`` arrives as ISO-8601 text and is
+    restored to timestamp[us].  Parsing streams inside the read tasks
+    (pyarrow's C++ CSV reader per block), never on the driver."""
+    import ray.data
+
+    ds = ray.data.read_csv(paths)
+
+    def _restore(b: pa.Table) -> pa.Table:
+        if "ts" in b.schema.names:
+            ts = b.column("ts")
+            if not pa.types.is_timestamp(ts.type):
+                ts = ts.cast(pa.timestamp("us"))
+            b = b.set_column(b.schema.get_field_index("ts"), "ts", ts)
+        return b
+
+    return ds.map_batches(_restore, batch_format="pyarrow",
+                          batch_size=None)

@@ -451,3 +451,58 @@ def consecutive_dedup(ds, key: str, order_cols, value_col: str):
 
     return sorted_ds.map_batches(_fill, batch_format="pandas",
                                  batch_size=None)
+
+
+def transitions(ds, key: str, order_cols, value_col: str,
+                src_col: str = "src", dst_col: str = "dst"):
+    """Consecutive-value transition pairs within each key's ordered
+    stream: one output row (prev_value, value) per row whose
+    predecessor exists — the edge extraction step for transition-graph
+    analytics (``graph.pagerank``).  Values may be any dtype (strings
+    included); block seams are healed with the same driver-seed carry
+    as :func:`consecutive_dedup` (seed state is O(#block-runs), not
+    O(rows))."""
+    import ray
+
+    order_cols = list(order_cols)
+    sorted_ds = ds.sort([key] + order_cols).materialize()
+
+    def _state(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 **{c: pd.Series([], dtype=df[c].dtype)
+                                    for c in order_cols},
+                                 "_lastval": pd.Series([], dtype="object")})
+        firsts = _run_key(df, key, order_cols)
+        lastrows = df.drop_duplicates(subset=[key], keep="last")
+        firsts["_lastval"] = firsts[key].map(
+            lastrows.set_index(key)[value_col])
+        return firsts
+
+    states = (sorted_ds.map_batches(_state, batch_format="pandas",
+                                    batch_size=None)
+              .to_pandas().sort_values([key] + order_cols, kind="mergesort"))
+    states["_seed"] = states.groupby(key, sort=False)["_lastval"].shift()
+    cols = [key] + order_cols
+    seed = dict(zip(map(tuple, states[cols].to_numpy()), states["_seed"]))
+    seed_ref = ray.put(seed)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({src_col: pd.Series([], dtype="object"),
+                                 dst_col: pd.Series([], dtype="object")})
+        lookup = ray.get(seed_ref)
+        g = df.groupby(key, sort=False)
+        prev = g[value_col].shift()
+        first_mask = ~df[key].duplicated()
+        firsts = _run_key(df, key, order_cols)
+        run_seed = {k: lookup.get(tuple(row))
+                    for k, row in zip(firsts[key],
+                                      firsts[[key] + order_cols].to_numpy())}
+        prev = prev.where(~first_mask, df[key].map(run_seed))
+        keep = prev.notna()
+        return pd.DataFrame({src_col: prev[keep],
+                             dst_col: df.loc[keep, value_col]})
+
+    return sorted_ds.map_batches(_pairs, batch_format="pandas",
+                                 batch_size=None)

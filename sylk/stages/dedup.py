@@ -68,10 +68,14 @@ def _bounded_collect(ds, limit: int):
 
     mds = ds.materialize()
     if mds.count() <= limit:
-        # empty blocks can surface schema-less (zero columns) from
-        # upstream map_groups stages; drop them before the concat
-        blocks = [b for b in ray.get(mds.to_arrow_refs())
-                  if b.num_columns > 0]
+        # to_arrow_refs hands back pandas blocks verbatim when a stage
+        # emitted batch_format="pandas"; coerce those, and drop blocks
+        # that surface schema-less (zero columns) from upstream
+        # map_groups stages
+        raw = [b if isinstance(b, pa.Table)
+               else pa.Table.from_pandas(b, preserve_index=False)
+               for b in ray.get(mds.to_arrow_refs())]
+        blocks = [b for b in raw if b.num_columns > 0]
         if not blocks:
             return mds, pa.Table.from_pydict(
                 {f.name: pa.array([], f.type) for f in mds.schema().base_schema})

