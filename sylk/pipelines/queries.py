@@ -83,6 +83,8 @@ _I64 = {
     "min_event_id": pa.int64(),
     "max_event_id": pa.int64(),
     "sum_user_id": pa.int64(),
+    "part": pa.int64(),
+    "bin_idx": pa.int64(),
 }
 
 
@@ -481,6 +483,42 @@ def q_token_budget_mix(sf_dir: str) -> pa.Table:
     out = cum.map_batches(_gate, batch_format="pyarrow")
     cols = ["lang", "doc_id", "cum_tokens"]
     return _table(out, cols)
+
+
+_PACK_CAPACITY = 512
+_PACK_SHARD = 100
+
+
+def q_packed_sequences(sf_dir: str) -> pa.Table:
+    """Greedy sequence packing into 512-token bins, sharded by
+    (lang, doc_id // 100) so groups are bounded and parallel — the
+    pre-training packing step (text.pack_greedy)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.text import _TOKEN_RE, pack_greedy
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        nt = pc.cast(pc.count_substring_regex(b.column("text"), _TOKEN_RE),
+                     pa.int64())
+        part = pc.divide(ids, pa.scalar(_PACK_SHARD, pa.int64()))
+        return pa.table({"lang": b.column("lang"), "part": part,
+                         "doc_id": ids, "nt": nt})
+
+    counted = docs.map_batches(_tok, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    packed = pack_greedy(counted, key_cols=["lang", "part"],
+                         order_cols=["doc_id"], token_col="nt",
+                         capacity=_PACK_CAPACITY)
+    cols = ["lang", "part", "doc_id", "bin_idx"]
+    return _table(packed.select_columns(cols), cols)
 
 
 def q_event_transition_rank(sf_dir: str) -> pa.Table:
@@ -2565,6 +2603,44 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT lang, doc_id, cum_tokens FROM c
             WHERE cum_tokens <= {_TOKEN_BUDGET}""",
         "event_transition_rank": _pagerank_oracle_sql(),
+        "packed_sequences": rf"""
+            WITH RECURSIVE c AS (
+              SELECT lang, doc_id // {_PACK_SHARD} AS part, doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS nt,
+                     SUM(len(regexp_extract_all(text, '\S+')))
+                       OVER (PARTITION BY lang, doc_id // {_PACK_SHARD}
+                             ORDER BY doc_id) AS cum,
+                     ROW_NUMBER()
+                       OVER (PARTITION BY lang, doc_id // {_PACK_SHARD}
+                             ORDER BY doc_id) AS rn
+              FROM documents),
+            mx AS (SELECT lang, part, MAX(rn) AS mr FROM c GROUP BY 1, 2),
+            b(lang, part, start_rn, off, bin) AS (
+              SELECT lang, part, 1, CAST(0 AS HUGEINT), 0 FROM mx
+              UNION ALL
+              SELECT b.lang, b.part,
+                     GREATEST(b.start_rn,
+                       COALESCE((SELECT MAX(rn) FROM c
+                                 WHERE c.lang = b.lang AND c.part = b.part
+                                   AND c.cum - b.off <= {_PACK_CAPACITY}),
+                                b.start_rn)) + 1,
+                     (SELECT cum FROM c
+                      WHERE c.lang = b.lang AND c.part = b.part AND rn =
+                        GREATEST(b.start_rn,
+                          COALESCE((SELECT MAX(rn) FROM c
+                                    WHERE c.lang = b.lang
+                                      AND c.part = b.part
+                                      AND c.cum - b.off <= {_PACK_CAPACITY}),
+                                   b.start_rn))),
+                     b.bin + 1
+              FROM b JOIN mx USING (lang, part)
+              WHERE b.start_rn <= mx.mr)
+            SELECT c.lang, c.part, c.doc_id, CAST(b.bin AS BIGINT) AS bin_idx
+            FROM c JOIN b ON b.lang = c.lang AND b.part = c.part
+                         AND c.rn >= b.start_rn
+            WHERE c.rn < (SELECT MIN(b2.start_rn) FROM b b2
+                          WHERE b2.lang = b.lang AND b2.part = b.part
+                            AND b2.start_rn > b.start_rn)""",
         "events_csv_rollup": """
             SELECT event_type, COUNT(*) AS n,
                    MIN(event_id) AS min_event_id,
@@ -2896,6 +2972,7 @@ QUERIES = {
     "curated_corpus": q_curated_corpus,
     "doc_chunks": q_doc_chunks,
     "token_budget_mix": q_token_budget_mix,
+    "packed_sequences": q_packed_sequences,
     "event_transition_rank": q_event_transition_rank,
     "events_csv_rollup": q_events_csv_rollup,
     "multimodal_features": q_multimodal_features,

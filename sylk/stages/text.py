@@ -415,3 +415,44 @@ def chunk_documents_batch(batch: pa.Table, chunk_size: int = 64,
                      "chunk_idx": pa.array(chunk_idx, pa.int64()),
                      "n_tokens": pa.array(ends - starts, pa.int64()),
                      "chunk_text": pa.array(chunk_text, pa.string())})
+
+
+def pack_greedy(ds, key_cols, order_cols, token_col: str,
+                capacity: int, bin_col: str = "bin_idx"):
+    """Greedy sequence packing: walk each key-group's rows in order and
+    assign consecutive docs to bins while the bin's token total stays
+    within ``capacity`` (a doc larger than capacity gets its own bin) —
+    the context-window packing step before LLM pre-training
+    tokenization.
+
+    Packing is inherently sequential WITHIN a group (each bin boundary
+    depends on the previous one), so scale comes from the KEY: callers
+    pass a composite shard key (e.g. ``(lang, doc_id // 100)``) so
+    groups are bounded and embarrassingly parallel — the standard
+    per-shard packing semantics of training pipelines.  The per-group
+    kernel is O(bins x log rows) (one ``searchsorted`` per emitted
+    bin), never a per-row Python loop.  Bin ids are local to the
+    group."""
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        nt = g[token_col].to_numpy().astype(np.int64)
+        cum = np.cumsum(nt)
+        n = len(nt)
+        bins = np.empty(n, dtype=np.int64)
+        start, off, b = 0, 0, 0
+        while start < n:
+            j = int(np.searchsorted(cum, off + capacity, side="right")) - 1
+            if j < start:
+                j = start  # oversized doc: its own bin
+            bins[start:j + 1] = b
+            off = int(cum[j])
+            start = j + 1
+            b += 1
+        return g.assign(**{bin_col: bins})
+
+    return ds.groupby(key_cols).map_groups(_pack, batch_format="pandas")

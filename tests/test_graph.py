@@ -88,3 +88,25 @@ def test_chunk_documents_empty_batch():
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "chunk_idx", "n_tokens",
                                 "chunk_text"]
+
+
+def test_pack_greedy_planted(ray_session):
+    import ray.data
+
+    from sylk.stages.text import pack_greedy
+
+    rows = [
+        # key g: 100+300 fit (400<=512), 200 overflows -> new bin;
+        # 600 oversized -> own bin; 50 follows
+        {"k": "g", "i": 1, "nt": 100}, {"k": "g", "i": 2, "nt": 300},
+        {"k": "g", "i": 3, "nt": 200}, {"k": "g", "i": 4, "nt": 600},
+        {"k": "g", "i": 5, "nt": 50},
+        # key h: exact fit boundary
+        {"k": "h", "i": 1, "nt": 512}, {"k": "h", "i": 2, "nt": 1},
+    ]
+    ds = ray.data.from_items(rows)
+    out = pack_greedy(ds, key_cols=["k"], order_cols=["i"],
+                      token_col="nt", capacity=512)
+    got = {(r["k"], r["i"]): r["bin_idx"] for r in out.take_all()}
+    assert got == {("g", 1): 0, ("g", 2): 0, ("g", 3): 1, ("g", 4): 2,
+                   ("g", 5): 3, ("h", 1): 0, ("h", 2): 1}
