@@ -85,6 +85,7 @@ _I64 = {
     "sum_user_id": pa.int64(),
     "part": pa.int64(),
     "bin_idx": pa.int64(),
+    "tile": pa.int64(),
 }
 
 
@@ -483,6 +484,57 @@ def q_token_budget_mix(sf_dir: str) -> pa.Table:
     out = cum.map_batches(_gate, batch_format="pyarrow")
     cols = ["lang", "doc_id", "cum_tokens"]
     return _table(out, cols)
+
+
+def q_value_ntiles(sf_dir: str) -> pa.Table:
+    """``NTILE(4)`` + ``PERCENT_RANK()`` over (value, event_id) within
+    each event_type — quantile bucketing as a distributed window op.
+    Row numbers ride the skew-safe additive carry (running_total of
+    ones); partition counts arrive by hash join; the bucket formula is
+    the standard NTILE split (first cnt%n buckets take one extra
+    row).  event_id in the ordering makes ranks tie-free, so
+    PERCENT_RANK is the single division (rn-1)/(cnt-1) — bit-identical
+    on both engines."""
+    import os
+
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.asof import running_total
+    from ..stages.join import hash_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "value": b.column("value"),
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    rn = running_total(ds, "event_type", ["value", "event_id"], "one", "rn")
+    counts = ds.groupby("event_type").aggregate(Count(alias_name="cnt"))
+    j = hash_join(rn, counts, on=("event_type",))
+
+    def _tile(df: pd.DataFrame) -> pd.DataFrame:
+        r_n = df["rn"].to_numpy().astype(np.int64)
+        cnt = df["cnt"].to_numpy().astype(np.int64)
+        q, r = cnt // 4, cnt % 4
+        thresh = r * (q + 1)
+        tile = np.where(r_n <= thresh,
+                        (r_n - 1) // np.maximum(q + 1, 1) + 1,
+                        r + (r_n - thresh - 1) // np.maximum(q, 1) + 1)
+        pct = np.where(cnt > 1, (r_n - 1) / np.maximum(cnt - 1, 1), 0.0)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "event_type": df["event_type"].to_numpy(),
+                             "tile": tile.astype("int64"),
+                             "pct": pct})
+
+    out = j.map_batches(_tile, batch_format="pandas", batch_size=None)
+    return _table(out, ["event_id", "event_type", "tile", "pct"])
 
 
 _PACK_CAPACITY = 512
@@ -2603,6 +2655,14 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT lang, doc_id, cum_tokens FROM c
             WHERE cum_tokens <= {_TOKEN_BUDGET}""",
         "event_transition_rank": _pagerank_oracle_sql(),
+        "value_ntiles": """
+            SELECT event_id, event_type,
+                   CAST(NTILE(4) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id)
+                        AS BIGINT) AS tile,
+                   PERCENT_RANK() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS pct
+            FROM events""",
         "packed_sequences": rf"""
             WITH RECURSIVE c AS (
               SELECT lang, doc_id // {_PACK_SHARD} AS part, doc_id,
@@ -2973,6 +3033,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "token_budget_mix": q_token_budget_mix,
     "packed_sequences": q_packed_sequences,
+    "value_ntiles": q_value_ntiles,
     "event_transition_rank": q_event_transition_rank,
     "events_csv_rollup": q_events_csv_rollup,
     "multimodal_features": q_multimodal_features,

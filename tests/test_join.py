@@ -152,3 +152,27 @@ def test_bloom_prefilter_drops_rows(ray_session):
     fp = _bloom_maybe(bits, probe).mean()
     assert fp < 0.01  # definite-absent keys rarely pass
     assert _bloom_maybe(bits, np.arange(100, dtype=np.int64)).all()
+
+
+def test_hash_join_first_block_empty(ray_session):
+    """Regression for the Ray hash-shuffle schema-broadcast bug: the
+    operator broadcasts schemas only with the FIRST block it shuffles,
+    and a 0-row first block used to eat that broadcast, leaving empty
+    partitions zero-column (ArrowInvalid FieldRef on finalize).  The
+    join.py monkeypatch drops 0-row blocks from shuffle inputs."""
+    import pyarrow as pa
+    import ray.data
+
+    from sylk.stages.join import hash_join
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "x": pa.array([], pa.int64())})
+    good = pa.table({"k": pa.array([3, 4], pa.int64()),
+                     "x": pa.array([1, 2], pa.int64())})
+    left = ray.data.from_arrow([empty, good])
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "y": pa.array([7, 7, 7, 7, 7, 7], pa.int64())}))
+    out = hash_join(left, right, on=("k",), num_partitions=4).take_all()
+    assert sorted((r["k"], r["x"], r["y"]) for r in out) == \
+        [(3, 1, 7), (4, 2, 7)]
