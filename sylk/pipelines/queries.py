@@ -486,6 +486,26 @@ def q_token_budget_mix(sf_dir: str) -> pa.Table:
     return _table(out, cols)
 
 
+def q_doc_split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test split by content hash (90/5/5):
+    stable under re-runs, resharding, and corpus growth — the split
+    step of a training-data pipeline.  Zero shuffle; bit-identical to
+    DuckDB md5_number_lower."""
+    import numpy as np
+
+    from ..stages.sample import content_hash64
+
+    def _assign(b: pa.Table) -> pa.Table:
+        h = content_hash64(b.column("text").to_pylist()) % np.uint64(100)
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    out = _docs(sf_dir).map_batches(_assign, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _table(out, ["doc_id", "split"])
+
+
 def q_value_ntiles(sf_dir: str) -> pa.Table:
     """``NTILE(4)`` + ``PERCENT_RANK()`` over (value, event_id) within
     each event_type — quantile bucketing as a distributed window op.
@@ -2655,6 +2675,12 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT lang, doc_id, cum_tokens FROM c
             WHERE cum_tokens <= {_TOKEN_BUDGET}""",
         "event_transition_rank": _pagerank_oracle_sql(),
+        "doc_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower(text) % 100 < 90 THEN 'train'
+                        WHEN md5_number_lower(text) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
         "value_ntiles": """
             SELECT event_id, event_type,
                    CAST(NTILE(4) OVER (PARTITION BY event_type
@@ -3034,6 +3060,7 @@ QUERIES = {
     "token_budget_mix": q_token_budget_mix,
     "packed_sequences": q_packed_sequences,
     "value_ntiles": q_value_ntiles,
+    "doc_split_assign": q_doc_split_assign,
     "event_transition_rank": q_event_transition_rank,
     "events_csv_rollup": q_events_csv_rollup,
     "multimodal_features": q_multimodal_features,
