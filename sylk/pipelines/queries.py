@@ -1318,6 +1318,25 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     return _table(out, ["label", "dim", "sum_q", "n"])
 
 
+def q_kmeans_centroids(sf_dir: str) -> pa.Table:
+    """Lloyd's k-means (k=8, 2 iterations) over the embedding column in
+    ORDER-INDEPENDENT fixed-point int64 (similarity.kmeans_fixed):
+    quantize floor(x*1e6), integer squared-L2 assignment with
+    lowest-cluster tie-break, floor-div centroid updates — bit-identical
+    to the unrolled-CTE SQL oracle.  Output = final centroids
+    (cluster, dim, qc) + final cluster sizes."""
+    import os
+
+    import ray.data
+
+    from ..stages.similarity import kmeans_fixed
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    out = kmeans_fixed(emb, k=8, iterations=2)
+    return _table(out, ["cluster", "dim", "qc", "n"])
+
+
 def q_sink_cube(sf_dir: str) -> pa.Table:
     """GROUP BY CUBE(facility, severity): all 4 grouping sets from one
     partial pass, every coarser set reduced from the finest already-
@@ -2675,6 +2694,7 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT lang, doc_id, cum_tokens FROM c
             WHERE cum_tokens <= {_TOKEN_BUDGET}""",
         "event_transition_rank": _pagerank_oracle_sql(),
+        "kmeans_centroids": _kmeans_oracle_sql(),
         "doc_split_assign": """
             SELECT doc_id,
                    CASE WHEN md5_number_lower(text) % 100 < 90 THEN 'train'
@@ -2863,6 +2883,56 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp"
               f" FROM r{iterations}")
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
+    """Unrolled fixed-point Lloyd's k-means over the embeddings table —
+    one assign+update CTE pair per iteration, arithmetic identical to
+    similarity.kmeans_fixed: q = floor(x*1e6) BIGINT, integer squared-L2
+    distances, ROW_NUMBER (dist, c) tie-break = numpy argmin's
+    first-minimum, centroid update floor(sum/n) (DOUBLE division exact
+    below 2^53), empty cluster keeps its previous centroid."""
+    ctes = [f"""vecs AS (
+              SELECT vec_id,
+                     CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS q
+              FROM embeddings),
+            c0 AS (
+              SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS c,
+                     dim, q AS qc
+              FROM vecs
+              WHERE vec_id IN (SELECT vec_id FROM embeddings
+                               ORDER BY vec_id LIMIT {k}))"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""a{i} AS (
+              SELECT vec_id, c FROM (
+                SELECT v.vec_id, p.c,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY SUM((v.q - p.qc) * (v.q - p.qc)), p.c
+                       ) AS rn
+                FROM vecs v JOIN c{i - 1} p USING (dim)
+                GROUP BY v.vec_id, p.c)
+              WHERE rn = 1),
+            s{i} AS (
+              SELECT a.c, v.dim, CAST(SUM(v.q) AS BIGINT) AS sq,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM a{i} a JOIN vecs v USING (vec_id)
+              GROUP BY a.c, v.dim),
+            c{i} AS (
+              SELECT p.c, p.dim,
+                     COALESCE(CAST(FLOOR(CAST(s.sq AS DOUBLE) / s.n)
+                                   AS BIGINT), p.qc) AS qc
+              FROM c{i - 1} p LEFT JOIN s{i} s
+                ON s.c = p.c AND s.dim = p.dim)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+            SELECT f.c AS cluster, f.dim, f.qc,
+                   CAST(COALESCE(z.n, 0) AS BIGINT) AS n
+            FROM c{iterations} f LEFT JOIN (
+              SELECT c, COUNT(*) AS n FROM a{iterations} GROUP BY c) z
+              USING (c)""")
 
 
 def _curated_corpus_oracle_sql() -> str:
@@ -3062,6 +3132,7 @@ QUERIES = {
     "value_ntiles": q_value_ntiles,
     "doc_split_assign": q_doc_split_assign,
     "event_transition_rank": q_event_transition_rank,
+    "kmeans_centroids": q_kmeans_centroids,
     "events_csv_rollup": q_events_csv_rollup,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,

@@ -18,3 +18,6 @@ from .sessionize import gap_sessions, sessionize  # noqa: F401
 from .dedup import connected_components  # noqa: F401
 from .curate import (decontaminate, profile_columns,  # noqa: F401
                      redact_pii_batch, repetition_scores_batch)
+from .similarity import (ann_topk_bruteforce,  # noqa: F401
+                         grouped_centroid_sums, kmeans_fixed)
+from .graph import pagerank  # noqa: F401

@@ -349,3 +349,126 @@ def grouped_centroid_sums(emb_ds, group_col: str = "label",
                                   batch_size=None)
     return partials.groupby([group_col, "dim"]).aggregate(
         Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+
+
+# --- k-means (Lloyd) over the embedding column ------------------------------
+
+def kmeans_fixed(emb_ds, k: int = 8, iterations: int = 2,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Lloyd's k-means over an embedding column, INTEGER-exact — the
+    clustering step of an embedding-space curation pipeline (topic
+    balancing, near-dup cluster pruning, IVF cell design).
+
+    Determinism contract (same scheme as ``graph.pagerank``): vectors
+    quantize to ``q = floor(x * 1e6)`` int64 per dimension; squared-L2
+    distances, centroid updates (``floor(sum_q / n)``) and tie-breaks
+    (lowest cluster id wins an equal distance) are all integer ops, so
+    the result is bit-identical to an unrolled-CTE SQL oracle and
+    independent of block layout / summation order.  Initial centroids
+    are the quantized vectors of the ``k`` smallest ``id_col`` rows; an
+    empty cluster keeps its previous centroid.
+
+    Returns ``(cluster, dim, qc, n)`` — the final centroids after
+    ``iterations`` assign+update rounds (k x dims rows; ``n`` is the
+    cluster's size in the final assignment, identical across dims).
+
+    Scale shape: each iteration is one ``map_batches`` (per-block
+    assignment + fixed-point partial sums — one (k x dims) int64 matrix
+    per block, never per row) and one ``groupby(cluster, dim)`` Sum
+    whose result is k*dims rows — the ONLY driver state, bounded by
+    construction (k, dims are operator parameters, not data sizes).
+    Iterations are synchronous barriers — inherent to Lloyd.  Overflow:
+    |q| <= 1e6*|x|; squared diffs * dims stay far below 2^63 for any
+    sane embedding range (|x| < 1e3, dims <= 4096); centroid sums are
+    exact in the oracle's DOUBLE division below 2^53 (~9e9 members per
+    cluster — document before exceeding).
+
+    Init-selection exchange: per-block partial k-smallest ids, merged on
+    the driver — O(blocks * k) rows, never a sort of the dataset.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    scale = _CENTROID_SCALE
+
+    # --- init: quantized vectors of the k smallest ids ---------------------
+    def _cand(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: b.column(emb_col)})
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return b.select([id_col, emb_col]).take(pa.array(np.sort(order)))
+
+    cand = (emb_ds.map_batches(_cand, batch_format="pyarrow",
+                               batch_size=None).take_all())
+    cand.sort(key=lambda r: r[id_col])
+    seeds = cand[:k]
+    if not seeds:
+        return ray.data.from_arrow(pa.table({
+            "cluster": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "qc": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64())}))
+    init = np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                     for r in seeds])
+    qc = np.floor(init * scale).astype(np.int64)          # (k, dims)
+    kk, dims = qc.shape
+
+    def _partial_factory(centroids: np.ndarray):
+        cref = ray.put(centroids)
+
+        def _partial(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "sum_q": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            c = ray.get(cref)
+            vecs = list_column_matrix(b[emb_col])
+            q = np.floor(vecs * scale).astype(np.int64)   # (n, dims)
+            # k passes of (n x dims) int64 ops — O(n*k*dims) time but
+            # O(n*dims) memory (never an (n,k,dims) cube)
+            dist = np.empty((len(q), len(c)), dtype=np.int64)
+            for ci in range(len(c)):
+                diff = q - c[ci]
+                dist[:, ci] = np.einsum("ij,ij->i", diff, diff)
+            assign = dist.argmin(axis=1)                  # first min = low id
+            sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "cluster": pa.array(np.repeat(nz, q.shape[1]), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(q.shape[1], dtype=np.int64),
+                                        len(nz)), pa.int64()),
+                "sum_q": pa.array(sums[nz].reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts[nz], q.shape[1]), pa.int64()),
+            })
+        return _partial
+
+    n_final = np.zeros(kk, dtype=np.int64)
+    for _ in range(iterations):
+        stats = (emb_ds.map_batches(_partial_factory(qc),
+                                    batch_format="pyarrow", batch_size=None)
+                 .groupby(["cluster", "dim"])
+                 .aggregate(Sum("sum_q", alias_name="sum_q"),
+                            Sum("n", alias_name="n"))
+                 .take_all())                             # k*dims rows max
+        n_final = np.zeros(kk, dtype=np.int64)
+        new_qc = qc.copy()                                # empty keeps old
+        for row in stats:
+            c, d = int(row["cluster"]), int(row["dim"])
+            new_qc[c, d] = row["sum_q"] // row["n"]
+            n_final[c] = row["n"]
+        qc = new_qc
+
+    return ray.data.from_arrow(pa.table({
+        "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dims),
+                            pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), kk),
+                        pa.int64()),
+        "qc": pa.array(qc.reshape(-1), pa.int64()),
+        "n": pa.array(np.repeat(n_final, dims), pa.int64()),
+    }))

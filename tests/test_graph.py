@@ -110,3 +110,67 @@ def test_pack_greedy_planted(ray_session):
     got = {(r["k"], r["i"]): r["bin_idx"] for r in out.take_all()}
     assert got == {("g", 1): 0, ("g", 2): 0, ("g", 3): 1, ("g", 4): 2,
                    ("g", 5): 3, ("h", 1): 0, ("h", 2): 1}
+
+
+# --- kmeans_fixed ------------------------------------------------------------
+
+def _make_emb_ds(vecs, ids=None):
+    import ray.data
+
+    ids = ids if ids is not None else list(range(len(vecs)))
+    return ray.data.from_items(
+        [{"vec_id": int(i), "embedding": [float(x) for x in v]}
+         for i, v in zip(ids, vecs)])
+
+
+def test_kmeans_planted_clusters(ray_session):
+    from sylk.stages.similarity import kmeans_fixed
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[5.0, 0.0, 0.0], [0.0, 5.0, 0.0]])
+    vecs = np.concatenate([
+        centers[0] + rng.normal(0, 0.05, (30, 3)),
+        centers[1] + rng.normal(0, 0.05, (30, 3))])
+    out = kmeans_fixed(_make_emb_ds(vecs), k=2, iterations=3).take_all()
+    rows = {(r["cluster"], r["dim"]): r for r in out}
+    assert len(rows) == 6
+    # after 3 iterations the fixed-point centroids sit on the planted
+    # centers (quantized at 1e6; noise sigma 0.05 -> mean within 0.05)
+    c0 = np.array([rows[(0, d)]["qc"] for d in range(3)]) / 1e6
+    c1 = np.array([rows[(1, d)]["qc"] for d in range(3)]) / 1e6
+    got = {tuple(np.round(c0, 0)), tuple(np.round(c1, 0))}
+    assert got == {(5.0, 0.0, 0.0), (0.0, 5.0, 0.0)}
+    # every vector accounted for, n constant across a cluster's dims
+    assert rows[(0, 0)]["n"] + rows[(1, 0)]["n"] == 60
+    assert all(rows[(c, d)]["n"] == rows[(c, 0)]["n"]
+               for c in (0, 1) for d in range(3))
+
+
+def test_kmeans_block_layout_invariant(ray_session):
+    """Bit-identical result regardless of block count (the summation-
+    order hazard the fixed-point contract eliminates)."""
+    from sylk.stages.similarity import kmeans_fixed
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (40, 4))
+    a = kmeans_fixed(_make_emb_ds(vecs), k=3, iterations=2).take_all()
+    ds_many = _make_emb_ds(vecs).repartition(13)
+    b = kmeans_fixed(ds_many, k=3, iterations=2).take_all()
+    key = lambda r: (r["cluster"], r["dim"])  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """A centroid that attracts no members keeps its previous position
+    and reports n=0 (matches the oracle's COALESCE)."""
+    from sylk.stages.similarity import kmeans_fixed
+
+    # seeds are the two smallest ids; every point is at 10 so the far
+    # seed at 0 empties immediately
+    vecs = [[0.0], [10.0], [10.0], [10.0], [10.0]]
+    out = kmeans_fixed(_make_emb_ds(vecs), k=2, iterations=2).take_all()
+    rows = {r["cluster"]: r for r in out}
+    # cluster 0 seeded at 0.0: point 0 itself is nearer to it in iter 1
+    # (dist 0) so it keeps one member; cluster 1 holds the rest
+    assert rows[0]["n"] + rows[1]["n"] == 5
+    assert rows[1]["qc"] == 10_000_000
