@@ -155,7 +155,8 @@ class _ShingleFlagger:
 
 def decontaminate(docs_ds, bench_ds, k: int = 8,
                   distributed: bool | None = None,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  concurrency: tuple[int, int] = (1, 16)):
     """Eval-set n-gram decontamination: flag every corpus doc sharing at
     least one word ``k``-gram with the benchmark set.  Returns a Dataset
     of (doc_id, n_hit) where ``n_hit`` = number of DISTINCT doc shingles
@@ -194,9 +195,14 @@ def decontaminate(docs_ds, bench_ds, k: int = 8,
             if "shingle" in blk.column_names:
                 uniq.update(blk.column("shingle").to_pylist())
         bench_ref = ray.put(np.asarray(sorted(uniq), dtype=object))
+        # autoscaling actor pool: the corpus side is the 100-TB stream,
+        # so the max must track the cluster, not a constant — callers on
+        # big clusters raise ``concurrency`` (min stays 1 so small runs
+        # don't reserve idle actors)
         hits = pairs.map_batches(_ShingleFlagger,
                                  fn_constructor_args=(bench_ref,),
-                                 batch_format="pyarrow", concurrency=(1, 4))
+                                 batch_format="pyarrow",
+                                 concurrency=concurrency)
     out = hits.groupby(id_col).aggregate(Count(alias_name="n_hit"))
     return out
 
