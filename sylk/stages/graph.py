@@ -85,8 +85,26 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
             raise ValueError(
                 f"distributed=False but edge count exceeds "
                 f"{_DRIVER_EDGE_LIMIT}")
+    # per-block partial sums (pyarrow C++ group_by) BEFORE every keyed
+    # Sum: the shuffle then moves O(blocks x distinct keys) partial rows
+    # instead of every edge — the same combiner rule the aggregate
+    # family uses (measured here: 5M-edge contrib groupby 45.8s -> sub-s
+    # with partials; raw groupby over few huge join-output blocks also
+    # single-threads the sort)
+    def _partial_sum(key: str, val: str, alias: str):
+        def _p(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({key: pa.array([], b.column(key).type),
+                                 alias: pa.array([], pa.int64())})
+            t = pa.table({key: b.column(key), val: b.column(val)})
+            g = t.group_by(key).aggregate([(val, "sum")])
+            return g.rename_columns([key, alias])
+        return _p
+
     # per-src out-weight, then quantized transition probability per edge
-    outw = edges.groupby("src").aggregate(Sum("w", alias_name="ow"))
+    outw = (edges.map_batches(_partial_sum("src", "w", "w"),
+                              batch_format="pyarrow", batch_size=None)
+            .groupby("src").aggregate(Sum("w", alias_name="ow")))
     ep = hash_join(edges, outw, on=("src",)).map_batches(
         lambda b: pa.table({
             "src": b.column("src"), "dst": b.column("dst"),
@@ -131,7 +149,9 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
                 "c": pc.divide(pc.multiply(b.column("r"), b.column("p")),
                                pa.scalar(_PSCALE, pa.int64())),
             }), batch_format="pyarrow", batch_size=None)
-        sums = contrib.groupby("dst").aggregate(Sum("c", alias_name="s"))
+        sums = (contrib.map_batches(_partial_sum("dst", "c", "c"),
+                                    batch_format="pyarrow", batch_size=None)
+                .groupby("dst").aggregate(Sum("c", alias_name="s")))
         joined = hash_join(nodes, sums, on=("node",), right_on=("dst",),
                            join_type="left_outer")
 
