@@ -86,6 +86,13 @@ _I64 = {
     "part": pa.int64(),
     "bin_idx": pa.int64(),
     "tile": pa.int64(),
+    "stage": pa.int64(),
+    "t_view": pa.int64(),
+    "t_click": pa.int64(),
+    "t_purchase": pa.int64(),
+    "n_chars": pa.int64(),
+    "day_idx": pa.int64(),
+    "user_id": pa.int64(),
 }
 
 
@@ -651,6 +658,95 @@ def q_events_csv_rollup(sf_dir: str) -> pa.Table:
         Sum("user_id", alias_name="sum_user_id"))
     cols = ["event_type", "n", "min_event_id", "max_event_id",
             "sum_user_id"]
+    return _table(out, cols)
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_stages(sf_dir: str) -> pa.Table:
+    """Strict sequential conversion funnel per user
+    (view -> click -> purchase, first-touch times, stage ``i`` only
+    counts events strictly after stage ``i-1``): per-step grouped MIN
+    over a shrinking hash-joined frontier — no per-key window sort,
+    no driver state (sylk/stages/funnel.py)."""
+    import os
+
+    import ray.data
+
+    from ..stages.funnel import funnel_stages
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_type": b.column("event_type"),
+                         "t_us": b.column("ts").cast(pa.int64())})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = funnel_stages(ds, _FUNNEL_STEPS)
+    cols = ["user_id", "stage", "t_view", "t_click", "t_purchase"]
+    return _table(out.select_columns(cols), cols)
+
+
+_WSAMPLE_K = 200
+
+
+def q_weighted_doc_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sampling: the 200 docs with smallest
+    md5-hash // n_chars priority — longer documents proportionally more
+    likely, selection a pure function of content (identical across
+    runs/cluster sizes; DuckDB replays it bitwise)."""
+    import os
+
+    import ray.data
+
+    from ..stages.sample import weighted_priority_sample
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"])
+    out = weighted_priority_sample(docs, "text", "n_chars",
+                                   _WSAMPLE_K, "doc_id")
+    cols = ["doc_id", "n_chars"]
+    return _table(out.select_columns(cols), cols)
+
+
+def q_bpe_pair_counts(sf_dir: str) -> pa.Table:
+    """One BPE tokenizer-training iteration's merge-candidate ranking:
+    top-20 adjacent character pairs weighted by corpus word frequency
+    (sylk/stages/text.py char_pair_count_partial — per-block unique-word
+    kernel, pair exchange ≤ alphabet² rows)."""
+    from ..stages.text import bpe_pair_counts
+
+    out = bpe_pair_counts(_docs(sf_dir), "text", k=20)
+    return _table(out, ["a", "b", "n"])
+
+
+def q_daily_active_users(sf_dir: str) -> pa.Table:
+    """Exact per-day COUNT(DISTINCT user_id) + event totals — the
+    grouped exact-distinct aggregate (two keyed reduces over distinct
+    (day, user) pair partials; aggregate.grouped_distinct_count)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_distinct_count
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day_idx": pa.array(us // 86_400_000_000),
+                         "user_id": b.column("user_id")})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = grouped_distinct_count(ds, "day_idx", "user_id",
+                                 "n_users", "n_events")
+    cols = ["day_idx", "n_users", "n_events"]
     return _table(out, cols)
 
 
@@ -2753,6 +2849,54 @@ def _oracle_sql_entries() -> dict[str, str]:
                    MAX(event_id) AS max_event_id,
                    CAST(SUM(user_id) AS BIGINT) AS sum_user_id
             FROM events GROUP BY 1""",
+        "funnel_stages": """
+            WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+                        FROM events WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click'
+                     AND epoch_us(e.ts) > s1.t_view GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) > s2.t_click GROUP BY 1)
+            SELECT u.user_id,
+                   CAST(CAST(s1.user_id IS NOT NULL AS INT)
+                        + CAST(s2.user_id IS NOT NULL AS INT)
+                        + CAST(s3.user_id IS NOT NULL AS INT)
+                        AS BIGINT) AS stage,
+                   CAST(COALESCE(s1.t_view, -1) AS BIGINT) AS t_view,
+                   CAST(COALESCE(s2.t_click, -1) AS BIGINT) AS t_click,
+                   CAST(COALESCE(s3.t_purchase, -1) AS BIGINT)
+                     AS t_purchase
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)""",
+        "weighted_doc_sample": f"""
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY md5_number_lower(text)
+                       // CAST(GREATEST(n_chars, 1) AS UBIGINT),
+                     doc_id
+            LIMIT {_WSAMPLE_K}""",
+        "bpe_pair_counts": r"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                         AS w FROM documents),
+            wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY 1),
+            pos AS (SELECT w, f, unnest(range(1, length(w))) AS i
+                    FROM wf),
+            pr AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+                          substr(w, CAST(i AS INT) + 1, 1) AS b, f
+                   FROM pos)
+            SELECT a, b, CAST(SUM(f) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2
+            ORDER BY n DESC, a, b LIMIT 20""",
+        "daily_active_users": """
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                     AS day_idx,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1""",
         "conformance": _conformance_oracle_sql(),
         "pii_redaction": _pii_redaction_oracle_sql(),
         "decontaminate_docs": r"""
@@ -3134,6 +3278,10 @@ QUERIES = {
     "event_transition_rank": q_event_transition_rank,
     "kmeans_centroids": q_kmeans_centroids,
     "events_csv_rollup": q_events_csv_rollup,
+    "funnel_stages": q_funnel_stages,
+    "weighted_doc_sample": q_weighted_doc_sample,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "daily_active_users": q_daily_active_users,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

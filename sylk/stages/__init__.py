@@ -4,8 +4,10 @@ from .enrich import Enricher  # noqa: F401
 # operator families (imported lazily by most callers; re-exported here
 # as the discoverable API surface)
 from .aggregate import (cube_counts, grouped_counts,  # noqa: F401
-                        grouped_quantiles, latest_per_key, rollup_counts,
+                        grouped_distinct_count, grouped_quantiles,
+                        latest_per_key, rollup_counts,
                         sliding_window_counts, topk_per_group)
+from .funnel import funnel_stages, grouped_min  # noqa: F401
 from .asof import (consecutive_dedup, fill_forward, lag, lead,  # noqa: F401
                    rolling_sum, running_total)
 from .temporal import asof_join_value, range_join  # noqa: F401
@@ -13,7 +15,7 @@ from .join import (anti_join, bloom_semi_join, broadcast_join,  # noqa: F401
                    bucketed_join, bucketed_write, except_distinct,
                    hash_join, intersect_distinct, semi_join)
 from .sample import (deterministic_sample, group_reservoir,  # noqa: F401
-                     stratified_sample)
+                     stratified_sample, weighted_priority_sample)
 from .sessionize import gap_sessions, sessionize  # noqa: F401
 from .dedup import connected_components  # noqa: F401
 from .curate import (decontaminate, profile_columns,  # noqa: F401

@@ -325,6 +325,32 @@ def exact_distinct_count(ds, key: str):
     return parts.groupby(key).count().count()
 
 
+def grouped_distinct_count(ds, key: str, val: str,
+                           distinct_alias: str = "n_distinct",
+                           total_alias: str = "n_rows"):
+    """Exact per-group COUNT(DISTINCT val) + COUNT(*) (e.g. daily
+    active users): per-block distinct (key, val) pair partials carrying
+    their local row counts (the combiner — the first shuffle moves
+    distinct pairs per block, not events), one keyed reduce to global
+    distinct pairs, then a second keyed reduce over the pair table
+    (already ≤ distinct-pair-sized) folds pairs into
+    (key, n_distinct, n_rows).  No sketch error, no per-key driver
+    state."""
+    from ray.data.aggregate import Count
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b.column(key), val: b.column(val)})
+        out = t.group_by([key, val]).aggregate([([], "count_all")])
+        return out.rename_columns([key, val, "_c"])
+
+    parts = ds.map_batches(_pairs, batch_format="pyarrow",
+                           batch_size=None)
+    pairs = parts.groupby([key, val]).aggregate(Sum("_c", alias_name="_c"))
+    return pairs.groupby(key).aggregate(
+        Count(alias_name=distinct_alias),
+        Sum("_c", alias_name=total_alias))
+
+
 def sliding_window_counts(ds, t_col: str, keys, window: int, slide: int):
     """Sliding-window grouped counts: every row lands in
     ``window // slide`` overlapping windows (epoch-aligned starts).

@@ -68,6 +68,40 @@ def stratified_sample(ds, column: str, group_col: str, rates: dict,
     return ds.map_batches(_filt, batch_format="pyarrow", batch_size=None)
 
 
+def weighted_priority_sample(ds, column: str, weight_col: str, k: int,
+                             id_col: str, salt: str = ""):
+    """Deterministic weighted top-k sample: keep the ``k`` rows with
+    the smallest ``hash64(content) // max(weight, 1)`` (ties broken by
+    ``id_col``).  A row with weight ``w`` has its uniform 64-bit hash
+    shrunk by ``w``, so inclusion probability grows ~linearly with
+    weight while staying a pure function of content — the weighted
+    analogue of :func:`deterministic_sample` (same sample across runs,
+    cluster sizes, and engines; integer-only, so DuckDB replays it
+    bitwise with ``md5_number_lower(col) // w``).
+
+    Each block keeps only its own k best rows (partial top-k — the
+    exchange payload is k×blocks rows, never the corpus), then a
+    global sort+limit runs on the reduced candidate set."""
+    kk = int(k)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_prio", pa.array([], pa.uint64()))
+        h = content_hash64(batch.column(column).to_pylist(), salt)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        prio = h // np.maximum(w, 1).astype(np.uint64)
+        t = batch.append_column("_prio", pa.array(prio))
+        if t.num_rows > kk:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, prio))[:kk]
+            t = t.take(pa.array(order))
+        return t
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    return partials.sort(["_prio", id_col]).limit(kk)
+
+
 def group_reservoir(ds, column: str, group_col: str, k: int,
                     id_col: str, salt: str = ""):
     """Deterministic fixed-size sample per group: the k rows with the

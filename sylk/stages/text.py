@@ -228,6 +228,91 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
     return ray.data.from_pandas(out)
 
 
+def char_pair_count_partial(batch: pa.Table,
+                            text_col: str = "text") -> pa.Table:
+    """Per-block adjacent-character-pair counts weighted by word
+    frequency — the inner statistic of a BPE tokenizer-training
+    iteration (count symbol pairs over the word-frequency table, merge
+    the hottest).  Pair counts are LINEAR in word counts, so each block
+    contributes pairs(word) × local_count(word) and the global
+    groupby-sum over pair keys reconstructs pairs(word) ×
+    global_count(word) exactly — no corpus-wide vocabulary shuffle is
+    needed before the (tiny: ≤ alphabet²-row) pair exchange.
+
+    Vectorized via the dictionary trick: np.unique the block's tokens
+    first, decode the UNIQUE words once to a flat uint32 code-point
+    array (utf-32), and form pairs with one shifted-index gather —
+    per-pair work is O(total chars of unique words), not corpus chars.
+    """
+    texts = batch.column(text_col).to_pylist()
+    toks = [w for t in texts for w in (t or "").split()]
+    empty = pa.table({"a": pa.array([], pa.uint32()),
+                      "b": pa.array([], pa.uint32()),
+                      "n": pa.array([], pa.int64())})
+    if not toks:
+        return empty
+    words, freqs = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+    joined = "".join(words)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                       count=len(words))
+    ends = np.cumsum(lens)
+    mask = np.ones(len(codes), dtype=bool)
+    mask[ends - 1] = False  # last char of each word starts no pair
+    left = np.flatnonzero(mask)
+    if len(left) == 0:
+        return empty
+    a, b = codes[left], codes[left + 1]
+    key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+    f = np.repeat(freqs.astype(np.int64), np.maximum(lens - 1, 0))
+    uk, inv = np.unique(key, return_inverse=True)
+    sums = np.bincount(inv, weights=f.astype(np.float64)).astype(np.int64)
+    return pa.table({
+        "a": pa.array((uk >> np.uint64(32)).astype(np.uint32)),
+        "b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        "n": pa.array(sums, pa.int64()),
+    })
+
+
+def bpe_pair_counts(ds, text_col: str = "text", k: int = 20):
+    """Global top-k adjacent symbol pairs weighted by word frequency
+    (one BPE training iteration's merge-candidate ranking): per-block
+    vectorized combiner -> one groupby-sum over ≤ alphabet² pair keys
+    -> deterministic top-k (count DESC, pair ASC).  Returns
+    Dataset[(a:str, b:str, n:int64)] of single-character symbols."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda t: char_pair_count_partial(t, text_col),
+        batch_format="pyarrow", batch_size=None)
+
+    def _pack(b: pa.Table) -> pa.Table:
+        key = (b.column("a").to_numpy(zero_copy_only=False)
+               .astype(np.uint64) << np.uint64(32)) | \
+            b.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"pair": pa.array(key),
+                         "n": b.column("n")})
+
+    counts = (partials.map_batches(_pack, batch_format="pyarrow",
+                                   batch_size=None)
+              .groupby("pair").aggregate(Sum("n", alias_name="n")))
+    # the reduced table is ≤ alphabet² rows — top-k on the driver.
+    # uint64 pair-key order == (a, b) code-point order == UTF-8 string
+    # order, so the tie-break matches SQL ORDER BY a, b exactly.
+    df = counts.to_pandas().sort_values(
+        ["n", "pair"], ascending=[False, True],
+        kind="mergesort").head(int(k))
+    pairs = df["pair"].to_numpy().astype(np.uint64)
+    return ray.data.from_pandas(pd.DataFrame({
+        "a": [chr(int(p) >> 32) for p in pairs],
+        "b": [chr(int(p) & 0xFFFFFFFF) for p in pairs],
+        "n": df["n"].to_numpy().astype(np.int64),
+    }))
+
+
 def term_tf_rows(batch: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     """Per-doc term frequencies (doc_id, term, tf) — complete per block
