@@ -93,6 +93,8 @@ _I64 = {
     "n_chars": pa.int64(),
     "day_idx": pa.int64(),
     "user_id": pa.int64(),
+    "cohort_day": pa.int64(),
+    "day_offset": pa.int64(),
 }
 
 
@@ -747,6 +749,65 @@ def q_daily_active_users(sf_dir: str) -> pa.Table:
     out = grouped_distinct_count(ds, "day_idx", "user_id",
                                  "n_users", "n_events")
     cols = ["day_idx", "n_users", "n_events"]
+    return _table(out, cols)
+
+
+def q_balanced_docs(sf_dir: str) -> pa.Table:
+    """Deterministic language rebalancing: every language downsampled
+    to the smallest language's expected size via the integer threshold
+    ``(1e6 * c_min) // c_lang`` on ``md5(text) % 1e6`` — training-mix
+    class balancing with zero RNG (sample.balanced_resample)."""
+    import os
+
+    import ray.data
+
+    from ..stages.sample import balanced_resample
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    out = balanced_resample(docs, "text", "lang")
+    cols = ["doc_id", "lang"]
+    return _table(out.select_columns(cols), cols)
+
+
+def q_retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix: users grouped by first-active day,
+    distinct actives per (cohort_day, day_offset) — grouped MIN
+    (funnel.grouped_min) + hash join + composite-key exact distinct
+    (aggregate.grouped_distinct_count)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_distinct_count
+    from ..stages.funnel import grouped_min
+    from ..stages.join import hash_join
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(us // 86_400_000_000),
+                         "user_id": b.column("user_id")})
+
+    days = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    cohort = grouped_min(days, "user_id", "day", "cohort_day")
+    j = hash_join(days, cohort, on=("user_id",))
+
+    def _offset(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": b.column("cohort_day"),
+            "day_offset": pc.subtract(b.column("day"),
+                                      b.column("cohort_day")),
+            "user_id": b.column("user_id")})
+
+    pairs = j.map_batches(_offset, batch_format="pyarrow",
+                          batch_size=None)
+    out = grouped_distinct_count(pairs, ["cohort_day", "day_offset"],
+                                 "user_id", "n_users", "n_events")
+    cols = ["cohort_day", "day_offset", "n_users", "n_events"]
     return _table(out, cols)
 
 
@@ -2897,6 +2958,24 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1""",
+        "balanced_docs": """
+            WITH lc AS (SELECT lang, COUNT(*) AS c FROM documents
+                        GROUP BY 1),
+            mn AS (SELECT MIN(c) AS cmin FROM lc)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN lc USING (lang), mn
+            WHERE md5_number_lower(d.text) % 1000000
+                    < (1000000 * mn.cmin) // lc.c""",
+        "retention_cohorts": """
+            WITH d AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort_day,
+                   CAST(d.day - c.cohort AS BIGINT) AS day_offset,
+                   CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM d JOIN c USING (user_id) GROUP BY 1, 2""",
         "conformance": _conformance_oracle_sql(),
         "pii_redaction": _pii_redaction_oracle_sql(),
         "decontaminate_docs": r"""
@@ -3282,6 +3361,8 @@ QUERIES = {
     "weighted_doc_sample": q_weighted_doc_sample,
     "bpe_pair_counts": q_bpe_pair_counts,
     "daily_active_users": q_daily_active_users,
+    "balanced_docs": q_balanced_docs,
+    "retention_cohorts": q_retention_cohorts,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

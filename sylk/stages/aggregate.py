@@ -325,7 +325,7 @@ def exact_distinct_count(ds, key: str):
     return parts.groupby(key).count().count()
 
 
-def grouped_distinct_count(ds, key: str, val: str,
+def grouped_distinct_count(ds, key, val: str,
                            distinct_alias: str = "n_distinct",
                            total_alias: str = "n_rows"):
     """Exact per-group COUNT(DISTINCT val) + COUNT(*) (e.g. daily
@@ -335,18 +335,23 @@ def grouped_distinct_count(ds, key: str, val: str,
     distinct pairs, then a second keyed reduce over the pair table
     (already ≤ distinct-pair-sized) folds pairs into
     (key, n_distinct, n_rows).  No sketch error, no per-key driver
-    state."""
+    state.  ``key`` may be one column name or a list (composite
+    group)."""
     from ray.data.aggregate import Count
 
+    keys = [key] if isinstance(key, str) else list(key)
+
     def _pairs(b: pa.Table) -> pa.Table:
-        t = pa.table({key: b.column(key), val: b.column(val)})
-        out = t.group_by([key, val]).aggregate([([], "count_all")])
-        return out.rename_columns([key, val, "_c"])
+        t = pa.table({**{k: b.column(k) for k in keys},
+                      val: b.column(val)})
+        out = t.group_by(keys + [val]).aggregate([([], "count_all")])
+        return out.rename_columns(keys + [val, "_c"])
 
     parts = ds.map_batches(_pairs, batch_format="pyarrow",
                            batch_size=None)
-    pairs = parts.groupby([key, val]).aggregate(Sum("_c", alias_name="_c"))
-    return pairs.groupby(key).aggregate(
+    pairs = parts.groupby(keys + [val]).aggregate(
+        Sum("_c", alias_name="_c"))
+    return pairs.groupby(keys).aggregate(
         Count(alias_name=distinct_alias),
         Sum("_c", alias_name=total_alias))
 

@@ -68,6 +68,44 @@ def stratified_sample(ds, column: str, group_col: str, rates: dict,
     return ds.map_batches(_filt, batch_format="pyarrow", batch_size=None)
 
 
+_BAL_SCALE = 1_000_000
+
+
+def balanced_resample(ds, column: str, group_col: str,
+                      scale: int = _BAL_SCALE, salt: str = ""):
+    """Deterministic class rebalancing (the training-mix step that
+    equalizes languages/sources): downsample every group to the
+    SMALLEST group's expected size with keep probability
+    ``c_min / c_g``, realized as the integer threshold
+    ``(scale * c_min) // c_g`` on ``hash(content) % scale`` — all
+    integer arithmetic, so membership is a pure function of content and
+    the global counts, and an engine replaying the same formula selects
+    the identical rows (no RNG, no float rate).
+
+    Two phases: a keyed count over ``group_col`` (tiny result — one row
+    per class) collected to a threshold map shipped in the task
+    closure, then the same zero-shuffle stateless filter as
+    :func:`stratified_sample`.  The input is traversed twice (counts,
+    then filter) — at scale, point the second pass at a materialized /
+    checkpointed dataset to avoid recomputing an expensive upstream."""
+    counts = {r[group_col]: r["count()"]
+              for r in ds.groupby(group_col).count().take_all()}
+    if not counts:
+        return ds
+    c_min = min(counts.values())
+    thresholds = {g: (scale * c_min) // c for g, c in counts.items()}
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch.column(column).to_pylist(), salt)
+        groups = batch.column(group_col).to_pylist()
+        thr = np.array([thresholds.get(g, 0) for g in groups],
+                       dtype=np.uint64)
+        keep = (h % np.uint64(scale)) < thr
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filt, batch_format="pyarrow", batch_size=None)
+
+
 def weighted_priority_sample(ds, column: str, weight_col: str, k: int,
                              id_col: str, salt: str = ""):
     """Deterministic weighted top-k sample: keep the ``k`` rows with

@@ -10,7 +10,7 @@ import ray.data
 
 from sylk.stages.aggregate import grouped_distinct_count
 from sylk.stages.funnel import funnel_stages, grouped_min
-from sylk.stages.sample import weighted_priority_sample
+from sylk.stages.sample import balanced_resample, weighted_priority_sample
 from sylk.stages.text import bpe_pair_counts, char_pair_count_partial
 
 
@@ -146,6 +146,74 @@ def test_bpe_pair_counts_matches_bruteforce(ray_session):
     exp = dict(sorted(truth.items(),
                       key=lambda kv: (-kv[1], kv[0]))[:50])
     assert got_d == exp
+
+
+def test_balanced_resample_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(13)
+    langs = ["en"] * 600 + ["de"] * 200 + ["fr"] * 90
+    texts = [f"doc {i} {rng.integers(0, 1e9)}" for i in range(len(langs))]
+    df = pd.DataFrame({"doc_id": np.arange(len(langs)), "text": texts,
+                       "lang": langs})
+    out = balanced_resample(
+        ray.data.from_pandas(df).repartition(5), "text",
+        "lang").to_pandas()
+    counts = {"en": 600, "de": 200, "fr": 90}
+    keep = [
+        _md5_64(t) % 1_000_000 < (1_000_000 * 90) // counts[g]
+        for t, g in zip(texts, langs)
+    ]
+    exp = df[np.array(keep)]
+    assert sorted(out.doc_id) == sorted(exp.doc_id)
+    # expectation ~90 per language; determinism bounds drift
+    got_counts = out.groupby("lang").size()
+    assert all(40 <= got_counts.get(lg, 0) <= 140 for lg in counts)
+
+
+def test_balanced_resample_smallest_group_kept_whole(ray_session):
+    df = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [f"t{i}" for i in range(40)],
+        "lang": ["en"] * 30 + ["fr"] * 10,
+    })
+    out = balanced_resample(ray.data.from_pandas(df), "text",
+                            "lang").to_pandas()
+    # threshold for fr = scale exactly -> every fr row survives
+    assert (out.lang == "fr").sum() == 10
+
+
+def test_retention_cohort_differential(ray_session):
+    rng = np.random.default_rng(21)
+    n = 2500
+    df = pd.DataFrame({"user_id": rng.integers(0, 60, n),
+                       "day": rng.integers(0, 15, n)})
+    cohort = df.groupby("user_id")["day"].min().rename("cohort")
+    j = df.join(cohort, on="user_id")
+    exp = (j.assign(off=j.day - j.cohort)
+           .groupby(["cohort", "off"])["user_id"]
+           .agg(["nunique", "size"]))
+
+    from sylk.stages.funnel import grouped_min as gm
+    from sylk.stages.join import hash_join
+
+    ds = ray.data.from_pandas(df).repartition(6)
+    c = gm(ds, "user_id", "day", "cohort_day")
+    joined = hash_join(ds, c, on=("user_id",))
+
+    def _o(b):
+        import pyarrow.compute as _pc
+        return pa.table({
+            "cohort_day": b.column("cohort_day"),
+            "day_offset": _pc.subtract(b.column("day"),
+                                       b.column("cohort_day")),
+            "user_id": b.column("user_id")})
+
+    pairs = joined.map_batches(_o, batch_format="pyarrow",
+                               batch_size=None)
+    got = grouped_distinct_count(pairs, ["cohort_day", "day_offset"],
+                                 "user_id", "nu", "ne").to_pandas()
+    got = got.set_index(["cohort_day", "day_offset"]).sort_index()
+    assert got["nu"].to_dict() == exp["nunique"].to_dict()
+    assert got["ne"].to_dict() == exp["size"].to_dict()
 
 
 def test_grouped_distinct_count_differential(ray_session):
