@@ -1339,6 +1339,35 @@ def q_value_quantiles(sf_dir: str) -> pa.Table:
                      "p99": pa.array([p[2]], pa.float64())})
 
 
+def q_value_winsorized(sf_dir: str) -> pa.Table:
+    """Winsorize (outlier-clip) the value column to its exact
+    [p01, p99]: the 3-pass selection quantiles are two SCALARS
+    broadcast in the clamp task's closure — no second shuffle, the
+    clip pass streams.  Clipping to ELEMENTS of the data (quantile_disc
+    convention) keeps every comparison bit-exact on doubles."""
+    import os
+
+    import ray.data
+
+    from ..stages.selection import distributed_quantiles
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    lo, hi = distributed_quantiles(
+        ev.select_columns(["value"]), "value", [0.01, 0.99])
+
+    def _clip(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        w = pc.min_element_wise(
+            pc.max_element_wise(v, pa.scalar(lo, pa.float64())),
+            pa.scalar(hi, pa.float64()))
+        return pa.table({"event_id": b.column("event_id"),
+                         "value_w": w})
+
+    out = ev.map_batches(_clip, batch_format="pyarrow", batch_size=None)
+    return _table(out, ["event_id", "value_w"])
+
+
 def q_stratified_sample(sf_dir: str) -> pa.Table:
     """Per-language deterministic sampling rates (30% en, 10% de, 5%
     rest) — membership is a pure content-hash function, so the sample is
@@ -2958,6 +2987,13 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1""",
+        "value_winsorized": """
+            WITH q AS (SELECT quantile_disc(value, 0.01) AS lo,
+                              quantile_disc(value, 0.99) AS hi
+                       FROM events)
+            SELECT e.event_id,
+                   LEAST(GREATEST(e.value, q.lo), q.hi) AS value_w
+            FROM events e, q""",
         "balanced_docs": """
             WITH lc AS (SELECT lang, COUNT(*) AS c FROM documents
                         GROUP BY 1),
@@ -3363,6 +3399,7 @@ QUERIES = {
     "daily_active_users": q_daily_active_users,
     "balanced_docs": q_balanced_docs,
     "retention_cohorts": q_retention_cohorts,
+    "value_winsorized": q_value_winsorized,
     "multimodal_features": q_multimodal_features,
     # rows-only (not SQL-expressible: LSH/banded candidate generation,
     # approximate IVF recall)

@@ -60,24 +60,48 @@ def funnel_stages(events_ds, steps, key: str = "user_id",
     Every key that appears in the stream gets a row (stage 0 = entered
     the stream but never performed ``steps[0]``).
     """
-    # key universe + first-touch per key (one cheap keyed MIN)
-    out = grouped_min(events_ds, key, t_col, "t_first")
     t_names = [f"t_{s}" for s in steps]
+    step0, t0 = steps[0], t_names[0]
 
-    frontier = None  # Dataset[(key, t_{i-1})] of stage-(i-1) survivors
-    for i, step in enumerate(steps):
+    # fused first pass: key universe (first-touch MIN over ALL events)
+    # AND the unconditional step-0 MIN come from ONE scan + ONE keyed
+    # reduce — the step-0 time is the MIN of a null-masked copy of the
+    # time column (min ignores nulls on both the pyarrow partial and
+    # the Ray reduce)
+    def _partial0(b: pa.Table) -> pa.Table:
+        t = b.column(t_col)
+        mask = pc.equal(b.column(step_col), pa.scalar(step0))
+        tv = pc.if_else(mask, t, pa.scalar(None, t.type))
+        tbl = pa.table({key: b.column(key), "t_first": t, t0: tv})
+        g = tbl.group_by(key).aggregate([("t_first", "min"),
+                                         (t0, "min")])
+        return g.rename_columns([key, "t_first", t0])
+
+    # Each frontier feeds TWO consumers (the next step's join and the
+    # assembly left-join); Ray re-executes shared lineage per consumer,
+    # so pin the per-key tables in the object store once.  They are
+    # bounded by key cardinality (one row per surviving key — the
+    # aggregate result, never the event stream), which is exactly what
+    # an object-store checkpoint is for at scale.
+    out = (events_ds.map_batches(_partial0, batch_format="pyarrow",
+                                 batch_size=None)
+           .groupby(key).aggregate(Min("t_first", alias_name="t_first"),
+                                   Min(t0, alias_name=t0))
+           ).materialize()
+
+    frontier = out.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(t0))).select([key, t0]),
+        batch_format="pyarrow", batch_size=None)
+    for i, step in enumerate(steps[1:], start=1):
         ev = _step_slice(events_ds, step_col, step)
-        if frontier is None:
-            frontier = grouped_min(ev, key, t_col, t_names[0])
-        else:
-            prev = t_names[i - 1]
-            j = hash_join(ev, frontier.select_columns([key, prev]),
-                          on=(key,))
-            after = j.map_batches(
-                lambda b, _p=prev: b.filter(
-                    pc.greater(b.column(t_col), b.column(_p))),
-                batch_format="pyarrow", batch_size=None)
-            frontier = grouped_min(after, key, t_col, t_names[i])
+        prev = t_names[i - 1]
+        j = hash_join(ev, frontier, on=(key,))
+        after = j.map_batches(
+            lambda b, _p=prev: b.filter(
+                pc.greater(b.column(t_col), b.column(_p))),
+            batch_format="pyarrow", batch_size=None)
+        frontier = grouped_min(after, key, t_col,
+                               t_names[i]).materialize()
         out = hash_join(out, frontier.select_columns([key, t_names[i]]),
                         on=(key,), join_type="left_outer")
 
