@@ -3294,6 +3294,36 @@ def build_oracle_sql() -> dict[str, str]:
     # same recursive-CTE oracle, filtered to doc_id = cluster_id
     d["dedup_keep_docs"] = (f"SELECT doc_id FROM ({d['dup_cluster_ids']})"
                             " WHERE doc_id = cluster_id")
+    # simhash at max_hamming=3 with 4x16-bit bands has recall 1 by
+    # pigeonhole (3 differing bits touch <= 3 of the 4 chunks, so one
+    # chunk always matches), and the signature uses md5 token hashes —
+    # so the FULL pair set is SQL-expressible: recompute every
+    # signature bit-by-bit (majority vote of md5_number_lower(token)
+    # bit k) and emit all pairs with bit_count(xor) <= 3
+    d["simhash_dup_pairs"] = r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS w FROM t),
+        bits AS (SELECT doc_id, n, md5_number_lower(w) AS h,
+                        unnest(range(64)) AS k FROM tok),
+        votes AS (SELECT doc_id, k, MAX(n) AS n,
+                         SUM(CASE WHEN (h >> CAST(k AS INT)) & 1 = 1
+                             THEN 1 ELSE 0 END) AS c
+                  FROM bits GROUP BY doc_id, k),
+        sigs AS (SELECT doc_id,
+                        CAST(SUM(CASE WHEN 2*c > n
+                                 THEN (CAST(1 AS UBIGINT)
+                                       << CAST(k AS INT))
+                                 ELSE CAST(0 AS UBIGINT) END)
+                             AS UBIGINT) AS s
+                 FROM votes GROUP BY doc_id),
+        sig AS (SELECT t.doc_id, COALESCE(sigs.s, CAST(0 AS UBIGINT))
+                         AS s
+                FROM t LEFT JOIN sigs USING (doc_id))
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.s, y.s)) <= 3"""
     return d
 
 
@@ -3401,13 +3431,18 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "value_winsorized": q_value_winsorized,
     "multimodal_features": q_multimodal_features,
-    # rows-only (not SQL-expressible: LSH/banded candidate generation,
-    # approximate IVF recall)
-    "ann_ivf": q_ann_ivf,
-    "ann_lsh": q_ann_lsh,
+    # exact-oracled despite banded candidate generation: minhash (exact
+    # all-pairs Jaccard, deterministic recall on this corpus), simhash
+    # (recall 1 by pigeonhole at max_hamming=3 + md5-replayable
+    # signature), heavy_hitter_hosts (collision-free at this
+    # cardinality)
     "heavy_hitter_hosts": q_heavy_hitter_hosts,
-    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
+    # rows-only (not SQL-expressible: approximate IVF/LSH recall,
+    # signature-selected winnow fingerprints)
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "winnow_dup_pairs": q_winnow_dup_pairs,
 }

@@ -982,13 +982,37 @@ def dedup_turns(transcripts_ds, driver_limit: int = 5_000_000):
 
 # --- SimHash ---------------------------------------------------------------
 
+_TOKEN_CACHE_MD5: dict[str, int] = {}
+
+
+def _token_hashes_md5(toks: list[str]) -> np.ndarray:
+    """Per-token md5 digest bytes [8:16] little-endian — bit-identical
+    to DuckDB ``md5_number_lower``, so the simhash signature (and hence
+    the exact pair oracle) is SQL-replayable.  Same per-worker
+    distinct-token cache as :func:`_token_hashes`."""
+    cache = _TOKEN_CACHE_MD5
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _TOKEN_CACHE_MAX:
+                cache.clear()
+            h = cache[t] = int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[8:16], "little")
+        out[i] = h
+    return out
+
+
 def simhash64(text: str) -> int:
     toks = text.split()
     if not toks:
         return 0
-    hs = _token_hashes(toks)
+    hs = _token_hashes_md5(toks)
     bits = np.unpackbits(hs.view(np.uint8)).reshape(len(hs), 64)
-    votes = bits.sum(axis=0) * 2 - len(hs)  # +1 for set bits, -1 for unset
+    # +1 for set bits, -1 for unset — SIGNED: the uint64 sum would wrap
+    # on 2c < n and turn "minority" into "set" (caught by the oracle:
+    # a single-token simhash must equal the token hash)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
     out = np.packbits((votes > 0).astype(np.uint8))
     return int.from_bytes(out.tobytes(), "little")
 
@@ -1003,7 +1027,13 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text",
     """SimHash near-dups: 4x16-bit chunk banding, Hamming-verified.
     Returns Dataset[(a, b, hamming)].  Verification attaches the 64-bit
     signatures (not the text) to each candidate — the cheapest possible
-    join payload."""
+    join payload.
+
+    Exactness: for max_hamming < 4, recall is 1 by pigeonhole (k
+    differing bits touch at most k of the 4 chunks, so at least one
+    16-bit band matches exactly) and the signature uses md5 token
+    hashes — the full output set is therefore SQL-expressible and the
+    `simhash_dup_pairs` oracle recomputes it end-to-end."""
 
     # ONE signature pass: the per-doc simhash loop is this operator's
     # dominant cost, so materialize the (doc_id, simhash) table and
