@@ -33,6 +33,21 @@ def main(argv=None) -> int:
                      default="parquet",
                      help="input shards: transcript parquet or raw .log lines")
 
+    fol = sub.add_parser(
+        "follow",
+        help="micro-batch follow mode: poll the input glob, process new "
+             "shards incrementally (manifest resume), exit when idle")
+    fol.add_argument("--input", required=True)
+    fol.add_argument("--out", required=True)
+    fol.add_argument("--files-per-unit", type=int, default=16)
+    fol.add_argument("--concurrent-units", type=int, default=2)
+    fol.add_argument("--num-cpus", type=int, default=None)
+    fol.add_argument("--format", choices=("parquet", "text", "text_gz"),
+                     default="parquet")
+    fol.add_argument("--poll-s", type=float, default=2.0)
+    fol.add_argument("--idle-exit", type=int, default=3,
+                     help="exit after this many consecutive empty polls")
+
     synth = sub.add_parser("synth", help="write the deterministic synthetic corpus")
     synth.add_argument("--out", required=True)
     synth.add_argument("--rows", type=int, required=True)
@@ -53,19 +68,36 @@ def main(argv=None) -> int:
             print(json.dumps({"out": args.out, "rows": args.rows}))
             return 0
 
-        files = sorted(glob.glob(args.input))
-        if not files:
-            print(f"no files match {args.input!r}", file=sys.stderr)
-            return 2
-        from sylk.pipelines.flagship import run_flagship
+        if args.cmd == "follow":
+            from sylk.pipelines.flagship import follow_flagship
 
-        summary = run_flagship(
-            files,
-            args.out,
-            files_per_unit=args.files_per_unit,
-            concurrent_units=args.concurrent_units,
-            input_format=args.format,
-        )
+            summary = follow_flagship(
+                args.input,
+                args.out,
+                poll_s=args.poll_s,
+                idle_exit=args.idle_exit,
+                files_per_unit=args.files_per_unit,
+                concurrent_units=args.concurrent_units,
+                input_format=args.format,
+            )
+            if not summary.get("sink_counts") and "rows" not in summary:
+                print(f"no files ever matched {args.input!r}",
+                      file=sys.stderr)
+                return 2
+        else:
+            files = sorted(glob.glob(args.input))
+            if not files:
+                print(f"no files match {args.input!r}", file=sys.stderr)
+                return 2
+            from sylk.pipelines.flagship import run_flagship
+
+            summary = run_flagship(
+                files,
+                args.out,
+                files_per_unit=args.files_per_unit,
+                concurrent_units=args.concurrent_units,
+                input_format=args.format,
+            )
         # JSON-safe: tuple keys -> "f/s"
         summary["sink_counts"] = {
             f"{k[0]}/{k[1]}": v for k, v in summary["sink_counts"].items()

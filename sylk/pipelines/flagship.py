@@ -238,3 +238,42 @@ def run_flagship(
         "host_app_histogram": hostapp,
         "out_dir": out_dir,
     }
+
+
+def follow_flagship(input_glob: str, out_dir: str, poll_s: float = 2.0,
+                    idle_exit: int = 3, max_polls: int | None = None,
+                    **run_kw) -> dict:
+    """Micro-batch follow mode — the Ray-Data shape of the crate's
+    sustained syslog-server ingestion (reference: rust-syslog-rfc5424
+    is built to parse a continuous server feed; here the feed is a
+    growing directory of rotated shards).
+
+    Polls ``input_glob`` every ``poll_s`` seconds; whenever the sorted
+    file list grows, re-enters :func:`run_flagship` — committed units
+    skip via the manifest, so each wake processes ONLY the new shards
+    (append-ordered names keep unit boundaries stable; a file that
+    sorts before existing shards shifts boundaries and re-runs from the
+    first moved unit, which is correct, just not incremental).  Exits
+    after ``idle_exit`` consecutive empty polls (or ``max_polls``).
+
+    Returns the last run's summary plus follow-loop counters.  Crash
+    safety is inherited: a killed follow loop resumes exactly like a
+    killed batch run."""
+    seen: list[str] | None = None
+    summary: dict = {}
+    polls = wakes = idle = 0
+    while True:
+        polls += 1
+        files = sorted(glob.glob(input_glob))
+        if files and files != seen:
+            summary = run_flagship(files, out_dir, **run_kw)
+            seen = files
+            wakes += 1
+            idle = 0
+        else:
+            idle += 1
+        if idle >= idle_exit or (max_polls is not None
+                                 and polls >= max_polls):
+            break
+        time.sleep(poll_s)
+    return {**summary, "follow_polls": polls, "follow_wakes": wakes}

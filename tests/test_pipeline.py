@@ -332,3 +332,47 @@ def test_flagship_text_gz_format(ray_session, tmp_path):
                       concurrent_units=1, input_format="text_gz")
     assert s1["rows"] == s2["rows"] == 1000
     assert s1["sink_counts"] == s2["sink_counts"]
+
+
+def test_follow_mode_incremental(ray_session, corpus_dir, tmp_path_factory):
+    """Micro-batch follow: first wake processes the initial shards;
+    after the corpus GROWS, a later follow wake processes only the new
+    units and the cumulative counters equal a one-shot batch run."""
+    from sylk.pipelines.flagship import follow_flagship
+
+    src = str(tmp_path_factory.mktemp("growing"))
+    out = str(tmp_path_factory.mktemp("follow_out"))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    for f in files[:4]:
+        shutil.copy(f, src)
+
+    s1 = follow_flagship(os.path.join(src, "*.parquet"), out,
+                         poll_s=0.05, idle_exit=1, files_per_unit=2,
+                         concurrent_units=1)
+    assert s1["follow_wakes"] == 1 and s1["units_run"] == 2
+
+    # corpus grows by two append-ordered shards; a fresh follow loop
+    # (same manifest) picks up ONLY the new unit
+    for f in files[4:6]:
+        shutil.copy(f, src)
+    s2 = follow_flagship(os.path.join(src, "*.parquet"), out,
+                         poll_s=0.05, idle_exit=1, files_per_unit=2,
+                         concurrent_units=1)
+    assert s2["units_skipped"] == 2 and s2["units_run"] == 1
+
+    ref = run_flagship(files[:6], str(tmp_path_factory.mktemp("ref")),
+                       files_per_unit=2, concurrent_units=1)
+    assert s2["sink_counts"] == ref["sink_counts"]
+    assert s2["reject_by_error"] == ref["reject_by_error"]
+    assert s2["host_app_histogram"] == ref["host_app_histogram"]
+
+
+def test_follow_mode_idle_no_files(tmp_path):
+    """A follow loop over a never-matching glob exits idle without
+    running Ray work or writing a manifest."""
+    from sylk.pipelines.flagship import follow_flagship
+
+    s = follow_flagship(str(tmp_path / "nope" / "*.parquet"),
+                        str(tmp_path / "out"), poll_s=0.01, idle_exit=2)
+    assert s["follow_wakes"] == 0 and "rows" not in s
+    assert not os.path.exists(str(tmp_path / "out"))
