@@ -3280,6 +3280,81 @@ def _profile_orders_oracle_sql() -> str:
             FROM orders""" for c in _ORDERS_PROFILE_COLS)
 
 
+def _winnow_oracle_sql(k: int = 8, w: int = 16, min_shared: int = 8) -> str:
+    """End-to-end SQL replay of ``winnow_dup_pairs``: the rolling
+    byte-polynomial k-gram hash and splitmix64 finisher are recomputed
+    with HUGEINT split-multiply mod-2^64 arithmetic (a*b mod 2^64 =
+    (a_lo*b + ((a_hi*b mod 2^32) << 32)) mod 2^64 — the full 128-bit
+    product would overflow HUGEINT), window rightmost-minimum selection
+    via an exploded (start, position) group-by, then the all-pairs
+    shared-distinct-fingerprint count.  Valid because (a) the corpus is
+    ASCII so DuckDB's char positions equal the kernel's byte positions,
+    (b) every doc has more than w+k-1 chars (the short-doc whole-text
+    fallback hash never fires), and (c) fingerprint-bucket candidate
+    generation has recall 1 — sharing >= min_shared fingerprints
+    implies sharing a bucket.  Constants are read from the live kernel
+    modules so a hash change breaks the oracle loudly."""
+    from ..functions.hashing import mix64
+    from ..stages.dedup import _WIN_BASE
+
+    m = 1 << 64
+    pows = [pow(int(_WIN_BASE), e, m) for e in range(k - 1, -1, -1)]
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # splitmix64 (hashing.mix64)
+    # guard: if hashing.mix64 ever changes, fail here instead of
+    # producing a silently-wrong oracle
+    z = 0x0123456789ABCDEF
+    zz = (z ^ (z >> 30)) * c1 % m
+    zz = (zz ^ (zz >> 27)) * c2 % m
+    assert int(mix64(np.array([z], dtype=np.uint64))[0]) == zz ^ (zz >> 31)
+
+    def mulmod(a: str, b: int) -> str:
+        return (f"(((({a}) % 4294967296) * {b}) % {m} + "
+                f"((((({a}) // 4294967296) * {b}) % 4294967296)"
+                f" * 4294967296)) % {m}")
+
+    poly = " + ".join(
+        f"CAST(ord(substr(text, p + {j}, 1)) AS HUGEINT) * {pows[j]}"
+        for j in range(k))
+    return f"""
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(range(1, length(text) - {k - 2})) AS p
+          FROM documents),
+        h0 AS (SELECT doc_id, p, CAST(({poly}) % {m} AS HUGEINT) AS h
+               FROM pos),
+        m1 AS (SELECT doc_id, p, CAST(xor(CAST(h AS UBIGINT),
+                        CAST(h AS UBIGINT) >> 30) AS HUGEINT) AS h
+               FROM h0),
+        m2 AS (SELECT doc_id, p, CAST({mulmod('h', c1)} AS HUGEINT) AS h
+               FROM m1),
+        m3 AS (SELECT doc_id, p, CAST(xor(CAST(h AS UBIGINT),
+                        CAST(h AS UBIGINT) >> 27) AS HUGEINT) AS h
+               FROM m2),
+        m4 AS (SELECT doc_id, p, CAST({mulmod('h', c2)} AS HUGEINT) AS h
+               FROM m3),
+        mix AS (SELECT doc_id, p, xor(CAST(h AS UBIGINT),
+                        CAST(h AS UBIGINT) >> 31) AS h FROM m4),
+        np AS (SELECT doc_id, MAX(p) AS n_pos FROM mix GROUP BY 1),
+        starts AS (SELECT doc_id, unnest(range(1, n_pos - {w - 2})) AS s
+                   FROM np),
+        win AS (SELECT st.doc_id, st.s, m.p, m.h
+                FROM starts st JOIN mix m
+                  ON m.doc_id = st.doc_id
+                 AND m.p BETWEEN st.s AND st.s + {w - 1}),
+        wm AS (SELECT doc_id, s, MIN(h) AS mn FROM win GROUP BY 1, 2),
+        picks AS (SELECT w2.doc_id, MAX(w2.p) AS p
+                  FROM win w2 JOIN wm
+                    ON w2.doc_id = wm.doc_id AND w2.s = wm.s
+                  WHERE w2.h = wm.mn GROUP BY w2.doc_id, w2.s),
+        fps AS (SELECT DISTINCT pk.doc_id, m.h
+                FROM picks pk JOIN mix m
+                  ON m.doc_id = pk.doc_id AND m.p = pk.p)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM fps x JOIN fps y ON x.h = y.h AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     d = _oracle_sql_entries()
     # the prefix-filtered variant is exact by the PPJoin theorem —
@@ -3294,6 +3369,7 @@ def build_oracle_sql() -> dict[str, str]:
     # same recursive-CTE oracle, filtered to doc_id = cluster_id
     d["dedup_keep_docs"] = (f"SELECT doc_id FROM ({d['dup_cluster_ids']})"
                             " WHERE doc_id = cluster_id")
+    d["winnow_dup_pairs"] = _winnow_oracle_sql()
     # simhash at max_hamming=3 with 4x16-bit bands has recall 1 by
     # pigeonhole (3 differing bits touch <= 3 of the 4 chunks, so one
     # chunk always matches), and the signature uses md5 token hashes —
@@ -3434,15 +3510,16 @@ QUERIES = {
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash
     # (recall 1 by pigeonhole at max_hamming=3 + md5-replayable
-    # signature), heavy_hitter_hosts (collision-free at this
-    # cardinality)
+    # signature), winnow (recall 1 — a shared fingerprint IS a shared
+    # bucket; hash chain replayed in SQL), heavy_hitter_hosts
+    # (collision-free at this cardinality)
     "heavy_hitter_hosts": q_heavy_hitter_hosts,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
-    # rows-only (not SQL-expressible: approximate IVF/LSH recall,
-    # signature-selected winnow fingerprints)
+    "winnow_dup_pairs": q_winnow_dup_pairs,
+    # rows-only (not SQL-expressible: approximate IVF/LSH recall;
+    # multimodal decode is stubbed pending codec libs)
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
-    "winnow_dup_pairs": q_winnow_dup_pairs,
 }
