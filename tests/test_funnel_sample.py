@@ -227,3 +227,47 @@ def test_grouped_distinct_count_differential(ray_session):
     exp_nr = df.groupby("k")["v"].size()
     assert got["nd"].to_dict() == exp_nd.to_dict()
     assert got["nr"].to_dict() == exp_nr.to_dict()
+
+
+def test_new_ops_block_layout_invariance(ray_session):
+    """funnel / bpe / grouped-distinct results are identical across
+    block layouts (1 block vs many) — no hidden order or seam
+    dependence."""
+    rng = np.random.default_rng(17)
+    n = 1200
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(["view", "click", "purchase"], n),
+        "t_us": rng.integers(0, 5000, n),
+    })
+    texts = pd.DataFrame({"text": [
+        " ".join(rng.choice(["ab", "abc", "xy", "q"], 12))
+        for _ in range(200)]})
+
+    def canon(df, keys):
+        return df.sort_values(keys).reset_index(drop=True)
+
+    f1 = funnel_stages(ray.data.from_pandas(ev), ("view", "click",
+                                                  "purchase"),
+                       key="user_id").to_pandas()
+    f2 = funnel_stages(ray.data.from_pandas(ev).repartition(11),
+                       ("view", "click", "purchase"),
+                       key="user_id").to_pandas()
+    pd.testing.assert_frame_equal(canon(f1, ["user_id"]),
+                                  canon(f2, ["user_id"]),
+                                  check_like=True)
+
+    b1 = bpe_pair_counts(ray.data.from_pandas(texts), "text",
+                         k=30).to_pandas()
+    b2 = bpe_pair_counts(ray.data.from_pandas(texts).repartition(9),
+                         "text", k=30).to_pandas()
+    pd.testing.assert_frame_equal(canon(b1, ["a", "b"]),
+                                  canon(b2, ["a", "b"]), check_like=True)
+
+    g1 = grouped_distinct_count(ray.data.from_pandas(ev), "user_id",
+                                "t_us", "nd", "nr").to_pandas()
+    g2 = grouped_distinct_count(ray.data.from_pandas(ev).repartition(13),
+                                "user_id", "t_us", "nd",
+                                "nr").to_pandas()
+    pd.testing.assert_frame_equal(canon(g1, ["user_id"]),
+                                  canon(g2, ["user_id"]), check_like=True)
