@@ -95,6 +95,10 @@ _I64 = {
     "user_id": pa.int64(),
     "cohort_day": pa.int64(),
     "day_offset": pa.int64(),
+    "hour": pa.int64(),
+    "key_total": pa.int64(),
+    "key_windows": pa.int64(),
+    "n_vals": pa.int64(),
 }
 
 
@@ -2211,6 +2215,127 @@ def q_conformance(sf_dir: str) -> pa.Table:
     return _table(parsed.select_columns(cols), cols)
 
 
+def q_log_templates(sf_dir: str) -> pa.Table:
+    """Log template mining (the Drain/Spell vocabulary step): mask
+    digit runs in every constructed syslog line, count each template
+    and record its earliest turn.  Two-phase — each block collapses to
+    its distinct templates before the keyed exchange
+    (sylk/stages/loganalytics.py)."""
+    from ..stages.loganalytics import log_templates
+
+    ds = transcripts_from_events(sf_dir).select_columns(["turn_idx", "text"])
+    out = log_templates(ds, text_col="text", order_col="turn_idx")
+    return _table(out, ["template", "n", "first_turn"])
+
+
+def q_host_rate_spikes(sf_dir: str) -> pa.Table:
+    """Per-host message-rate anomaly detection: hours whose ok-message
+    count exceeds 2x the host's mean hourly count, integer-exact
+    (n * n_windows > 2 * total — no float rate, so the oracle is
+    bit-identical).  Reduced-table join only; the raw stream is
+    touched once (sylk/stages/loganalytics.py rate_spikes)."""
+    from ..stages.loganalytics import rate_spikes
+
+    def _hour(b: pa.Table) -> pa.Table:
+        ts = b.column("timestamp").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "hour", pa.array(np.floor_divide(ts, 3600), pa.int64()))
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_hour, batch_format="pyarrow")
+    out = rate_spikes(ds, key="hostname", window_col="hour", factor=2)
+    cols = ["hostname", "hour", "n", "key_total", "key_windows"]
+    return _table(out.select_columns(cols), cols)
+
+
+def q_host_app_list(sf_dir: str) -> pa.Table:
+    """Sorted DISTINCT list-collect per key (the collect_list /
+    string_agg surface): every host's app set as a comma-joined sorted
+    string.  Skew-safe sessionize shape — distinct pairs exchange +
+    per-block segmented concat + chunk merge
+    (sylk/stages/aggregate.py collect_sorted)."""
+    from ..stages.aggregate import collect_sorted
+
+    ds = _ok(_parsed(sf_dir)).select_columns(["hostname", "appname"])
+    out = collect_sorted(ds, key="hostname", value_col="appname", sep=",")
+    return _table(out, ["hostname", "n_vals", "values"])
+
+
+def q_hourly_counts_dense(sf_dir: str) -> pa.Table:
+    """Time-series gap fill: the hourly ok-message counts densified to
+    EVERY hour in [min, max] with zeros where no message arrived
+    (calendar-spine left join; sylk/stages/temporal.py
+    gap_fill_counts).  The spine is a distributed range, the reduced
+    counts are broadcast once."""
+    from ..stages.aggregate import grouped_counts
+    from ..stages.temporal import gap_fill_counts
+
+    def _hour(b: pa.Table) -> pa.Table:
+        ts = b.column("timestamp").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "hour", pa.array(np.floor_divide(ts, 3600), pa.int64()))
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_hour, batch_format="pyarrow")
+    counts = grouped_counts(ds, ["hour"], ok_filter=True)
+    return _table(gap_fill_counts(counts, "hour"), ["hour", "n"])
+
+
+def q_doc_logprob(sf_dir: str) -> pa.Table:
+    """Unigram language-model scoring (the perplexity-style quality
+    filter): corpus-trained token frequencies, per-doc sum of token
+    ln-probabilities (6dp-rounded both sides — the BM25 precedent for
+    ln's last-ulp divergence; sylk/stages/text.py unigram_logprob)."""
+    import os
+
+    import ray.data
+
+    from ..stages.text import unigram_logprob
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    out = unigram_logprob(docs)
+    return _table(out, ["doc_id", "n_tokens", "logprob"])
+
+
+def q_doc_shuffle_rank(sf_dir: str) -> pa.Table:
+    """Global deterministic shuffle: every document's position under
+    the md5 content-hash ordering — ROW_NUMBER over (hash, doc_id),
+    computed as the unit-measure additive carry over ONE global sort
+    (asof.running_total with a constant key: per-block partials + a
+    driver prefix over block sums, never one task holding the order)."""
+    import os
+
+    import ray.data
+
+    from ..stages.asof import running_total
+    from ..stages.sample import content_hash64
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        h = content_hash64(b.column("text").to_pylist())
+        n = len(b)
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "h": pa.array(h, pa.uint64()),
+            "g": pa.array(np.zeros(n, np.int64)),
+            "one": pa.array(np.ones(n, np.int64)),
+        })
+
+    ds = docs.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = running_total(ds, "g", ["h", "doc_id"], "one", "rank")
+
+    def _cast(df):
+        df = df[["doc_id", "rank"]].copy()
+        df["rank"] = df["rank"].astype("int64")
+        return df
+
+    out = out.map_batches(_cast, batch_format="pandas", batch_size=None)
+    return _table(out, ["doc_id", "rank"])
+
+
 # --- oracle SQL ------------------------------------------------------------
 
 def _case(expr: str, names: tuple | list) -> str:
@@ -2366,6 +2491,57 @@ def _oracle_sql_entries() -> dict[str, str]:
         "hourly_counts": f"""
             SELECT (epoch_us(ts) // 1000000) // 3600 AS hour, COUNT(*) AS n
             FROM events WHERE {_OK} GROUP BY 1""",
+        "log_templates": f"""
+            WITH t AS (
+              SELECT CAST(event_id AS BIGINT) AS turn_idx,
+                     CASE WHEN {_OK} THEN {_LINE_GOOD} ELSE {_LINE_BAD} END AS text
+              FROM events)
+            SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,
+                   COUNT(*) AS n, MIN(turn_idx) AS first_turn
+            FROM t GROUP BY 1""",
+        "host_rate_spikes": f"""
+            WITH ok AS (SELECT {_HOST} AS hostname,
+                               (epoch_us(ts) // 1000000) // 3600 AS hour
+                        FROM events WHERE {_OK}),
+            hh AS (SELECT hostname, hour, COUNT(*) AS n
+                   FROM ok GROUP BY 1, 2),
+            tot AS (SELECT hostname, CAST(SUM(n) AS BIGINT) AS key_total,
+                           COUNT(*) AS key_windows
+                    FROM hh GROUP BY 1)
+            SELECT hh.hostname, hh.hour, hh.n,
+                   tot.key_total, tot.key_windows
+            FROM hh JOIN tot USING (hostname)
+            WHERE hh.n * tot.key_windows > 2 * tot.key_total""",
+        "host_app_list": f"""
+            WITH p AS (SELECT DISTINCT {_HOST} AS hostname,
+                                       event_type AS appname
+                       FROM events WHERE {_OK})
+            SELECT hostname, COUNT(*) AS n_vals,
+                   string_agg(appname, ',' ORDER BY appname) AS "values"
+            FROM p GROUP BY 1""",
+        "hourly_counts_dense": f"""
+            WITH h AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS hour,
+                              COUNT(*) AS n
+                       FROM events WHERE {_OK} GROUP BY 1),
+            b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h),
+            gs AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM b)
+            SELECT gs.hour, COALESCE(h.n, 0) AS n
+            FROM gs LEFT JOIN h USING (hour)""",
+        "doc_logprob": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(text, '\S+')) AS w
+                         FROM documents),
+            tf AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok)
+            SELECT tok.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(SUM(ln(CAST(tf.c AS DOUBLE) / tot.t)), 6) AS logprob
+            FROM tok JOIN tf USING (w) CROSS JOIN tot
+            GROUP BY tok.doc_id""",
+        "doc_shuffle_rank": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY md5_number_lower(text),
+                                           doc_id) AS BIGINT) AS rank
+            FROM documents""",
         "conversations": f"""
             WITH turns AS (
               SELECT {_CONV} AS conv_id, CAST(event_id AS BIGINT) AS turn_idx,
@@ -3506,6 +3682,12 @@ QUERIES = {
     "balanced_docs": q_balanced_docs,
     "retention_cohorts": q_retention_cohorts,
     "value_winsorized": q_value_winsorized,
+    "log_templates": q_log_templates,
+    "host_rate_spikes": q_host_rate_spikes,
+    "host_app_list": q_host_app_list,
+    "hourly_counts_dense": q_hourly_counts_dense,
+    "doc_logprob": q_doc_logprob,
+    "doc_shuffle_rank": q_doc_shuffle_rank,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

@@ -479,3 +479,46 @@ def cube_counts(parsed_ds, keys, ok_filter: bool | None = True):
         {**{k: pa.nulls(1, pa.int64()) for k in keys},
          "n": pa.array([total], pa.int64())}))
     return out.union(grand)
+
+
+def collect_sorted(ds, key: str, value_col: str, sep: str = ","):
+    """Per-key sorted DISTINCT value list — the collect_list /
+    ``string_agg(DISTINCT v, sep ORDER BY v)`` surface.
+
+    -> Dataset[(key, n_vals, values)].
+
+    Skew-safe sessionize shape (sylk/stages/sessionize.py): distinct
+    (key, value) pairs via the two-phase count (per-block pyarrow
+    group_by partials, so the exchange moves distinct pairs only), one
+    range-partitioned sort on (key, value), a per-BLOCK segmented
+    concat (each key's run inside a block collapses to ONE chunk row),
+    then a chunk merge keyed by the first value — a hot key contributes
+    at most #blocks-it-spans chunk rows, never its raw values.  The
+    final row is O(output string), the inherent floor for a list-agg.
+    """
+    import pandas as pd
+
+    pairs = grouped_counts(ds, [key, value_col]).sort([key, value_col])
+
+    def _chunks(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype="object"),
+                                 "n_vals": pd.Series([], dtype="int64"),
+                                 "_first": pd.Series([], dtype="object"),
+                                 "_chunk": pd.Series([], dtype="object")})
+        g = df.groupby(key, sort=False)
+        out = g.agg(n_vals=(value_col, "size"),
+                    _first=(value_col, "min"),
+                    _chunk=(value_col, lambda s: sep.join(s))).reset_index()
+        return out.astype({"n_vals": "int64"})
+
+    chunks = pairs.map_batches(_chunks, batch_format="pandas",
+                               batch_size=None)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_first", kind="mergesort")
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n_vals": [int(g["n_vals"].sum())],
+                             "values": [sep.join(g["_chunk"])]})
+
+    return chunks.groupby(key).map_groups(_merge, batch_format="pandas")

@@ -146,3 +146,42 @@ def range_join(left_ds, right_ds, t_col: str, lo_col: str, hi_col: str,
 
     return joined.map_batches(_contain, batch_format="pyarrow",
                               batch_size=None)
+
+
+def gap_fill_counts(counts_ds, key_col: str, n_col: str = "n"):
+    """Densify an integer-keyed counts table: emit one row for EVERY
+    key in [min, max] (the time-series gap-fill / calendar-spine op),
+    with ``n_col`` = 0 where the input has no row.
+
+    -> Dataset[(key_col, n_col)] with max-min+1 rows.
+
+    Shape: ``counts_ds`` is an already-reduced table (one row per
+    occupied bucket).  The spine is a distributed ``ray.data.range``
+    (never a driver list), shifted to [lo, hi]; the counts side is
+    broadcast once via the object store and each spine block LEFT-joins
+    against it with pyarrow's C++ hash join.  Driver state is two
+    scalars (lo, hi); the broadcast is bounded by the number of
+    occupied buckets — the same dim-table bound as join.broadcast_join.
+    """
+    import ray
+    import ray.data
+
+    tbl = pa.concat_tables(ray.get(counts_ds.to_arrow_refs()))
+    tbl = tbl.select([key_col, n_col])
+    if len(tbl) == 0:
+        return ray.data.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
+                                             n_col: pa.array([], pa.int64())}))
+    lo = pc.min(tbl.column(key_col)).as_py()
+    hi = pc.max(tbl.column(key_col)).as_py()
+    ref = ray.put(tbl)
+
+    def _fill(b: pa.Table) -> pa.Table:
+        keys = pc.add(pc.cast(b.column("id"), pa.int64()),
+                      pa.scalar(lo, pa.int64()))
+        spine = pa.table({key_col: keys})
+        j = spine.join(ray.get(ref), keys=[key_col], join_type="left outer")
+        n = pc.fill_null(pc.cast(j.column(n_col), pa.int64()), 0)
+        return pa.table({key_col: j.column(key_col), n_col: n})
+
+    spine = ray.data.range(hi - lo + 1)
+    return spine.map_batches(_fill, batch_format="pyarrow", batch_size=None)

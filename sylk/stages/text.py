@@ -541,3 +541,82 @@ def pack_greedy(ds, key_cols, order_cols, token_col: str,
         return g.assign(**{bin_col: bins})
 
     return ds.groupby(key_cols).map_groups(_pack, batch_format="pandas")
+
+
+def unigram_logprob(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                    round_to: int | None = 6):
+    """Unigram language-model score per document — the perplexity-style
+    quality filter: train token frequencies on the corpus itself, then
+    score each doc as sum over its tokens of ln(tf_token / total_tokens).
+
+    -> Dataset[(doc_id, n_tokens, logprob)] for docs with >= 1 token
+    (tokenization = whitespace runs, identical to the ``\\S+`` oracle).
+
+    Two passes. (1) Global term frequencies: per-block np.unique
+    partials (one (term, c) row per DISTINCT term per block), merged on
+    the driver with pyarrow's C++ group_by — driver state is
+    vocabulary-sized, the same documented bound (and hash-join
+    alternative) as top_term_per_doc's df broadcast.  (2) Broadcast
+    {term -> tf} + total once via the object store; each block
+    factorizes its tokens (np.unique + inverse), looks up ln-probs per
+    DISTINCT term only, and segment-sums per doc with np.add.reduceat.
+
+    The score is rounded to ``round_to`` decimals on both sides (the
+    BM25/ANN-cosine precedent): ln() and cross-term addition order
+    diverge from DuckDB in the last ulp."""
+    import ray
+
+    def _tf_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        flat = [w for t in texts for w in (t or "").split()]
+        if not flat:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(flat, dtype=object),
+                                 return_counts=True)
+        return pa.table({"term": pa.array(uniq.astype(str)),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    parts = docs_ds.map_batches(_tf_partial, batch_format="pyarrow",
+                                batch_size=None)
+    tbl = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    merged = tbl.group_by("term").aggregate([("c", "sum")])
+    terms = merged.column("term").to_pylist()
+    counts = merged.column("c_sum").to_numpy(zero_copy_only=False)
+    total = float(counts.sum())
+    tf = dict(zip(terms, counts.astype(np.int64).tolist()))
+    ref = ray.put((tf, total))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        tf_map, tot = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        flat = [w for tl in tok_lists for w in tl]
+        keep = lens > 0
+        if not flat:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "logprob": pa.array([], pa.float64())})
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        lp_uniq = np.log(
+            np.fromiter((tf_map[w] for w in uniq), dtype=np.float64,
+                        count=len(uniq)) / tot)
+        per_tok = lp_uniq[inv]
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:]) if len(texts) > 1 else None
+        doc_lp = np.add.reduceat(per_tok, offsets[keep]) \
+            if keep.any() else np.empty(0)
+        if round_to is not None:
+            doc_lp = np.round(doc_lp, round_to)
+        return pa.table({
+            id_col: pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(lens[keep], pa.int64()),
+            "logprob": pa.array(doc_lp, pa.float64()),
+        })
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow",
+                               batch_size=None)

@@ -1,0 +1,165 @@
+"""Unit tests for the log-analytics + list-agg + gap-fill + LM-score
+operator batch: template mining, rate spikes, collect_sorted,
+gap_fill_counts, unigram_logprob.
+
+Style follows tests/test_analytics.py: tiny synthetic Datasets with
+forced multi-block layouts so every cross-block seam is exercised."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows, blocks=1):
+    import ray.data
+
+    ds = ray.data.from_items(rows)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+# --- log_templates ---------------------------------------------------------
+
+def test_log_templates_masks_and_counts(ray_session):
+    from sylk.stages.loganalytics import log_templates
+
+    rows = [
+        {"turn_idx": 3, "text": "user 17 logged in from 10.0.0.2"},
+        {"turn_idx": 1, "text": "user 9 logged in from 10.9.3.4"},
+        {"turn_idx": 2, "text": "disk sda1 full at 93%"},
+        {"turn_idx": 7, "text": "disk sda2 full at 7%"},
+        {"turn_idx": 9, "text": "no digits here"},
+    ]
+    out = log_templates(_ds(rows, blocks=3)).to_pandas()
+    got = {r.template: (r.n, r.first_turn) for r in out.itertuples()}
+    assert got == {
+        "user # logged in from #.#.#.#": (2, 1),
+        "disk sda# full at #%": (2, 2),
+        "no digits here": (1, 9),
+    }
+
+
+def test_log_templates_block_layout_invariance(ray_session):
+    from sylk.stages.loganalytics import log_templates
+
+    rows = [{"turn_idx": i, "text": f"evt {i % 4} from host{i % 3}"}
+            for i in range(200)]
+    a = log_templates(_ds(rows, blocks=1)).to_pandas()
+    b = log_templates(_ds(rows, blocks=7)).to_pandas()
+    key = ["template", "n", "first_turn"]
+    pa_a = a[key].sort_values(key).reset_index(drop=True)
+    pa_b = b[key].sort_values(key).reset_index(drop=True)
+    assert pa_a.equals(pa_b)
+
+
+# --- rate_spikes -----------------------------------------------------------
+
+def test_rate_spikes_flags_planted_spike(ray_session):
+    from sylk.stages.loganalytics import rate_spikes
+
+    # hostA: 1 msg in each of 9 hours + 10 msgs in hour 99 (clear spike:
+    # 10 * 10 windows > 2 * 19 total).  hostB: flat 2/hour, no spike.
+    rows = [{"hostname": "hostA", "hour": h} for h in range(9)]
+    rows += [{"hostname": "hostA", "hour": 99}] * 10
+    rows += [{"hostname": "hostB", "hour": h} for h in range(5)] * 2
+    out = rate_spikes(_ds(rows, blocks=4), key="hostname",
+                      window_col="hour", factor=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["hostname"], r["hour"], r["n"]) == ("hostA", 99, 10)
+    assert (r["key_total"], r["key_windows"]) == (19, 10)
+
+
+def test_rate_spikes_integer_threshold_is_strict(ray_session):
+    from sylk.stages.loganalytics import rate_spikes
+
+    # Exactly factor x mean is NOT a spike: 2 windows of (1, 3) =>
+    # total 4, mean 2; n=3: 3*2=6 <= 2*4=8 -> no flag with factor 2.
+    rows = [{"hostname": "h", "hour": 0}] + \
+           [{"hostname": "h", "hour": 1}] * 3
+    out = rate_spikes(_ds(rows, blocks=2), key="hostname",
+                      window_col="hour", factor=2).to_pandas()
+    assert len(out) == 0
+
+
+# --- collect_sorted --------------------------------------------------------
+
+def test_collect_sorted_distinct_and_ordered(ray_session):
+    from sylk.stages.aggregate import collect_sorted
+
+    rows = [{"k": "h1", "v": "zeta"}, {"k": "h1", "v": "alpha"},
+            {"k": "h1", "v": "zeta"}, {"k": "h2", "v": "beta"},
+            {"k": "h1", "v": "mid"}]
+    out = collect_sorted(_ds(rows, blocks=3), key="k", value_col="v")
+    got = {r.k: (r.n_vals, r.values) for r in out.to_pandas().itertuples()}
+    assert got == {"h1": (3, "alpha,mid,zeta"), "h2": (1, "beta")}
+
+
+def test_collect_sorted_hot_key_many_blocks(ray_session):
+    from sylk.stages.aggregate import collect_sorted
+
+    vals = [f"v{i:03d}" for i in range(60)]
+    rows = [{"k": "hot", "v": v} for v in vals for _ in range(3)]
+    rows += [{"k": "cold", "v": "only"}]
+    out = collect_sorted(_ds(rows, blocks=8), key="k", value_col="v")
+    got = {r.k: (r.n_vals, r.values) for r in out.to_pandas().itertuples()}
+    assert got["hot"] == (60, ",".join(vals))
+    assert got["cold"] == (1, "only")
+
+
+# --- gap_fill_counts -------------------------------------------------------
+
+def test_gap_fill_counts_zeros_in_gaps(ray_session):
+    from sylk.stages.temporal import gap_fill_counts
+
+    counts = _ds([{"hour": 10, "n": 4}, {"hour": 13, "n": 1},
+                  {"hour": 15, "n": 2}], blocks=2)
+    out = gap_fill_counts(counts, "hour").to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    assert out["hour"].tolist() == [10, 11, 12, 13, 14, 15]
+    assert out["n"].tolist() == [4, 0, 0, 1, 0, 2]
+
+
+def test_gap_fill_counts_empty_input(ray_session):
+    import ray.data
+
+    from sylk.stages.temporal import gap_fill_counts
+
+    empty = ray.data.from_arrow(pa.table({
+        "hour": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}))
+    out = gap_fill_counts(empty, "hour").to_pandas()
+    assert len(out) == 0
+
+
+# --- unigram_logprob -------------------------------------------------------
+
+def test_unigram_logprob_matches_manual(ray_session):
+    from sylk.stages.text import unigram_logprob
+
+    rows = [{"doc_id": 0, "text": "a b a"},
+            {"doc_id": 1, "text": "b c"},
+            {"doc_id": 2, "text": ""}]
+    out = unigram_logprob(_ds(rows, blocks=2)).to_pandas()
+    got = {r.doc_id: (r.n_tokens, r.logprob) for r in out.itertuples()}
+    # corpus tf: a=2, b=2, c=1, total=5
+    exp0 = round(math.log(2 / 5) * 3, 6)           # a b a
+    exp1 = round(math.log(2 / 5) + math.log(1 / 5), 6)  # b c
+    assert set(got) == {0, 1}          # empty doc excluded
+    assert got[0] == (3, pytest.approx(exp0, abs=1e-9))
+    assert got[1] == (2, pytest.approx(exp1, abs=1e-9))
+
+
+def test_unigram_logprob_block_layout_invariance(ray_session):
+    from sylk.stages.text import unigram_logprob
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(words, size=rng.integers(1, 12)))}
+            for i in range(80)]
+    a = unigram_logprob(_ds(rows, blocks=1)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = unigram_logprob(_ds(rows, blocks=9)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
