@@ -99,6 +99,15 @@ _I64 = {
     "key_total": pa.int64(),
     "key_windows": pa.int64(),
     "n_vals": pa.int64(),
+    "n_windows": pa.int64(),
+    "sum_x": pa.int64(),
+    "sum_y": pa.int64(),
+    "sum_xy": pa.int64(),
+    "sum_xx": pa.int64(),
+    "slope_num": pa.int64(),
+    "slope_den": pa.int64(),
+    "value_cents": pa.int64(),
+    "day": pa.int64(),
 }
 
 
@@ -2336,6 +2345,146 @@ def q_doc_shuffle_rank(sf_dir: str) -> pa.Table:
     return _table(out, ["doc_id", "rank"])
 
 
+def q_host_trend(sf_dir: str) -> pa.Table:
+    """Per-host linear trend of hourly message volume, integer-exact:
+    least-squares slope numerator/denominator over (hour - min_hour,
+    count) pairs — trend detection without float divergence
+    (sylk/stages/loganalytics.py trend_numerators)."""
+    from ..stages.loganalytics import trend_numerators
+
+    def _hour(b: pa.Table) -> pa.Table:
+        ts = b.column("timestamp").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "hour", pa.array(np.floor_divide(ts, 3600), pa.int64()))
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_hour, batch_format="pyarrow")
+    out = trend_numerators(ds, key="hostname", window_col="hour")
+    cols = ["hostname", "n_windows", "sum_x", "sum_y", "sum_xy",
+            "sum_xx", "slope_num", "slope_den"]
+    return _table(out, cols)
+
+
+def q_event_cooccurrence(sf_dir: str) -> pa.Table:
+    """Market-basket co-occurrence mining: distinct event-type pairs
+    active in the same (user, hour) basket, counted across baskets.
+    ONE hash exchange total — per-block local distinct, coarse
+    basket-hash groups, vectorized run/pair expansion (the
+    dedup._coarse_grouped_pairs pattern; never a per-basket group or a
+    Dataset.join: loganalytics.cooccurrence_counts).  Measured vs the
+    self-hash-join formulation at sf0.01: 34s -> ~8s."""
+    import os
+
+    import ray.data
+
+    from ..stages.loganalytics import cooccurrence_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        hour = pc.divide(pc.divide(us, 1_000_000), 3600)
+        return pa.table({"user_id": b.column("user_id"),
+                         "hour": pc.cast(hour, pa.int64()),
+                         "event_type": b.column("event_type")})
+
+    prepped = ev.map_batches(_prep, batch_format="pyarrow")
+    out = cooccurrence_counts(prepped, ["user_id", "hour"], "event_type")
+    return _table(out, ["type_a", "type_b", "n"])
+
+
+def q_sliding_daily_actives(sf_dir: str) -> pa.Table:
+    """Distinct users per 3-day sliding window (step 1 day): distinct
+    (day, user) pairs first (the reduced grain), explode each to the 3
+    windows that cover it, then the exact grouped COUNT(DISTINCT)
+    combiner — sliding-window distinct without any sketch error."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts, grouped_distinct_count
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        day = pc.divide(pc.divide(us, 1_000_000), 86400)
+        return pa.table({"day": pc.cast(day, pa.int64()),
+                         "user_id": b.column("user_id")})
+
+    du = grouped_counts(ev.map_batches(_day, batch_format="pyarrow"),
+                        ["day", "user_id"]).drop_columns(["n"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        day = b.column("day").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day3 = np.repeat(day, 3)
+        off = np.tile(np.arange(3, dtype=np.int64), len(day))
+        return pa.table({"w_start": pa.array(day3 - off, pa.int64()),
+                         "user_id": pa.array(np.repeat(uid, 3))})
+
+    exploded = du.map_batches(_explode, batch_format="pyarrow",
+                              batch_size=None)
+    out = grouped_distinct_count(exploded, "w_start", "user_id",
+                                 distinct_alias="n_users",
+                                 total_alias="_rows")
+    out = out.drop_columns(["_rows"])
+    return _table(out, ["w_start", "n_users"])
+
+
+def q_union_sources_rollup(sf_dir: str) -> pa.Table:
+    """Heterogeneous source consolidation: the SAME events ingested
+    three ways (parquet + NDJSON export + CSV export), unioned, exactly
+    deduplicated on content (distinct-triple exchange collapses the 3x
+    duplication), then rolled up per type with an exact cents money sum
+    — the multi-shipper log-consolidation shape.  Exports are cached
+    per sf_dir under /tmp."""
+    import hashlib
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.join import cents_column, grouped_agg
+    from ..sources.rawlines import read_events_csv, read_events_jsonl
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    cols = ["event_id", "event_type", "value"]
+
+    jdir, cdir = f"/tmp/sylk_uj_{tag}", f"/tmp/sylk_uc_{tag}"
+    for out_dir, writer in ((jdir, "write_json"), (cdir, "write_csv")):
+        done = os.path.join(out_dir, "_DONE")
+        if not os.path.exists(done):
+            ds = ray.data.read_parquet(src, columns=cols + ["ts"])
+            getattr(ds, writer)(out_dir)
+            with open(done, "w") as f:
+                f.write(src)
+
+    jfiles = [os.path.join(jdir, f) for f in sorted(os.listdir(jdir))
+              if f.endswith(".json")]
+    cfiles = [os.path.join(cdir, f) for f in sorted(os.listdir(cdir))
+              if f.endswith(".csv")]
+    parts = [ray.data.read_parquet(src, columns=cols),
+             read_events_jsonl(jfiles).select_columns(cols),
+             read_events_csv(cfiles).select_columns(cols)]
+
+    def _cents(b: pa.Table) -> pa.Table:
+        b = cents_column(b, "value_cents", ["value"], lambda v: v * 100.0)
+        return b.select(["event_id", "event_type", "value_cents"])
+
+    unioned = parts[0].union(*parts[1:]).map_batches(
+        _cents, batch_format="pyarrow", batch_size=None)
+    distinct = grouped_counts(
+        unioned, ["event_type", "event_id", "value_cents"]).drop_columns(["n"])
+    out = grouped_agg(distinct, ["event_type"], ["value_cents"],
+                      count_name="n")
+    return _table(out, ["event_type", "n", "value_cents"])
+
+
 # --- oracle SQL ------------------------------------------------------------
 
 def _case(expr: str, names: tuple | list) -> str:
@@ -2537,6 +2686,49 @@ def _oracle_sql_entries() -> dict[str, str]:
                    ROUND(SUM(ln(CAST(tf.c AS DOUBLE) / tot.t)), 6) AS logprob
             FROM tok JOIN tf USING (w) CROSS JOIN tot
             GROUP BY tok.doc_id""",
+        "host_trend": f"""
+            WITH hh AS (SELECT {_HOST} AS hostname,
+                               (epoch_us(ts) // 1000000) // 3600 AS hour,
+                               COUNT(*) AS n
+                        FROM events WHERE {_OK} GROUP BY 1, 2),
+            m AS (SELECT MIN(hour) AS x0 FROM hh),
+            x AS (SELECT hostname, hour - x0 AS x, n
+                  FROM hh CROSS JOIN m)
+            SELECT hostname, COUNT(*) AS n_windows,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(n) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * n) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                   CAST(COUNT(*) * SUM(x * n) - SUM(x) * SUM(n)
+                        AS BIGINT) AS slope_num,
+                   CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                        AS BIGINT) AS slope_den
+            FROM x GROUP BY 1""",
+        "event_cooccurrence": """
+            WITH t AS (SELECT DISTINCT user_id,
+                              (epoch_us(ts) // 1000000) // 3600 AS hour,
+                              event_type
+                       FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n
+            FROM t a JOIN t b
+              ON a.user_id = b.user_id AND a.hour = b.hour
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2""",
+        "sliding_daily_actives": """
+            WITH du AS (SELECT DISTINCT
+                               (epoch_us(ts) // 1000000) // 86400 AS day,
+                               user_id
+                        FROM events),
+            e AS (SELECT day - o AS w_start, user_id
+                  FROM du CROSS JOIN (SELECT unnest([0, 1, 2]) AS o))
+            SELECT w_start, COUNT(DISTINCT user_id) AS n_users
+            FROM e GROUP BY 1""",
+        "union_sources_rollup": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events GROUP BY 1""",
         "doc_shuffle_rank": """
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY md5_number_lower(text),
@@ -3688,6 +3880,10 @@ QUERIES = {
     "hourly_counts_dense": q_hourly_counts_dense,
     "doc_logprob": q_doc_logprob,
     "doc_shuffle_rank": q_doc_shuffle_rank,
+    "host_trend": q_host_trend,
+    "event_cooccurrence": q_event_cooccurrence,
+    "sliding_daily_actives": q_sliding_daily_actives,
+    "union_sources_rollup": q_union_sources_rollup,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

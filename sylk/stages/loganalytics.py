@@ -16,6 +16,7 @@ masked strings bit-identical.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min, Sum
@@ -93,3 +94,192 @@ def rate_spikes(ds, key: str = "hostname", window_col: str = "hour",
 
     return joined.map_batches(_flag, batch_format="pyarrow",
                               batch_size=None, zero_copy_batch=True)
+
+
+def trend_numerators(ds, key: str = "hostname", window_col: str = "hour"):
+    """Per-key linear trend of bucket counts, integer-exact: emit the
+    least-squares slope NUMERATOR and DENOMINATOR (and the raw sums)
+    instead of the float slope, so the SQL oracle is bit-identical —
+    slope = slope_num / slope_den with
+    slope_num = n*Sum(x*y) - Sum(x)*Sum(y),
+    slope_den = n*Sum(x*x) - Sum(x)^2, x = window - min(window), y = n.
+
+    -> Dataset[(key, n_windows, sum_x, sum_y, sum_xy, sum_xx,
+    slope_num, slope_den)].
+
+    Shape: one two-phase count to the (key, window) grain; the global
+    min window is a scalar broadcast; the per-key sums are additive
+    partials over the reduced rows (per-block pyarrow group_by, then
+    one keyed reduce).  Shifting x to window-min keeps every product
+    within int64 even when windows are hours-since-epoch and counts
+    are 100-TB-scale (x spans the observed range only).
+    """
+    from .aggregate import grouped_counts
+
+    # two consumers (min scalar + partial sums): pin the reduced table —
+    # key-cardinality-bounded, so materializing is safe and avoids Ray
+    # re-running the raw count once per consumer (CLAUDE.md shared-lineage
+    # rule)
+    hh = grouped_counts(ds, [key, window_col]).materialize()
+    x0 = hh.min(window_col)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.subtract(b.column(window_col),
+                                pa.scalar(x0, pa.int64())), pa.int64())
+        y = pc.cast(b.column("n"), pa.int64())
+        t = pa.table({
+            key: b.column(key),
+            "_w": pa.array(np.ones(len(b), np.int64)),
+            "_x": x, "_y": y,
+            "_xy": pc.multiply(x, y),
+            "_xx": pc.multiply(x, x),
+        })
+        g = t.group_by(key).aggregate(
+            [("_w", "sum"), ("_x", "sum"), ("_y", "sum"),
+             ("_xy", "sum"), ("_xx", "sum")])
+        return g.rename_columns([key, "_w", "_x", "_y", "_xy", "_xx"])
+
+    parts = hh.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None)
+    sums = parts.groupby(key).aggregate(
+        Sum("_w", alias_name="n_windows"),
+        Sum("_x", alias_name="sum_x"),
+        Sum("_y", alias_name="sum_y"),
+        Sum("_xy", alias_name="sum_xy"),
+        Sum("_xx", alias_name="sum_xx"),
+    )
+
+    def _slope(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_windows"), pa.int64())
+        sx = pc.cast(b.column("sum_x"), pa.int64())
+        sy = pc.cast(b.column("sum_y"), pa.int64())
+        sxy = pc.cast(b.column("sum_xy"), pa.int64())
+        sxx = pc.cast(b.column("sum_xx"), pa.int64())
+        num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+        den = pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx))
+        return pa.table({key: b.column(key), "n_windows": n,
+                         "sum_x": sx, "sum_y": sy, "sum_xy": sxy,
+                         "sum_xx": sxx, "slope_num": num,
+                         "slope_den": den})
+
+    return sums.map_batches(_slope, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def cooccurrence_counts(ds, basket_cols, item_col: str,
+                        n_groups: int = 256):
+    """Market-basket co-occurrence mining: for every unordered pair of
+    DISTINCT items sharing a basket, the number of baskets containing
+    both.  -> Dataset[(type_a, type_b, n)], type_a < type_b.
+
+    Shape (one shuffle total, no Dataset.join):
+    1. item vocabulary: per-block unique partials, driver merge —
+       bounded by item cardinality (event types / SKUs; document the
+       bound if items are high-cardinality and switch to a hash join).
+    2. per-block LOCAL distinct of (basket..., code) rows (pyarrow C++
+       group_by) — shrinks the exchange to near the distinct grain.
+    3. ONE hash exchange on pkey = mix64(basket) % n_groups: a basket
+       never splits, so each coarse group holds whole baskets
+       (dedup._coarse_grouped_pairs pattern — never per-basket groups).
+    4. per-group vectorized run expansion: lexsort by the REAL basket
+       columns (exactness never depends on the pkey hash), np.unique
+       codes per run (cross-block duplicate (basket, item) rows
+       collapse here), triu pairs, packed-key np.unique with counts.
+    5. driver merge of the (a, b, n) partials — bounded by
+       items^2 x n_groups.
+    """
+    import ray
+    import ray.data
+
+    basket_cols = list(basket_cols)
+
+    def _vocab_partial(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column(item_col))
+        return pa.table({item_col: u})
+
+    vparts = ds.map_batches(_vocab_partial, batch_format="pyarrow",
+                            batch_size=None)
+    vocab = sorted(set(pa.concat_tables(
+        ray.get(vparts.to_arrow_refs())).column(item_col).to_pylist()))
+    code_of = {v: i for i, v in enumerate(vocab)}
+    vocab_ref = ray.put(code_of)
+
+    from ..functions.hashing import mix64
+
+    def _local_distinct(b: pa.Table) -> pa.Table:
+        cmap = ray.get(vocab_ref)
+        items = b.column(item_col).to_pylist()
+        codes = np.fromiter((cmap[v] for v in items), dtype=np.int64,
+                            count=len(items))
+        t = pa.table({**{c: b.column(c).cast(pa.int64())
+                         for c in basket_cols},
+                      "_code": pa.array(codes)})
+        t = t.group_by(basket_cols + ["_code"]).aggregate([])
+        h = np.zeros(len(t), np.uint64)
+        for c in basket_cols:
+            col = t.column(c).to_numpy(zero_copy_only=False)
+            h = mix64(h ^ col.astype(np.int64).view(np.uint64))
+        pkey = (h % np.uint64(n_groups)).astype(np.int64)
+        return t.append_column("pkey", pa.array(pkey, pa.int64()))
+
+    keyed = ds.map_batches(_local_distinct, batch_format="pyarrow",
+                           batch_size=None)
+
+    def _group_pairs(g: pa.Table) -> pa.Table:
+        cols = [g.column(c).to_numpy(zero_copy_only=False)
+                for c in basket_cols]
+        codes = g.column("_code").to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, *reversed(cols)))
+        cols = [c[order] for c in cols]
+        codes = codes[order]
+        if len(codes) == 0:
+            return pa.table({"_a": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        change = np.zeros(len(codes) - 1, dtype=bool)
+        for c in cols:
+            change |= np.diff(c) != 0
+        boundaries = np.flatnonzero(change) + 1
+        starts = np.concatenate(([0], boundaries))
+        stops = np.concatenate((boundaries, [len(codes)]))
+        chunks = []
+        for s, e in zip(starts, stops):
+            run = np.unique(codes[s:e]).astype(np.uint64)
+            if len(run) < 2:
+                continue
+            ii, jj = np.triu_indices(len(run), k=1)
+            chunks.append((run[ii] << np.uint64(32)) | run[jj])
+        if not chunks:
+            return pa.table({"_a": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        keys, counts = np.unique(np.concatenate(chunks),
+                                 return_counts=True)
+        return pa.table({
+            "_a": pa.array((keys >> np.uint64(32)).astype(np.int64)),
+            "_b": pa.array((keys & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    parts = keyed.groupby("pkey").map_groups(_group_pairs,
+                                             batch_format="pyarrow")
+    # empty hash partitions emit schemaless zero-column blocks — drop
+    # them before the concat (dedup.py:78 pattern)
+    blocks = [b for b in ray.get(parts.to_arrow_refs())
+              if b.num_columns > 0]
+    if not blocks:
+        return ray.data.from_arrow(pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())}))
+    tbl = pa.concat_tables(blocks)
+    merged = tbl.group_by(["_a", "_b"]).aggregate([("n", "sum")])
+    a = merged.column("_a").to_numpy(zero_copy_only=False)
+    b = merged.column("_b").to_numpy(zero_copy_only=False)
+    varr = np.asarray(vocab, dtype=object)
+    out = pa.table({
+        "type_a": pa.array(varr[a].astype(str)),
+        "type_b": pa.array(varr[b].astype(str)),
+        "n": merged.column("n_sum").cast(pa.int64()),
+    })
+    return ray.data.from_arrow(out)

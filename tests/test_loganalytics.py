@@ -163,3 +163,69 @@ def test_unigram_logprob_block_layout_invariance(ray_session):
     b = unigram_logprob(_ds(rows, blocks=9)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+# --- trend_numerators ------------------------------------------------------
+
+def test_trend_numerators_matches_numpy_lstsq(ray_session):
+    from sylk.stages.loganalytics import trend_numerators
+
+    # hostU: rising 1,2,3,4 over hours 100..103; hostD: falling 5,3,1.
+    rows = []
+    for h, n in zip(range(100, 104), (1, 2, 3, 4)):
+        rows += [{"hostname": "hostU", "hour": h}] * n
+    for h, n in zip(range(100, 103), (5, 3, 1)):
+        rows += [{"hostname": "hostD", "hour": h}] * n
+    out = trend_numerators(_ds(rows, blocks=5)).to_pandas()
+    got = {r.hostname: r for r in out.itertuples()}
+    # slope = slope_num / slope_den must equal the least-squares slope
+    for host, pts in (("hostU", [(0, 1), (1, 2), (2, 3), (3, 4)]),
+                      ("hostD", [(0, 5), (1, 3), (2, 1)])):
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        r = got[host]
+        assert r.slope_den > 0
+        assert r.slope_num / r.slope_den == pytest.approx(slope)
+    assert got["hostU"].slope_num > 0 and got["hostD"].slope_num < 0
+
+
+def test_trend_numerators_x_shift_is_global_min(ray_session):
+    from sylk.stages.loganalytics import trend_numerators
+
+    # x0 is the GLOBAL min hour (473000 here), not per-host: hostB's
+    # sum_x reflects hours 473010..473011 shifted by the global min.
+    rows = [{"hostname": "a", "hour": 473000},
+            {"hostname": "b", "hour": 473010}, {"hostname": "b", "hour": 473011}]
+    out = trend_numerators(_ds(rows, blocks=2)).to_pandas()
+    got = {r.hostname: r for r in out.itertuples()}
+    assert got["a"].sum_x == 0
+    assert got["b"].sum_x == 10 + 11
+
+
+# --- cooccurrence_counts ---------------------------------------------------
+
+def test_cooccurrence_counts_manual(ray_session):
+    from sylk.stages.loganalytics import cooccurrence_counts
+
+    # basket (1, 0): {x, y, z}; basket (1, 1): {x, y}; basket (2, 0): {x}
+    rows = [{"u": 1, "h": 0, "t": "x"}, {"u": 1, "h": 0, "t": "y"},
+            {"u": 1, "h": 0, "t": "z"}, {"u": 1, "h": 0, "t": "x"},
+            {"u": 1, "h": 1, "t": "x"}, {"u": 1, "h": 1, "t": "y"},
+            {"u": 2, "h": 0, "t": "x"}]
+    out = cooccurrence_counts(_ds(rows, blocks=3), ["u", "h"], "t")
+    got = {(r.type_a, r.type_b): r.n for r in out.to_pandas().itertuples()}
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
+
+
+def test_cooccurrence_counts_cross_block_basket_dedup(ray_session):
+    from sylk.stages.loganalytics import cooccurrence_counts
+
+    # The same (basket, item) row repeated across many blocks must count
+    # ONCE per basket (distinct semantics survive block-local dedup).
+    rows = [{"u": 7, "h": 5, "t": "a"}, {"u": 7, "h": 5, "t": "b"}] * 40
+    out = cooccurrence_counts(_ds(rows, blocks=8), ["u", "h"], "t")
+    df = out.to_pandas()
+    assert len(df) == 1
+    assert (df.iloc[0]["type_a"], df.iloc[0]["type_b"], df.iloc[0]["n"]) \
+        == ("a", "b", 1)
