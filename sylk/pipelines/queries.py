@@ -108,6 +108,13 @@ _I64 = {
     "slope_den": pa.int64(),
     "value_cents": pa.int64(),
     "day": pa.int64(),
+    "med": pa.int64(),
+    "mad": pa.int64(),
+    "sum_yy": pa.int64(),
+    "corr_num": pa.int64(),
+    "var_x": pa.int64(),
+    "var_y": pa.int64(),
+    "share_ppm": pa.int64(),
 }
 
 
@@ -2485,6 +2492,145 @@ def q_union_sources_rollup(sf_dir: str) -> pa.Table:
     return _table(out, ["event_type", "n", "value_cents"])
 
 
+def q_value_mad_per_type(sf_dir: str) -> pa.Table:
+    """Grouped robust outlier statistics, fully integer-exact: per-type
+    median of value-cents and the median absolute deviation (MAD) —
+    two exact grouped-quantile passes (histogram combiner, domain =
+    cents) with the tiny median table broadcast between them."""
+    import os
+
+    import ray
+    import ray.data
+
+    from ..stages.aggregate import grouped_quantiles
+    from ..stages.join import cents_column
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        b = cents_column(b, "cents", ["value"], lambda v: v * 100.0)
+        return b.select(["event_type", "cents"])
+
+    cents = ev.map_batches(_cents, batch_format="pyarrow",
+                           batch_size=None)
+    med = grouped_quantiles(cents, "event_type", "cents", [0.5], ["med"])
+    med_map = {r["event_type"]: int(r["med"])
+               for r in med.to_pandas().to_dict("records")}
+    med_ref = ray.put(med_map)
+
+    def _dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        types = b.column("event_type").to_pylist()
+        meds = np.fromiter((m[t] for t in types), dtype=np.int64,
+                           count=len(types))
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b.column("event_type"),
+                         "dev": pa.array(np.abs(c - meds), pa.int64()),
+                         "med": pa.array(meds, pa.int64())})
+
+    devs = cents.map_batches(_dev, batch_format="pyarrow",
+                             batch_size=None)
+    mad = grouped_quantiles(devs, "event_type", "dev", [0.5], ["mad"])
+    mad_df = mad.to_pandas()
+    mad_df["med"] = mad_df["event_type"].map(med_map)
+    out = pa.Table.from_pandas(mad_df[["event_type", "med", "mad"]],
+                               preserve_index=False)
+    import ray.data as rd
+    return _table(rd.from_arrow(out), ["event_type", "med", "mad"])
+
+
+def q_value_k_corr(sf_dir: str) -> pa.Table:
+    """Per-type Pearson correlation between value-cents and the props
+    ``k`` field, as integer-exact covariance/variance numerators
+    (loganalytics.corr_numerators) — no float r, so the oracle is
+    bit-identical."""
+    import os
+
+    import ray.data
+
+    from ..stages.join import cents_column
+    from ..stages.loganalytics import corr_numerators
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value", "props"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        b = cents_column(b, "cents", ["value"], lambda v: v * 100.0)
+        k = pc.cast(pc.struct_field(pc.extract_regex(
+            b.column("props"), r'"k": (?P<k>[0-9]+)'), "k"),
+            pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": b.column("cents"), "k": k})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = corr_numerators(ds, "event_type", "cents", "k")
+    cols = ["event_type", "n", "sum_x", "sum_y", "sum_xy", "sum_xx",
+            "sum_yy", "corr_num", "var_x", "var_y"]
+    return _table(out, cols)
+
+
+def q_new_hostapp_per_day(sf_dir: str) -> pa.Table:
+    """First-seen novelty detection: how many (hostname, appname)
+    pairs appear for the FIRST time on each day — grouped MIN over the
+    pair grain (two-phase), then a count over the reduced first-seen
+    table.  The log-analytics 'new entity' feed."""
+    from ray.data.aggregate import Min
+
+    from ..stages.aggregate import grouped_counts_local
+
+    def _day(b: pa.Table) -> pa.Table:
+        ts = b.column("timestamp").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hostname": b.column("hostname"),
+            "appname": b.column("appname"),
+            "day": pa.array(np.floor_divide(ts, 86400), pa.int64())})
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_day, batch_format="pyarrow")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["hostname", "appname"]).aggregate([("day", "min")])
+        return g.rename_columns(["hostname", "appname", "day"])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None)
+    first = parts.groupby(["hostname", "appname"]).aggregate(
+        Min("day", alias_name="day"))
+    out = grouped_counts_local(first, ["day"])
+    import ray.data as rd
+    return _table(rd.from_arrow(out), ["day", "n"])
+
+
+def q_type_share(sf_dir: str) -> pa.Table:
+    """Percent-of-total report: per-type event count and its integer
+    parts-per-million share of the corpus (n * 1e6 // total — exact,
+    no float ratio).  Grouped count + one scalar broadcast."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
+    counts = grouped_counts(ev, ["event_type"]).materialize()
+    total = counts.sum("n")
+
+    def _share(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        num = pc.multiply(n, pa.scalar(1_000_000, pa.int64()))
+        share = pa.array(np.floor_divide(
+            num.to_numpy(zero_copy_only=False), total), pa.int64())
+        return pa.table({"event_type": b.column("event_type"), "n": n,
+                         "share_ppm": share})
+
+    out = counts.map_batches(_share, batch_format="pyarrow",
+                             batch_size=None)
+    return _table(out, ["event_type", "n", "share_ppm"])
+
+
 # --- oracle SQL ------------------------------------------------------------
 
 def _case(expr: str, names: tuple | list) -> str:
@@ -2729,6 +2875,50 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS value_cents
             FROM events GROUP BY 1""",
+        "value_mad_per_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+                  FROM c GROUP BY 1)
+            SELECT c.event_type, MIN(m.med) AS med,
+                   CAST(quantile_disc(ABS(c.cents - m.med), 0.5)
+                        AS BIGINT) AS mad
+            FROM c JOIN m USING (event_type) GROUP BY 1""",
+        "value_k_corr": """
+            WITH t AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+                              CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) AS y
+                       FROM events)
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                   CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+                   CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)
+                        AS BIGINT) AS corr_num,
+                   CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                        AS BIGINT) AS var_x,
+                   CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)
+                        AS BIGINT) AS var_y
+            FROM t GROUP BY 1""",
+        "new_hostapp_per_day": f"""
+            WITH f AS (SELECT {_HOST} AS hostname, event_type AS appname,
+                              MIN((epoch_us(ts) // 1000000) // 86400)
+                                  AS day
+                       FROM events WHERE {_OK} GROUP BY 1, 2)
+            SELECT day, COUNT(*) AS n FROM f GROUP BY 1""",
+        "type_share": """
+            WITH c AS (SELECT event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+            SELECT event_type, n,
+                   CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+            FROM c CROSS JOIN t""",
         "doc_shuffle_rank": """
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY md5_number_lower(text),
@@ -3884,6 +4074,10 @@ QUERIES = {
     "event_cooccurrence": q_event_cooccurrence,
     "sliding_daily_actives": q_sliding_daily_actives,
     "union_sources_rollup": q_union_sources_rollup,
+    "value_mad_per_type": q_value_mad_per_type,
+    "value_k_corr": q_value_k_corr,
+    "new_hostapp_per_day": q_new_hostapp_per_day,
+    "type_share": q_type_share,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

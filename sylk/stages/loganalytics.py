@@ -283,3 +283,71 @@ def cooccurrence_counts(ds, basket_cols, item_col: str,
         "n": merged.column("n_sum").cast(pa.int64()),
     })
     return ray.data.from_arrow(out)
+
+
+def corr_numerators(ds, key: str, x_col: str, y_col: str):
+    """Per-key Pearson correlation, integer-exact: emit the covariance
+    numerator and the two variance denominators instead of the float r —
+    r = corr_num / sqrt(var_x * var_y) with
+    corr_num = n*Sum(xy) - Sum(x)*Sum(y),
+    var_x = n*Sum(xx) - Sum(x)^2, var_y = n*Sum(yy) - Sum(y)^2.
+
+    -> Dataset[(key, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+    corr_num, var_x, var_y)].  All int64: callers pass integer-scaled
+    columns (cents, counts).  int64 bound: n * max(x)^2 * ~1 must stay
+    below 2^63 — at ~10^9 rows with 4-digit cents shift x/y toward
+    their means (the trend_numerators min-shift pattern) or move to
+    float; the bound is the documented trade for bit-exact oracles.
+
+    Additive 6-sum partials per block (pyarrow C++ group_by), one keyed
+    reduce — the shuffle moves |keys| rows per block.
+    """
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(x_col), pa.int64())
+        y = pc.cast(b.column(y_col), pa.int64())
+        t = pa.table({
+            key: b.column(key),
+            "_n": pa.array(np.ones(len(b), np.int64)),
+            "_x": x, "_y": y,
+            "_xy": pc.multiply(x, y),
+            "_xx": pc.multiply(x, x),
+            "_yy": pc.multiply(y, y),
+        })
+        g = t.group_by(key).aggregate(
+            [("_n", "sum"), ("_x", "sum"), ("_y", "sum"),
+             ("_xy", "sum"), ("_xx", "sum"), ("_yy", "sum")])
+        return g.rename_columns([key, "_n", "_x", "_y", "_xy", "_xx",
+                                 "_yy"])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None)
+    sums = parts.groupby(key).aggregate(
+        Sum("_n", alias_name="n"),
+        Sum("_x", alias_name="sum_x"),
+        Sum("_y", alias_name="sum_y"),
+        Sum("_xy", alias_name="sum_xy"),
+        Sum("_xx", alias_name="sum_xx"),
+        Sum("_yy", alias_name="sum_yy"),
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        sx = pc.cast(b.column("sum_x"), pa.int64())
+        sy = pc.cast(b.column("sum_y"), pa.int64())
+        sxy = pc.cast(b.column("sum_xy"), pa.int64())
+        sxx = pc.cast(b.column("sum_xx"), pa.int64())
+        syy = pc.cast(b.column("sum_yy"), pa.int64())
+        return pa.table({
+            key: b.column(key), "n": n, "sum_x": sx, "sum_y": sy,
+            "sum_xy": sxy, "sum_xx": sxx, "sum_yy": syy,
+            "corr_num": pc.subtract(pc.multiply(n, sxy),
+                                    pc.multiply(sx, sy)),
+            "var_x": pc.subtract(pc.multiply(n, sxx),
+                                 pc.multiply(sx, sx)),
+            "var_y": pc.subtract(pc.multiply(n, syy),
+                                 pc.multiply(sy, sy)),
+        })
+
+    return sums.map_batches(_finish, batch_format="pyarrow",
+                            batch_size=None)

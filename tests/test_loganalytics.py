@@ -229,3 +229,36 @@ def test_cooccurrence_counts_cross_block_basket_dedup(ray_session):
     assert len(df) == 1
     assert (df.iloc[0]["type_a"], df.iloc[0]["type_b"], df.iloc[0]["n"]) \
         == ("a", "b", 1)
+
+
+# --- corr_numerators -------------------------------------------------------
+
+def test_corr_numerators_matches_numpy(ray_session):
+    from sylk.stages.loganalytics import corr_numerators
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, slope in (("pos", 3), ("neg", -2)):
+        x = rng.integers(0, 100, size=50)
+        y = slope * x + rng.integers(-5, 6, size=50)
+        rows += [{"g": g, "x": int(a), "y": int(b)} for a, b in zip(x, y)]
+    out = corr_numerators(_ds(rows, blocks=6), "g", "x", "y").to_pandas()
+    got = {r.g: r for r in out.itertuples()}
+    for g in ("pos", "neg"):
+        sub = [(r["x"], r["y"]) for r in rows if r["g"] == g]
+        x = np.array([p[0] for p in sub], dtype=float)
+        y = np.array([p[1] for p in sub], dtype=float)
+        r_np = np.corrcoef(x, y)[0, 1]
+        rec = got[g]
+        r_sylk = rec.corr_num / math.sqrt(rec.var_x * rec.var_y)
+        assert r_sylk == pytest.approx(r_np, abs=1e-12)
+    assert got["pos"].corr_num > 0 and got["neg"].corr_num < 0
+
+
+def test_corr_numerators_constant_column_zero_variance(ray_session):
+    from sylk.stages.loganalytics import corr_numerators
+
+    rows = [{"g": "c", "x": 5, "y": i} for i in range(10)]
+    out = corr_numerators(_ds(rows, blocks=3), "g", "x", "y").to_pandas()
+    r = out.iloc[0]
+    assert r["var_x"] == 0 and r["corr_num"] == 0 and r["var_y"] > 0
