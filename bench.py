@@ -161,6 +161,20 @@ def bench_asof_join(_files) -> dict:
     return {"rows": t.num_rows}
 
 
+def bench_log_templates(files: list[str]) -> dict:
+    """Template mining over the raw-line corpus (digit-mask + two-phase
+    count) — the round-3 log-analytics family's headline."""
+    import ray.data
+
+    from sylk.stages.loganalytics import log_templates
+
+    ds = ray.data.read_parquet(
+        files, columns=["turn_idx", "text"], override_num_blocks=len(files)
+    )
+    out = log_templates(ds)
+    return {"templates": out.count()}
+
+
 BENCHES = {
     "flagship": bench_flagship,
     "parse_agg": bench_parse_agg,
@@ -169,6 +183,7 @@ BENCHES = {
     "ann_bruteforce": bench_ann,
     "join_rollup": bench_join_rollup,
     "asof_join": bench_asof_join,
+    "log_templates": bench_log_templates,
 }
 
 

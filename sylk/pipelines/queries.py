@@ -2631,6 +2631,57 @@ def q_type_share(sf_dir: str) -> pa.Table:
     return _table(out, ["event_type", "n", "share_ppm"])
 
 
+def q_host_gap_quantiles(sf_dir: str) -> pa.Table:
+    """Inter-arrival-time health metric: per-host p50/p90 of the gap
+    (seconds) between consecutive ok messages — LAG previous-row carry
+    chained into the exact grouped-quantile histogram (operator
+    composition across the window + aggregate families)."""
+    import pandas as pd
+
+    from ..stages.aggregate import grouped_quantiles
+    from ..stages.asof import lag
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"hostname": b.column("hostname"),
+                         "t": b.column("timestamp").cast(pa.int64()),
+                         "turn_idx": b.column("turn_idx").cast(pa.int64())})
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_prep, batch_format="pyarrow")
+    lagged = lag(ds, "hostname", ["t", "turn_idx"], "t", "prev_t")
+
+    def _gap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["prev_t"].notna()]
+        # second-domain gaps stay exact in the float64 carry (< 2^53)
+        return pd.DataFrame({
+            "hostname": df["hostname"].to_numpy(),
+            "gap": (df["t"].to_numpy()
+                    - df["prev_t"].to_numpy()).astype("int64")})
+
+    gaps = lagged.map_batches(_gap, batch_format="pandas",
+                              batch_size=None)
+    out = grouped_quantiles(gaps, "hostname", "gap", [0.5, 0.9],
+                            ["p50", "p90"])
+    return _table(out, ["hostname", "p50", "p90"])
+
+
+def q_token_typo_pairs(sf_dir: str) -> pa.Table:
+    """Fuzzy token matching over the host/app vocabulary: all token
+    pairs at edit distance exactly 1 via the FastSS
+    deletion-neighborhood (recall 1 for distance <= 1), exact-verified
+    per candidate (sylk/stages/text.py token_typo_pairs)."""
+
+    def _texts(b: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            b.column("hostname"), b.column("appname"), " ")
+        return pa.table({"text": joined})
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_texts, batch_format="pyarrow")
+    from ..stages.text import token_typo_pairs
+
+    out = token_typo_pairs(ds)
+    return _table(out, ["tok_a", "tok_b"])
+
+
 # --- oracle SQL ------------------------------------------------------------
 
 def _case(expr: str, names: tuple | list) -> str:
@@ -2875,6 +2926,27 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS value_cents
             FROM events GROUP BY 1""",
+        "host_gap_quantiles": f"""
+            WITH p AS (SELECT {_HOST} AS hostname,
+                              epoch_us(ts) // 1000000 AS t,
+                              CAST(event_id AS BIGINT) AS turn_idx
+                       FROM events WHERE {_OK}),
+            g AS (SELECT hostname,
+                         t - LAG(t) OVER (PARTITION BY hostname
+                                          ORDER BY t, turn_idx) AS gap
+                  FROM p)
+            SELECT hostname,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90
+            FROM g WHERE gap IS NOT NULL GROUP BY 1""",
+        "token_typo_pairs": f"""
+            WITH v AS (SELECT DISTINCT w FROM (
+                SELECT {_HOST} AS w FROM events WHERE {_OK}
+                UNION
+                SELECT event_type AS w FROM events WHERE {_OK}))
+            SELECT a.w AS tok_a, b.w AS tok_b
+            FROM v a JOIN v b
+              ON a.w < b.w AND levenshtein(a.w, b.w) = 1""",
         "value_mad_per_type": """
             WITH c AS (SELECT event_type,
                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
@@ -4078,6 +4150,8 @@ QUERIES = {
     "value_k_corr": q_value_k_corr,
     "new_hostapp_per_day": q_new_hostapp_per_day,
     "type_share": q_type_share,
+    "host_gap_quantiles": q_host_gap_quantiles,
+    "token_typo_pairs": q_token_typo_pairs,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

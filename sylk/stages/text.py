@@ -620,3 +620,153 @@ def unigram_logprob(docs_ds, text_col: str = "text", id_col: str = "doc_id",
 
     return docs_ds.map_batches(_score, batch_format="pyarrow",
                                batch_size=None)
+
+
+def _edit_distance_is_1(u: str, v: str) -> bool:
+    """Exact check dist(u, v) == 1 (classic two-pointer; O(len))."""
+    lu, lv = len(u), len(v)
+    if abs(lu - lv) > 1 or u == v:
+        return False
+    if lu == lv:                       # exactly one substitution?
+        seen = False
+        for a, b in zip(u, v):
+            if a != b:
+                if seen:
+                    return False
+                seen = True
+        return seen
+    if lu > lv:                        # ensure u is the shorter
+        u, v, lu, lv = v, u, lv, lu
+    i = 0                              # one insertion?
+    while i < lu and u[i] == v[i]:
+        i += 1
+    return u[i:] == v[i + 1:]
+
+
+def token_typo_pairs(docs_ds, text_col: str = "text"):
+    """Fuzzy token matching (typo detection): all pairs of DISTINCT
+    corpus tokens at edit distance exactly 1, via the FastSS
+    deletion-neighborhood — each token emits itself plus its
+    single-deletion variants; two tokens at distance <= 1 ALWAYS share
+    a variant (substitution: both delete position i; indel: the longer
+    token's deletion IS the shorter token), so bucketing variants has
+    recall 1 and only the cheap exact check runs per candidate.
+
+    -> Dataset[(tok_a, tok_b)] with tok_a < tok_b.
+
+    Shape: vocabulary via per-block unique partials + driver merge
+    (vocab-bounded — this is a TOKEN-level operator, never doc-scale);
+    variant rows ~ vocab x (len+1); candidate pairs expanded with the
+    packed-key np.unique kernel per coarse variant-hash group (the
+    dedup._coarse_grouped_pairs pattern); the per-pair verify loop is
+    vocab-bounded, not corpus-bounded.
+    """
+    import ray
+    import ray.data
+
+    from ..functions.hashing import mix64
+
+    def _vocab_partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        toks = {w for t in texts for w in (t or "").split()}
+        return pa.table({"w": pa.array(sorted(toks), pa.string())})
+
+    vparts = docs_ds.map_batches(_vocab_partial, batch_format="pyarrow",
+                                 batch_size=None)
+    vocab = sorted(set(pa.concat_tables(
+        ray.get(vparts.to_arrow_refs())).column("w").to_pylist()))
+    if len(vocab) < 2:
+        return ray.data.from_arrow(pa.table({
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string())}))
+
+    # variant rows: (variant-hash, token-code); built from the vocab
+    # list itself (vocab-bounded), sharded so expansion parallelizes
+    vocab_ref = ray.put(vocab)
+    n_shards = max(1, min(64, len(vocab) // 4096 + 1))
+
+    def _variants(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        vs = ray.get(vocab_ref)
+        shard = b.column("id").to_numpy(zero_copy_only=False)
+        hs, codes = [], []
+        # Python's builtin hash() is per-process randomized — workers
+        # must agree on buckets, so hash variants with md5
+        for s in shard:
+            for code in range(int(s), len(vs), n_shards):
+                w = vs[code]
+                forms = {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+                for f in forms:
+                    hs.append(int.from_bytes(
+                        hashlib.md5(f.encode("utf-8")).digest()[:8],
+                        "little") & 0x7FFFFFFFFFFFFFFF)
+                    codes.append(code)
+        return pa.table({"vh": pa.array(np.asarray(hs, np.int64)),
+                         "code": pa.array(np.asarray(codes, np.int64))})
+
+    rows = ray.data.range(n_shards).map_batches(
+        _variants, batch_format="pyarrow", batch_size=None)
+
+    n_groups = 64
+
+    def _pkey(b: pa.Table) -> pa.Table:
+        vh = b.column("vh").to_numpy(zero_copy_only=False)
+        pkey = (mix64(vh.view(np.uint64)) % np.uint64(n_groups)) \
+            .astype(np.int64)
+        return b.append_column("pkey", pa.array(pkey, pa.int64()))
+
+    keyed = rows.map_batches(_pkey, batch_format="pyarrow",
+                             batch_size=None)
+
+    def _group_pairs(g: pa.Table) -> pa.Table:
+        vh = g.column("vh").to_numpy(zero_copy_only=False)
+        code = g.column("code").to_numpy(zero_copy_only=False)
+        order = np.lexsort((code, vh))
+        vh, code = vh[order], code[order]
+        boundaries = np.flatnonzero(np.diff(vh) != 0) + 1
+        starts = np.concatenate(([0], boundaries))
+        stops = np.concatenate((boundaries, [len(vh)]))
+        chunks = []
+        for s, e in zip(starts, stops):
+            run = np.unique(code[s:e]).astype(np.uint64)
+            if len(run) < 2:
+                continue
+            ii, jj = np.triu_indices(len(run), k=1)
+            chunks.append((run[ii] << np.uint64(32)) | run[jj])
+        if not chunks:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        keys = np.unique(np.concatenate(chunks))
+        return pa.table({
+            "a": pa.array((keys >> np.uint64(32)).astype(np.int64)),
+            "b": pa.array((keys & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    parts = keyed.groupby("pkey").map_groups(_group_pairs,
+                                             batch_format="pyarrow")
+
+    def _verify(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or len(b) == 0:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string())})
+        vs = ray.get(vocab_ref)
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        keep_a, keep_b = [], []
+        for x, y in zip(a, bb):
+            u, v = vs[int(x)], vs[int(y)]
+            if _edit_distance_is_1(u, v):
+                keep_a.append(u)
+                keep_b.append(v)
+        return pa.table({"tok_a": pa.array(keep_a, pa.string()),
+                         "tok_b": pa.array(keep_b, pa.string())})
+
+    out = parts.map_batches(_verify, batch_format="pyarrow",
+                            batch_size=None)
+    # cross-group duplicates (one pair via several shared variants land
+    # in different vh groups) collapse in one distinct pass over the
+    # pair table (pair-cardinality-bounded)
+    from ray.data.aggregate import Count
+    return out.groupby(["tok_a", "tok_b"]).aggregate(
+        Count(alias_name="_c")).drop_columns(["_c"])

@@ -262,3 +262,33 @@ def test_corr_numerators_constant_column_zero_variance(ray_session):
     out = corr_numerators(_ds(rows, blocks=3), "g", "x", "y").to_pandas()
     r = out.iloc[0]
     assert r["var_x"] == 0 and r["corr_num"] == 0 and r["var_y"] > 0
+
+
+# --- token_typo_pairs ------------------------------------------------------
+
+def test_edit_distance_is_1_unit():
+    from sylk.stages.text import _edit_distance_is_1 as d1
+
+    assert d1("host1", "host2")          # substitution
+    assert d1("host1", "host11")         # insertion
+    assert d1("ab", "b") and d1("b", "ab")
+    assert not d1("ab", "ba")            # transposition = distance 2
+    assert not d1("same", "same")        # identical
+    assert not d1("a", "abc")            # distance 2
+    assert d1("", "x") and not d1("", "xy")
+
+
+def test_token_typo_pairs_brute_force(ray_session):
+    from sylk.stages.text import _edit_distance_is_1 as d1
+    from sylk.stages.text import token_typo_pairs
+
+    words = ["alpha", "alpho", "alphas", "beta", "betas", "bela",
+             "gamma", "gamm", "delta", "delta1", "unique"]
+    rows = [{"text": " ".join(words[i::3])} for i in range(3)]
+    out = token_typo_pairs(_ds(rows, blocks=2)).to_pandas()
+    got = {(r.tok_a, r.tok_b) for r in out.itertuples()}
+    vocab = sorted({w for r in rows for w in r["text"].split()})
+    want = {(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+            if d1(a, b)}
+    assert got == want
+    assert ("alpha", "alpho") in got and ("gamm", "gamma") in got
