@@ -166,13 +166,13 @@ def bench_log_templates(files: list[str]) -> dict:
     count) — the round-3 log-analytics family's headline."""
     import ray.data
 
-    from sylk.stages.loganalytics import log_templates
+    from sylk.stages.loganalytics import log_templates_local
 
     ds = ray.data.read_parquet(
         files, columns=["turn_idx", "text"], override_num_blocks=len(files)
     )
-    out = log_templates(ds)
-    return {"templates": out.count()}
+    out = log_templates_local(ds)
+    return {"templates": out.num_rows}
 
 
 BENCHES = {

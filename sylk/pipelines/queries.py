@@ -115,6 +115,8 @@ _I64 = {
     "var_x": pa.int64(),
     "var_y": pa.int64(),
     "share_ppm": pa.int64(),
+    "prev_n": pa.int64(),
+    "delta": pa.int64(),
 }
 
 
@@ -2682,6 +2684,84 @@ def q_token_typo_pairs(sf_dir: str) -> pa.Table:
     return _table(out, ["tok_a", "tok_b"])
 
 
+def q_warn_then_error(sf_dir: str) -> pa.Table:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): per host,
+    count ERROR messages arriving within 3600s of the host's
+    immediately-preceding WARNING — escalation alerting.  One LAG carry
+    with (t, severity) packed into a single exact float64 value
+    (t*8+sev < 2^53), then a vectorized filter + two-phase count."""
+    import pandas as pd
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.asof import lag
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t = b.column("timestamp").to_numpy(zero_copy_only=False)
+        sev = b.column("severity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hostname": b.column("hostname"),
+            "t": pa.array(t, pa.int64()),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "sev": pa.array(sev, pa.int64()),
+            "packed": pa.array(t * 8 + sev, pa.int64())})
+
+    ds = _ok(_parsed(sf_dir)).map_batches(_prep, batch_format="pyarrow")
+    lagged = lag(ds, "hostname", ["t", "turn_idx"], "packed", "prev_packed")
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["prev_packed"].notna()]
+        prev = df["prev_packed"].to_numpy().astype("int64")
+        prev_t, prev_sev = prev // 8, prev % 8
+        t = df["t"].to_numpy()
+        sev = df["sev"].to_numpy()
+        keep = (sev == 3) & (prev_sev == 4) & (t - prev_t <= 3600)
+        return pd.DataFrame({"hostname": df["hostname"].to_numpy()[keep]})
+
+    hits = lagged.map_batches(_match, batch_format="pandas",
+                              batch_size=None)
+    return _table(grouped_counts(hits, ["hostname"]), ["hostname", "n"])
+
+
+def q_daily_type_delta(sf_dir: str) -> pa.Table:
+    """Day-over-day change per event type (time-series delta on the
+    REDUCED series): grouped counts to the (type, day) grain, then a
+    LAG carry over the tiny series and an integer delta."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.asof import lag
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        day = pc.cast(pc.divide(pc.divide(us, 1_000_000), 86400),
+                      pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "day": day})
+
+    counts = grouped_counts(ev.map_batches(_day, batch_format="pyarrow"),
+                            ["event_type", "day"])
+    lagged = lag(counts, "event_type", ["day"], "n", "prev_n")
+
+    def _delta(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["prev_n"].notna()].copy()
+        prev = df["prev_n"].to_numpy().astype("int64")
+        n = df["n"].to_numpy().astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "day": df["day"].to_numpy().astype("int64"),
+                             "n": n, "prev_n": prev, "delta": n - prev})
+
+    out = lagged.map_batches(_delta, batch_format="pandas",
+                             batch_size=None)
+    return _table(out, ["event_type", "day", "n", "prev_n", "delta"])
+
+
 # --- oracle SQL ------------------------------------------------------------
 
 def _case(expr: str, names: tuple | list) -> str:
@@ -2926,6 +3006,31 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS value_cents
             FROM events GROUP BY 1""",
+        "warn_then_error": f"""
+            WITH p AS (SELECT {_HOST} AS hostname, {_SEV} AS sev,
+                              epoch_us(ts) // 1000000 AS t,
+                              CAST(event_id AS BIGINT) AS turn_idx
+                       FROM events WHERE {_OK}),
+            l AS (SELECT hostname, sev, t,
+                         LAG(sev) OVER w AS prev_sev,
+                         LAG(t) OVER w AS prev_t
+                  FROM p WINDOW w AS (PARTITION BY hostname
+                                      ORDER BY t, turn_idx))
+            SELECT hostname, COUNT(*) AS n FROM l
+            WHERE sev = 3 AND prev_sev = 4 AND t - prev_t <= 3600
+            GROUP BY 1""",
+        "daily_type_delta": """
+            WITH c AS (SELECT event_type,
+                              (epoch_us(ts) // 1000000) // 86400 AS day,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            l AS (SELECT event_type, day, n,
+                         LAG(n) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS prev_n
+                  FROM c)
+            SELECT event_type, day, n, CAST(prev_n AS BIGINT) AS prev_n,
+                   CAST(n - prev_n AS BIGINT) AS delta
+            FROM l WHERE prev_n IS NOT NULL""",
         "host_gap_quantiles": f"""
             WITH p AS (SELECT {_HOST} AS hostname,
                               epoch_us(ts) // 1000000 AS t,
@@ -4152,6 +4257,8 @@ QUERIES = {
     "type_share": q_type_share,
     "host_gap_quantiles": q_host_gap_quantiles,
     "token_typo_pairs": q_token_typo_pairs,
+    "warn_then_error": q_warn_then_error,
+    "daily_type_delta": q_daily_type_delta,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

@@ -292,3 +292,17 @@ def test_token_typo_pairs_brute_force(ray_session):
             if d1(a, b)}
     assert got == want
     assert ("alpha", "alpho") in got and ("gamm", "gamma") in got
+
+
+def test_log_templates_local_equals_distributed(ray_session):
+    from sylk.stages.loganalytics import log_templates, log_templates_local
+
+    rows = [{"turn_idx": i, "text": f"unit {i % 13} said {i % 5} things"}
+            for i in range(300)]
+    dist = log_templates(_ds(rows, blocks=6)).to_pandas()
+    loc = log_templates_local(_ds(rows, blocks=6)).to_pandas()
+    key = ["template", "n", "first_turn"]
+    a = dist[key].sort_values(key).reset_index(drop=True)
+    b = loc[key].sort_values(key).reset_index(drop=True)
+    assert a.astype({"n": "int64", "first_turn": "int64"}).equals(
+        b.astype({"n": "int64", "first_turn": "int64"}))
