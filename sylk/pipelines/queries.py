@@ -2762,6 +2762,38 @@ def q_daily_type_delta(sf_dir: str) -> pa.Table:
     return _table(out, ["event_type", "day", "n", "prev_n", "delta"])
 
 
+def q_day_range_rollup(sf_dir: str) -> pa.Table:
+    """Partition-pruned temporal range scan: the events table written
+    ONCE as a day-partitioned Hive store (cached per sf_dir), then a
+    3-day range query that opens only the 3 matching day directories —
+    storage-level pruning, the 100-TB time-series access path
+    (sylk/stages/temporal.py day_partitioned_write/read_day_range)."""
+    import hashlib
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.temporal import (day_partition_values,
+                                   day_partitioned_write, read_day_range)
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    store = f"/tmp/sylk_days_{tag}"
+    done = os.path.join(store, "_DONE")
+    if not os.path.exists(done):
+        ev = ray.data.read_parquet(src, columns=["ts", "event_type"])
+        day_partitioned_write(ev, store)
+        with open(done, "w") as f:
+            f.write(src)
+    lo = day_partition_values(store)[0]
+    ds, dirs = read_day_range(store, lo + 10, lo + 12,
+                              columns=["event_type"])
+    assert len(dirs) <= 3
+    return _table(grouped_counts(ds, ["event_type"]),
+                  ["event_type", "n"])
+
+
 # --- oracle SQL ------------------------------------------------------------
 
 def _case(expr: str, names: tuple | list) -> str:
@@ -3006,6 +3038,15 @@ def _oracle_sql_entries() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS value_cents
             FROM events GROUP BY 1""",
+        "day_range_rollup": """
+            WITH d AS (SELECT (epoch_us(ts) // 1000000) // 86400 AS day,
+                              event_type
+                       FROM events),
+            m AS (SELECT MIN(day) AS lo FROM d)
+            SELECT event_type, COUNT(*) AS n
+            FROM d CROSS JOIN m
+            WHERE day BETWEEN lo + 10 AND lo + 12
+            GROUP BY 1""",
         "warn_then_error": f"""
             WITH p AS (SELECT {_HOST} AS hostname, {_SEV} AS sev,
                               epoch_us(ts) // 1000000 AS t,
@@ -4259,6 +4300,7 @@ QUERIES = {
     "token_typo_pairs": q_token_typo_pairs,
     "warn_then_error": q_warn_then_error,
     "daily_type_delta": q_daily_type_delta,
+    "day_range_rollup": q_day_range_rollup,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

@@ -472,3 +472,39 @@ def except_distinct(a_ds, b_ds, cols, num_partitions: int | None = None):
     return hash_join(_distinct_rows(a_ds, cols), _distinct_rows(b_ds, cols),
                      on=tuple(cols), join_type="left_anti",
                      num_partitions=num_partitions)
+
+
+def salted_join(left_ds, right_ds, on: str, n_salts: int = 8,
+                num_partitions: int | None = None):
+    """Skew-safe distributed hash join: when one left-side key is hot,
+    a plain hash join lands that key's every row in ONE partition.
+    Salting splits the hot key ``n_salts`` ways — the left side gets a
+    per-row salt (position-derived; any spread is correct, the join is
+    on (key, salt)), the right side is replicated once per salt value —
+    so the hot key's rows stream through ``n_salts`` partitions while
+    the exchange grows only by |right| x (n_salts - 1) replicated rows.
+    Use when the right side is small relative to the skew it absorbs
+    (dim tables); equivalence vs hash_join is exact.
+    """
+    left_ds = left_ds.map_batches(_sane_blocks, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+    right_ds = right_ds.map_batches(_sane_blocks, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
+
+    def _salt_left(b: pa.Table) -> pa.Table:
+        salt = np.arange(len(b), dtype=np.int64) % n_salts
+        return b.append_column("_salt", pa.array(salt, pa.int64()))
+
+    def _replicate_right(b: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), n_salts)
+        rep = b.take(pa.array(idx))
+        salt = np.tile(np.arange(n_salts, dtype=np.int64), len(b))
+        return rep.append_column("_salt", pa.array(salt, pa.int64()))
+
+    lt = left_ds.map_batches(_salt_left, batch_format="pyarrow",
+                             batch_size=None)
+    rt = right_ds.map_batches(_replicate_right, batch_format="pyarrow",
+                              batch_size=None)
+    joined = hash_join(lt, rt, on=[on, "_salt"],
+                       num_partitions=num_partitions)
+    return joined.drop_columns(["_salt"])

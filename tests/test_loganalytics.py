@@ -306,3 +306,51 @@ def test_log_templates_local_equals_distributed(ray_session):
     b = loc[key].sort_values(key).reset_index(drop=True)
     assert a.astype({"n": "int64", "first_turn": "int64"}).equals(
         b.astype({"n": "int64", "first_turn": "int64"}))
+
+
+# --- salted_join -----------------------------------------------------------
+
+def test_salted_join_equals_hash_join_under_skew(ray_session):
+    from sylk.stages.join import hash_join, salted_join
+
+    # one hot key carrying 88% of the fact side
+    rows = [{"k": 1, "v": i} for i in range(880)]
+    rows += [{"k": 2 + (i % 7), "v": i} for i in range(120)]
+    dim = [{"k": k, "name": f"dim{k}"} for k in range(1, 9)]
+    fact, d = _ds(rows, blocks=6), _ds(dim, blocks=2)
+    a = salted_join(fact, d, on="k", n_salts=4).to_pandas()
+    b = hash_join(fact, d, on="k").to_pandas()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    aa = a[cols].sort_values(cols).reset_index(drop=True)
+    bb = b[cols].sort_values(cols).reset_index(drop=True)
+    assert aa.equals(bb)
+    assert len(aa) == 1000
+
+
+# --- day-partitioned store -------------------------------------------------
+
+def test_day_range_read_prunes_directories(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from sylk.stages.temporal import (day_partition_values,
+                                      day_partitioned_write,
+                                      read_day_range)
+
+    base = 1_700_000_000  # some epoch-seconds anchor
+    rows = [{"ts": pd.Timestamp((base + d * 86400 + i) * 1_000_000_000),
+             "event_type": "t" + str(d % 3)}
+            for d in range(8) for i in range(5)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    store = str(tmp_path / "days")
+    day_partitioned_write(ds, store)
+    days = day_partition_values(store)
+    assert len(days) == 8
+    lo = days[0]
+    out, dirs = read_day_range(store, lo + 2, lo + 4,
+                               columns=["event_type"])
+    assert len(dirs) == 3          # the pruning claim itself
+    df = out.to_pandas()
+    assert len(df) == 15
+    assert sorted(df["day"].unique().tolist()) == [lo + 2, lo + 3, lo + 4]
