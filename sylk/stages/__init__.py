@@ -23,3 +23,4 @@ from .curate import (decontaminate, profile_columns,  # noqa: F401
 from .similarity import (ann_topk_bruteforce,  # noqa: F401
                          grouped_centroid_sums, kmeans_fixed)
 from .graph import pagerank  # noqa: F401
+from .compact import compact_partitions  # noqa: F401
