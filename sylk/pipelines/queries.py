@@ -32,6 +32,8 @@ from ..stages.router import add_route_columns
 from .flagship import parse_enrich
 
 _I64 = {
+    "n_view": pa.int64(),
+    "n_click": pa.int64(),
     "turn_idx": pa.int64(),
     "facility": pa.int64(),
     "severity": pa.int64(),
@@ -4176,7 +4178,111 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
         FROM sig x JOIN sig y ON x.doc_id < y.doc_id
         WHERE bit_count(xor(x.s, y.s)) <= 3"""
+    d["view_click_full_outer"] = """
+        WITH v AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS hour,
+                          COUNT(*) AS n_view
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+             c AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS hour,
+                          COUNT(*) AS n_click
+                   FROM events WHERE event_type = 'click' GROUP BY 1)
+        SELECT COALESCE(v.hour, c.hour) AS hour,
+               COALESCE(v.n_view, 0) AS n_view,
+               COALESCE(c.n_click, 0) AS n_click
+        FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["quiet_user_counts"] = """
+        SELECT user_id, COUNT(*) AS n FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM events
+                              WHERE event_type = 'error'
+                              AND ((epoch_us(ts) // 1000000 // 3600) % 24) = 3)
+        GROUP BY 1"""
     return d
+
+
+def _hourly_type_counts(sf_dir: str, event_type: str, out_name: str):
+    """events filtered to one type -> distributed (hour, count) Dataset
+    with the count column named ``out_name``.  Hour derivation matches
+    q_hourly_counts (floor division, pre-1970-safe)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+
+    def _hour(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), event_type))
+        ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+              .to_numpy(zero_copy_only=False)
+        hour = np.floor_divide(np.floor_divide(ts, 1_000_000), 3600)
+        return pa.table({"hour": pa.array(hour, pa.int64())})
+
+    counts = grouped_counts(
+        ev.map_batches(_hour, batch_format="pyarrow", batch_size=None),
+        ["hour"])
+    return counts.map_batches(
+        lambda b: b.rename_columns(["hour", out_name]),
+        batch_format="pyarrow", batch_size=None)
+
+
+def q_view_click_full_outer(sf_dir: str) -> pa.Table:
+    """Distributed FULL OUTER hash join of two independent hourly
+    rollups (view-hours vs click-hours): hours seen by only one side
+    survive with the other side's count null-filled to 0.  Both inputs
+    are already-reduced aggregates (cardinality = #hours), so the
+    exchange is small regardless of corpus size; the join is the
+    hash-partitioned ``Dataset.join`` full_outer tier."""
+    from ..stages.join import hash_join
+
+    v = _hourly_type_counts(sf_dir, "view", "n_view")
+    c = _hourly_type_counts(sf_dir, "click", "n_click")
+    j = hash_join(v, c, on="hour", join_type="full_outer")
+
+    def _fill(b: pa.Table) -> pa.Table:
+        for name in ("n_view", "n_click"):
+            i = b.schema.get_field_index(name)
+            b = b.set_column(i, name,
+                             pc.fill_null(b.column(name).cast(pa.int64()), 0))
+        return b
+
+    out = j.map_batches(_fill, batch_format="pyarrow", batch_size=None)
+    return _table(out, ["hour", "n_view", "n_click"])
+
+
+def q_quiet_user_counts(sf_dir: str) -> pa.Table:
+    """Bloom-prefiltered distributed ANTI join: per-user event counts
+    for users with NO 'error' event in the 03:00 UTC hour-of-day (a
+    scale-invariant predicate — the quiet fraction stays ~55% at every
+    sf).  The bloom bitmap (fixed-size, mergeable — never O(keys)
+    driver state) routes definite non-matches around the exchange
+    entirely; only bloom 'maybe' rows pay the exact left_anti shuffle,
+    so the shuffled volume shrinks by the definite-miss fraction
+    (sylk/stages/join.py bloom_semi_join)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts_local
+    from ..stages.join import bloom_semi_join
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type", "ts"])
+
+    def _err3(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+              .to_numpy(zero_copy_only=False)
+        hod = np.floor_divide(np.floor_divide(ts, 1_000_000), 3600) % 24
+        mask = pc.and_(pc.equal(b.column("event_type"), "error"),
+                       pa.array(hod == 3))
+        return pa.table({"user_id": b.column("user_id").filter(mask)})
+
+    err_users = ev.map_batches(_err3, batch_format="pyarrow",
+                               batch_size=None)
+    quiet = bloom_semi_join(ev.select_columns(["user_id"]), err_users,
+                            on="user_id", anti=True)
+    return _table(grouped_counts_local(quiet, ["user_id"]),
+                  ["user_id", "n"])
 
 
 # Registry order is load-bearing: the graft driver records per-round
@@ -4301,6 +4407,8 @@ QUERIES = {
     "warn_then_error": q_warn_then_error,
     "daily_type_delta": q_daily_type_delta,
     "day_range_rollup": q_day_range_rollup,
+    "view_click_full_outer": q_view_click_full_outer,
+    "quiet_user_counts": q_quiet_user_counts,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

@@ -21,6 +21,15 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 
+def _partial_counts_gen(batch: pa.Table, keys, ok_filter: bool | None):
+    """Generator wrapper: hash-shuffle/join stages upstream can emit
+    ZERO-COLUMN empty blocks for partitions that received no rows
+    (see join._sane_blocks); yield nothing for those instead of
+    raising FieldRef-not-found in the keyed group_by."""
+    if batch.num_columns:
+        yield _partial_counts(batch, keys, ok_filter)
+
+
 def _partial_counts(batch: pa.Table, keys, ok_filter: bool | None) -> pa.Table:
     if ok_filter is True:
         batch = batch.filter(batch.column("ok"))
@@ -40,7 +49,7 @@ def _partial_counts(batch: pa.Table, keys, ok_filter: bool | None) -> pa.Table:
 def grouped_counts(parsed_ds, keys, ok_filter: bool | None = None):
     """Two-phase distributed count by ``keys`` -> Dataset[keys..., n]."""
     partials = parsed_ds.map_batches(
-        lambda b: _partial_counts(b, keys, ok_filter),
+        lambda b: _partial_counts_gen(b, keys, ok_filter),
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -56,11 +65,16 @@ def grouped_counts_local(parsed_ds, keys, ok_filter: bool | None = None):
     import ray
 
     partials = parsed_ds.map_batches(
-        lambda b: _partial_counts(b, keys, ok_filter),
+        lambda b: _partial_counts_gen(b, keys, ok_filter),
         batch_format="pyarrow",
         batch_size=None,
     )
-    tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    # a generator block that yielded nothing materializes as a
+    # zero-column table; drop those before the concat (schema poison)
+    tbls = [t for t in ray.get(partials.to_arrow_refs()) if t.num_columns]
+    if not tbls:  # fully-empty input: callers rebuild schema (_table)
+        return pa.table({})
+    tbl = pa.concat_tables(tbls)
     merged = tbl.group_by(list(keys)).aggregate([("n", "sum")])
     return merged.rename_columns(list(keys) + ["n"])
 
@@ -403,7 +417,7 @@ def rollup_counts(parsed_ds, keys, ok_filter: bool | None = True):
 
     keys = list(keys)
     partials = parsed_ds.map_batches(
-        lambda b: _partial_counts(b, keys, ok_filter),
+        lambda b: _partial_counts_gen(b, keys, ok_filter),
         batch_format="pyarrow", batch_size=None)
 
     def _cast_level(level_keys):
@@ -449,7 +463,7 @@ def cube_counts(parsed_ds, keys, ok_filter: bool | None = True):
 
     keys = list(keys)
     partials = parsed_ds.map_batches(
-        lambda b: _partial_counts(b, keys, ok_filter),
+        lambda b: _partial_counts_gen(b, keys, ok_filter),
         batch_format="pyarrow", batch_size=None)
 
     def _cast_level(level_keys):
