@@ -4189,6 +4189,33 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["running_max_per_user"] = """
+        SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+               CAST(MAX(event_id % 100) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS rmax
+        FROM events"""
+    d["normalized_dedup"] = r"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 '  ' || translate(replace(text, ' ', '  '),
+                                   'abcdefghijklmnopqrstuvwxyz',
+                                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  '
+          FROM documents
+        ),
+        norm AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(
+                     translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                     'abcdefghijklmnopqrstuvwxyz'),
+                     '\s+', ' ', 'g'))) AS norm_md5
+          FROM aug)
+        SELECT norm_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes
+        FROM norm GROUP BY 1"""
     d["quiet_user_counts"] = """
         SELECT user_id, COUNT(*) AS n FROM events
         WHERE user_id NOT IN (SELECT user_id FROM events
@@ -4248,6 +4275,75 @@ def q_view_click_full_outer(sf_dir: str) -> pa.Table:
 
     out = j.map_batches(_fill, batch_format="pyarrow", batch_size=None)
     return _table(out, ["hour", "n_view", "n_click"])
+
+
+def q_running_max_per_user(sf_dir: str) -> pa.Table:
+    """Per-user running MAX (high-water mark) of the derived integer
+    measure — the carry framework's non-additive monoid instance
+    (asof.running_max): same skew-safe two-pass seed as running_total,
+    different combine (fmax), proving the carry generalizes beyond
+    sums."""
+    import os
+
+    import ray.data
+
+    from ..stages.asof import running_max
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        t_us = b.column("ts").cast(pa.int64())
+        val = pc.cast(pc.subtract(
+            b.column("event_id"),
+            pc.multiply(pc.divide(b.column("event_id"), 100), 100)),
+            pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "t_us": t_us, "val": val})
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    out = running_max(ds, "user_id", ["t_us", "event_id"], "val", "rmax")
+
+    def _cast(df):
+        df = df[["event_id", "user_id", "rmax"]].copy()
+        df["rmax"] = df["rmax"].astype("int64")
+        return df
+
+    out = out.map_batches(_cast, batch_format="pandas", batch_size=None)
+    return _table(out, ["event_id", "user_id", "rmax"])
+
+
+def q_normalized_dedup(sf_dir: str) -> pa.Table:
+    """Normalize-then-dedup over an augmented corpus: the documents
+    table unioned with a deterministically case/whitespace-mangled copy
+    of every doc (doc_id + 1,000,000; interior spaces doubled, ASCII
+    upper-cased, padded edges).  The normalization (fold + collapse +
+    trim + md5) must merge each mangled copy back onto its original —
+    every group has n_dupes = 2 and keep_doc_id = the original id, so
+    the oracle check proves the canonicalization end-to-end, not just
+    hash plumbing (plain exact_dedup is identity on this corpus)."""
+    from ..stages.dedup import normalized_dedup_groups
+
+    docs = _docs(sf_dir)
+
+    def _mangle(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring(b.column("text"), " ", "  ")
+        t = pc.ascii_upper(t)
+        pad = pa.array(["  "] * len(b), pa.string())
+        t = pc.binary_join_element_wise(pad, t, pad, "")
+        return pa.table({
+            "doc_id": pc.add(b.column("doc_id").cast(pa.int64()),
+                             pa.scalar(1_000_000, pa.int64())),
+            "text": t,
+        })
+
+    mangled = docs.map_batches(_mangle, batch_format="pyarrow",
+                               batch_size=None)
+    aug = docs.union(mangled)
+    return _table(normalized_dedup_groups(aug),
+                  ["norm_md5", "keep_doc_id", "n_dupes"])
 
 
 def q_quiet_user_counts(sf_dir: str) -> pa.Table:
@@ -4409,6 +4505,8 @@ QUERIES = {
     "day_range_rollup": q_day_range_rollup,
     "view_click_full_outer": q_view_click_full_outer,
     "quiet_user_counts": q_quiet_user_counts,
+    "normalized_dedup": q_normalized_dedup,
+    "running_max_per_user": q_running_max_per_user,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

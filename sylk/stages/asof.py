@@ -254,6 +254,51 @@ def running_total(ds, key: str, order_cols, value_col: str, out_col: str,
                   _state, _seed, _block, _finish, distributed)
 
 
+def running_max(ds, key: str, order_cols, value_col: str, out_col: str,
+                distributed: bool | None = None):
+    """Per-key running maximum in (key, order) order — ``MAX(value)
+    OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED PRECEDING)``.
+
+    The carry framework's NON-additive monoid instance (op = max,
+    identity = -inf, realized as a NaN seed + ``np.fmax``): the seed is
+    the exclusive prefix-MAX of the key's earlier run maxima, and —
+    unlike lag — it applies to every row of the run (max is
+    idempotent), so ``_finish`` is one vectorized ``fmax``."""
+    order_cols = list(order_cols)
+
+    def _state(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 **{c: pd.Series([], dtype=df[c].dtype)
+                                    for c in order_cols},
+                                 "_max": pd.Series([], dtype="float64")})
+        firsts = _run_key(df, key, order_cols)
+        maxes = df.groupby(key, sort=False)[value_col].max()
+        firsts["_max"] = firsts[key].map(maxes).astype("float64")
+        return firsts
+
+    def _seed(states: pd.DataFrame) -> pd.DataFrame:
+        # exclusive prefix max: inclusive cummax shifted within the key
+        states = states.assign(
+            _cm=states.groupby(key, sort=False)["_max"].cummax())
+        return states.assign(
+            _seed=states.groupby(key, sort=False)["_cm"].shift()
+        ).drop(columns=["_cm"])
+
+    def _block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _cum=df.groupby(key, sort=False)[value_col].cummax()
+                   .astype("float64"))
+
+    def _finish(df: pd.DataFrame, seeds) -> pd.DataFrame:
+        s = pd.Series(np.asarray(seeds, dtype="float64"), index=df.index)
+        out = np.fmax(df["_cum"].to_numpy(dtype="float64"), s.to_numpy())
+        return df.assign(**{out_col: out}).drop(columns=["_cum"])
+
+    return _carry(ds, key, order_cols, value_col, out_col,
+                  _state, _seed, _block, _finish, distributed)
+
+
 # --- lag / lead window functions --------------------------------------------
 
 def lag(ds, key: str, order_cols, value_col: str, out_col: str,

@@ -928,6 +928,40 @@ def exact_dedup_groups(docs_ds, text_col: str = "text"):
     )
 
 
+def normalized_dedup_groups(docs_ds, text_col: str = "text"):
+    """Case/whitespace-insensitive exact dedup (the RefinedWeb-style
+    normalize-then-hash pass): ASCII-fold + collapse whitespace runs +
+    trim, md5 the canonical form, then the same hash-partitioned
+    groupby as :func:`exact_dedup_groups`.
+
+    Folding is ASCII-ONLY (``pc.ascii_lower``) by design — the fp16
+    precedent (text.fingerprint_batch): Unicode case tables vary by
+    library, so the SQL oracle mirrors with an explicit A-Z
+    ``translate`` rather than locale-dependent ``lower()``.  The
+    whitespace collapse is RE2 ``\\s+`` on both engines."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def _norm(b: pa.Table) -> pa.Table:
+        s = pc.ascii_lower(b.column(text_col))
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim(s, " ")
+        texts = s.cast(pa.binary()).to_pylist()
+        md5s = [None if t is None else hashlib.md5(t).hexdigest()
+                for t in texts]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "norm_md5": pa.array(md5s, pa.string()),
+        })
+
+    hashed = docs_ds.map_batches(_norm, batch_format="pyarrow",
+                                 batch_size=None)
+    return hashed.groupby("norm_md5").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dupes")
+    )
+
+
 def exact_dedup(docs_ds, text_col: str = "text"):
     """Deduplicated dataset: one row (lowest doc_id) per content hash.
     Shuffle key = content hash (uniform — no skew by construction).

@@ -274,3 +274,27 @@ def test_running_total_distributed_equals_broadcast(ray_session):
     key = ["k", "o"]
     pd.testing.assert_frame_equal(_norm(base, key), _norm(dist, key),
                                   check_dtype=False)
+
+
+def test_running_max_distributed_equals_broadcast(ray_session):
+    import ray.data
+
+    from sylk.stages.asof import running_max
+
+    rng = np.random.default_rng(21)
+    rows = [{"k": int(rng.integers(0, 5)), "o": i,
+             "v": float(rng.integers(-9, 9))}
+            for i in range(2500)]
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+    base = running_max(ds, "k", ["o"], "v", "rm").to_pandas()
+    ds2 = ray.data.from_items(rows, override_num_blocks=16)
+    dist = running_max(ds2, "k", ["o"], "v", "rm",
+                       distributed=True).to_pandas()
+    key = ["k", "o"]
+    pd.testing.assert_frame_equal(_norm(base, key), _norm(dist, key),
+                                  check_dtype=False)
+    # cross-seam semantics: pandas differential on the hot key
+    df = pd.DataFrame(rows).sort_values(["k", "o"], kind="mergesort")
+    want = df.groupby("k")["v"].cummax()
+    got = _norm(base, key)["rm"].to_numpy()
+    assert np.allclose(got, want.to_numpy())
