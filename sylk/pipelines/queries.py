@@ -1071,6 +1071,19 @@ def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
     return _pairs_table(ngram_jaccard_dup_pairs(_docs(sf_dir), threshold=0.6), "jaccard")
 
 
+def q_ngram_containment_pairs(sf_dir: str) -> pa.Table:
+    """Max-containment near-subset pairs (|A∩B| / min sizes ≥ 0.75) —
+    the asymmetric dedup lens: quote-inclusion / doc-inside-doc cases
+    score 1.0 here regardless of the length ratio.  On this corpus the
+    planted near-dups separate cleanly (25 pairs at 1.0, next candidate
+    0.27)."""
+    from ..stages.dedup import ngram_containment_pairs
+
+    return _pairs_table(
+        ngram_containment_pairs(_docs(sf_dir), threshold=0.75),
+        "containment")
+
+
 def q_ngram_jaccard_prefix(sf_dir: str) -> pa.Table:
     """PPJoin prefix-filtered variant of `ngram_jaccard_dup_pairs` —
     identical exact answer (prefix theorem guarantees full recall), but
@@ -4189,6 +4202,34 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["ngram_containment_pairs"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                      ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                            FOR i IN generate_series(1, len(ts)-2)]
+                 END AS gs
+          FROM toks WHERE len(ts) > 0
+        ),
+        dsh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b,
+               CAST(shared AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(shared AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.75"""
     d["running_max_per_user"] = """
         SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
                CAST(MAX(event_id % 100) OVER (
@@ -4507,6 +4548,7 @@ QUERIES = {
     "quiet_user_counts": q_quiet_user_counts,
     "normalized_dedup": q_normalized_dedup,
     "running_max_per_user": q_running_max_per_user,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

@@ -711,9 +711,24 @@ def ngram_shingle_rows(batch: pa.Table, text_col: str = "text",
     })
 
 
-def _jaccard_pairs_local(tbl: pa.Table, threshold: float) -> pd.DataFrame:
-    """Exact Jaccard pairs from collected (doc_id, sh, n_sh) rows:
-    sort by shingle, find runs, count shared shingles per pair."""
+def _pair_score_jaccard(c, na, nb):
+    """|A∩B| / |A∪B| — symmetric set similarity (numpy-vectorizable)."""
+    return c / (na + nb - c)
+
+
+def _pair_score_containment(c, na, nb):
+    """|A∩B| / min(|A|, |B|) — max-containment: near-SUBSET detection
+    (a short doc quoted whole inside a long one scores 1.0 here but low
+    Jaccard)."""
+    return c / np.minimum(na, nb)
+
+
+def _jaccard_pairs_local(tbl: pa.Table, threshold: float,
+                         score=_pair_score_jaccard,
+                         out_col: str = "jaccard") -> pd.DataFrame:
+    """Exact set-similarity pairs from collected (doc_id, sh, n_sh)
+    rows: sort by shingle, find runs, count shared shingles per pair,
+    score with ``score(shared, na, nb)`` (vectorized)."""
     from collections import Counter
 
     ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
@@ -733,20 +748,29 @@ def _jaccard_pairs_local(tbl: pa.Table, threshold: float) -> pd.DataFrame:
         for i in range(len(run)):
             for j in range(i + 1, len(run)):
                 shared[(int(run[i]), int(run[j]))] += 1
-    rows = [(a, b, c / (sizes[a] + sizes[b] - c)) for (a, b), c in shared.items()]
-    rows = [(a, b, jc) for a, b, jc in rows if jc >= threshold]
-    if not rows:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    rows.sort()
-    a, b, jc = zip(*rows)
-    return pd.DataFrame({"a": list(a), "b": list(b), "jaccard": list(jc)})
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          out_col: pd.Series([], dtype="float64")})
+    if not shared:
+        return empty
+    pairs = sorted(shared)
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    c = np.array([shared[p] for p in pairs], dtype=np.float64)
+    na = np.array([sizes[x] for x in a.tolist()], dtype=np.float64)
+    nb = np.array([sizes[x] for x in b.tolist()], dtype=np.float64)
+    sc = score(c, na, nb)
+    m = sc >= threshold
+    if not m.any():
+        return empty
+    return pd.DataFrame({"a": a[m], "b": b[m], out_col: sc[m]})
 
 
 def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
                             text_col: str = "text",
-                            distributed: bool | None = None):
+                            distributed: bool | None = None,
+                            score=_pair_score_jaccard,
+                            out_col: str = "jaccard"):
     """EXACT all-pairs n-gram Jaccard near-dup pairs via an inverted
     shingle index — the textbook set-similarity join: only docs sharing
     at least one shingle ever pair, so no candidate can be missed (unlike
@@ -778,11 +802,13 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
     )
     if distributed is False:
         tbl = pa.concat_tables(ray.get(rows.to_arrow_refs()))
-        return ray.data.from_pandas(_jaccard_pairs_local(tbl, threshold))
+        return ray.data.from_pandas(
+            _jaccard_pairs_local(tbl, threshold, score, out_col))
     if distributed is None:
         rows, tbl = _bounded_collect(rows, _DRIVER_TRIPLE_LIMIT)
         if tbl is not None:
-            return ray.data.from_pandas(_jaccard_pairs_local(tbl, threshold))
+            return ray.data.from_pandas(
+                _jaccard_pairs_local(tbl, threshold, score, out_col))
     if distributed:
         rows = rows.materialize()
 
@@ -812,12 +838,13 @@ def ngram_jaccard_dup_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
         if len(df) == 0:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        jc = df["shared"].to_numpy() / (
-            df["na"].to_numpy() + df["nb"].to_numpy() - df["shared"].to_numpy())
+                                 out_col: pd.Series([], dtype="float64")})
+        sc = score(df["shared"].to_numpy(dtype="float64"),
+                   df["na"].to_numpy(dtype="float64"),
+                   df["nb"].to_numpy(dtype="float64"))
         out = pd.DataFrame({"a": df["a"].astype("int64"),
-                            "b": df["b"].astype("int64"), "jaccard": jc})
-        return out[out["jaccard"] >= threshold]
+                            "b": df["b"].astype("int64"), out_col: sc})
+        return out[out[out_col] >= threshold]
 
     return agg.map_batches(_finish, batch_format="pandas", batch_size=None)
 
@@ -863,6 +890,22 @@ def _pairs_from_keyed_rows(tbl: pa.Table, key_col: str) -> pd.DataFrame:
     starts = np.concatenate(([0], boundaries))
     stops = np.concatenate((boundaries, [len(key)]))
     return _expand_runs_to_pairs(ids, starts, stops)
+
+
+def ngram_containment_pairs(docs_ds, threshold: float = 0.75, k: int = 3,
+                            text_col: str = "text",
+                            distributed: bool | None = None):
+    """Asymmetric near-SUBSET detection: max-containment
+    C(a,b) = |A∩B| / min(|A|,|B|) over distinct k-gram shingles — the
+    dedup lens Jaccard misses (a short doc quoted verbatim inside a
+    long one has low Jaccard but containment 1.0; standard in web-
+    corpus curation for quote/boilerplate inclusion).  Same inverted-
+    index exchange as :func:`ngram_jaccard_dup_pairs` — only the final
+    vectorized score differs."""
+    return ngram_jaccard_dup_pairs(docs_ds, threshold, k, text_col,
+                                   distributed,
+                                   score=_pair_score_containment,
+                                   out_col="containment")
 
 
 def ngram_jaccard_dup_pairs_prefix(docs_ds, threshold: float = 0.6,

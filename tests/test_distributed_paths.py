@@ -298,3 +298,33 @@ def test_running_max_distributed_equals_broadcast(ray_session):
     want = df.groupby("k")["v"].cummax()
     got = _norm(base, key)["rm"].to_numpy()
     assert np.allclose(got, want.to_numpy())
+
+
+def test_ngram_containment_distributed_branch(ray_session):
+    """Containment scorer through both tiers; subset doc scores 1.0
+    against its superset even though Jaccard is low."""
+    import ray.data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        {"doc_id": 0, "text": base + " extra tail tokens follow here "
+                             "one two three four five six seven eight"},
+        {"doc_id": 1, "text": base},  # strict subset of doc 0
+        {"doc_id": 2, "text": "unrelated words overlapping nothing else"},
+    ]
+    fast = dedup.ngram_containment_pairs(
+        ray.data.from_items(docs), threshold=0.9).to_pandas()
+    dist = dedup.ngram_containment_pairs(
+        ray.data.from_items(docs), threshold=0.9,
+        distributed=True).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        _norm(fast, key)[["a", "b", "containment"]],
+        _norm(dist, key)[["a", "b", "containment"]],
+        check_dtype=False,
+    )
+    got = dict(((a, b), c) for a, b, c in
+               zip(fast.a, fast.b, fast.containment))
+    assert got[(0, 1)] == 1.0  # subset containment
+    assert len(got) == 1
