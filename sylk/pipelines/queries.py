@@ -4202,6 +4202,13 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["value_histogram"] = """
+        WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+                   FROM events),
+             m AS (SELECT MIN(vc) AS mn, MAX(vc) AS mx FROM c)
+        SELECT LEAST(19, ((vc - mn) * 20) // (mx - mn + 1)) AS bin_idx,
+               COUNT(*) AS n
+        FROM c, m GROUP BY 1"""
     d["ngram_containment_pairs"] = r"""
         WITH toks AS (
           SELECT doc_id,
@@ -4354,6 +4361,45 @@ def q_running_max_per_user(sf_dir: str) -> pa.Table:
 
     out = out.map_batches(_cast, batch_format="pandas", batch_size=None)
     return _table(out, ["event_id", "user_id", "rmax"])
+
+
+def q_value_histogram(sf_dir: str) -> pa.Table:
+    """Numeric equi-width histogram (20 bins over [min, max] of the
+    event value): pass 1 reduces to two scalars (Min/Max — broadcast in
+    the bin task's closure), pass 2 streams binning + the two-phase
+    count.  Binning is INTEGER-exact after the shared cents quantize
+    (floor(v*100 + 0.5), the cents_column convention), so both engines
+    compute bit-identical bin ids: LEAST(19, (vc-mn)*20 // (mx-mn+1))."""
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.aggregate import grouped_counts_local
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        vc = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"vc": pa.array(vc, pa.int64())})
+
+    cents = ev.map_batches(_cents, batch_format="pyarrow", batch_size=None)
+    mm = cents.aggregate(Min("vc", alias_name="mn"),
+                         Max("vc", alias_name="mx"))
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    nb = 20
+
+    def _bin(b: pa.Table) -> pa.Table:
+        vc = b.column("vc").to_numpy(zero_copy_only=False)
+        idx = np.minimum(nb - 1, (vc - mn) * nb // (mx - mn + 1))
+        return pa.table({"bin_idx": pa.array(idx, pa.int64())})
+
+    binned = cents.map_batches(_bin, batch_format="pyarrow",
+                               batch_size=None)
+    return _table(grouped_counts_local(binned, ["bin_idx"]),
+                  ["bin_idx", "n"])
 
 
 def q_normalized_dedup(sf_dir: str) -> pa.Table:
@@ -4549,6 +4595,7 @@ QUERIES = {
     "normalized_dedup": q_normalized_dedup,
     "running_max_per_user": q_running_max_per_user,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "value_histogram": q_value_histogram,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

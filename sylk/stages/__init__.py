@@ -9,7 +9,7 @@ from .aggregate import (cube_counts, grouped_counts,  # noqa: F401
                         sliding_window_counts, topk_per_group)
 from .funnel import funnel_stages, grouped_min  # noqa: F401
 from .asof import (consecutive_dedup, fill_forward, lag, lead,  # noqa: F401
-                   rolling_sum, running_total)
+                   rolling_sum, running_max, running_total)
 from .temporal import asof_join_value, range_join  # noqa: F401
 from .join import (anti_join, bloom_semi_join, broadcast_join,  # noqa: F401
                    bucketed_join, bucketed_write, except_distinct,
@@ -17,7 +17,8 @@ from .join import (anti_join, bloom_semi_join, broadcast_join,  # noqa: F401
 from .sample import (deterministic_sample, group_reservoir,  # noqa: F401
                      stratified_sample, weighted_priority_sample)
 from .sessionize import gap_sessions, sessionize  # noqa: F401
-from .dedup import connected_components  # noqa: F401
+from .dedup import (connected_components,  # noqa: F401
+                    ngram_containment_pairs, normalized_dedup_groups)
 from .curate import (decontaminate, profile_columns,  # noqa: F401
                      redact_pii_batch, repetition_scores_batch)
 from .similarity import (ann_topk_bruteforce,  # noqa: F401
