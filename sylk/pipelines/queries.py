@@ -1084,6 +1084,22 @@ def q_ngram_containment_pairs(sf_dir: str) -> pa.Table:
         "containment")
 
 
+def q_snm_dup_pairs(sf_dir: str) -> pa.Table:
+    """Sorted-neighborhood dedup (window 2 over the 30-char-prefix sort
+    key, exact 3-gram Jaccard ≥ 0.6 verify) — the sort-based blocking
+    paradigm: one global sort, candidate volume ≤ window·n by
+    construction, skew-free.  The oracle IS the SNM definition
+    (ROW_NUMBER window self-join), so parity is exact regardless of
+    blocking recall; on this corpus the prefix key catches all 25
+    planted pairs."""
+    from ..stages.dedup import sorted_neighborhood_pairs
+
+    return _pairs_table(
+        sorted_neighborhood_pairs(_docs(sf_dir), window=2, key_chars=30,
+                                  threshold=0.6),
+        "jaccard")
+
+
 def q_ngram_jaccard_prefix(sf_dir: str) -> pa.Table:
     """PPJoin prefix-filtered variant of `ngram_jaccard_dup_pairs` —
     identical exact answer (prefix theorem guarantees full recall), but
@@ -4202,6 +4218,46 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["snm_dup_pairs"] = r"""
+        WITH ranked AS (
+          SELECT doc_id, text,
+                 ROW_NUMBER() OVER (ORDER BY left(text, 30), doc_id) AS r
+          FROM documents
+        ),
+        cand AS (
+          SELECT LEAST(x.doc_id, y.doc_id) AS a,
+                 GREATEST(x.doc_id, y.doc_id) AS b
+          FROM ranked x JOIN ranked y ON y.r - x.r BETWEEN 1 AND 2
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                      ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                            FOR i IN generate_series(1, len(ts)-2)]
+                 END AS gs
+          FROM toks WHERE len(ts) > 0
+        ),
+        dsh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        inter AS (
+          SELECT p.a, p.b, count(*) AS shared
+          FROM cand p
+          JOIN dsh x ON x.doc_id = p.a
+          JOIN dsh y ON y.doc_id = p.b AND y.g = x.g
+          GROUP BY 1, 2
+        )
+        SELECT a, b,
+               CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6"""
     d["value_histogram"] = """
         WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
                    FROM events),
@@ -4596,6 +4652,7 @@ QUERIES = {
     "running_max_per_user": q_running_max_per_user,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "value_histogram": q_value_histogram,
+    "snm_dup_pairs": q_snm_dup_pairs,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

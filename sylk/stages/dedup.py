@@ -908,6 +908,105 @@ def ngram_containment_pairs(docs_ds, threshold: float = 0.75, k: int = 3,
                                    out_col="containment")
 
 
+def sorted_neighborhood_pairs(docs_ds, window: int = 2, key_chars: int = 30,
+                              threshold: float = 0.6, k: int = 3,
+                              text_col: str = "text",
+                              distributed: bool | None = None):
+    """Sorted-neighborhood (SNM) blocking dedup — the SORT-based
+    blocking paradigm next to the hash (exact/normalized) and
+    LSH/inverted-index families: rank every doc by a domain sort key
+    (its first ``key_chars`` characters, doc_id tiebreak), take as
+    candidates exactly the pairs within ``window`` ranks of each other,
+    and verify exact k-gram Jaccard.
+
+    Scale shape: ONE global range-partitioned sort (the exchange
+    ``Dataset.sort`` already does) + a candidate set that is ≤
+    window x n rows by construction — linear and skew-FREE regardless
+    of key distribution (a hot prefix just occupies a contiguous rank
+    range; it never explodes a bucket the way a hot shingle does).
+    Recall depends on the sort key placing near-dups adjacently — the
+    standard SNM trade (documented; prefix-edited dups need the
+    multi-key extension).
+
+    Candidate generation without a self-join: each rank-r doc emits
+    band rows (j = r + i, i) for i in 0..window; within a j-group the
+    i = 0 member (rank j) pairs with every other member (ranks
+    j-window..j-1).  A pair (r1 < r2) forms ONLY in group j = r2, so
+    pairs are unique by construction — no cross-group dedup pass."""
+    from .asof import running_total
+
+    def _prep(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "sk": pc.utf8_slice_codeunits(b.column(text_col), 0, key_chars),
+            "g": pa.array(np.zeros(n, np.int64)),
+            "one": pa.array(np.ones(n, np.int64)),
+        })
+
+    slim = docs_ds.map_batches(_prep, batch_format="pyarrow",
+                               batch_size=None)
+    ranked = running_total(slim, "g", ["sk", "doc_id"], "one", "r")
+
+    def _band(df: pd.DataFrame) -> pa.Table:
+        r = df["r"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        j = np.concatenate([r + i for i in range(window + 1)])
+        ii = np.repeat(np.arange(window + 1, dtype=np.int64), len(r))
+        dd = np.tile(ids, window + 1)
+        return pa.table({"j": pa.array(j, pa.int64()),
+                         "i": pa.array(ii, pa.int64()),
+                         "doc_id": pa.array(dd, pa.int64())})
+
+    rows = ranked.map_batches(_band, batch_format="pandas",
+                              batch_size=None)
+
+    def _pairs(t: pa.Table) -> pd.DataFrame:
+        j = t.column("j").to_numpy(zero_copy_only=False)
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, j))
+        j_s, i_s, d_s = j[order], i[order], d[order]
+        start_mask = np.ones(len(j_s), dtype=bool)
+        start_mask[1:] = j_s[1:] != j_s[:-1]
+        run_id = np.cumsum(start_mask) - 1
+        starts = np.flatnonzero(start_mask)
+        head_ok = i_s[starts] == 0          # group has its rank-j member
+        heads = d_s[starts]
+        tail = ~start_mask & head_ok[run_id]
+        if not tail.any():
+            return _empty_pairs()
+        x = heads[run_id[tail]]
+        y = d_s[tail]
+        return pd.DataFrame({"a": np.minimum(x, y).astype(np.int64),
+                             "b": np.maximum(x, y).astype(np.int64)})
+
+    def _jac(ta, tb):
+        jc = ngram_jaccard(ta or "", tb or "", k)
+        return jc if jc >= threshold else None
+
+    import ray
+
+    if distributed is False:
+        tbl = pa.concat_tables(ray.get(rows.to_arrow_refs()))
+        return _verify_pairs(_pairs(tbl), docs_ds, "doc_id", text_col,
+                             _jac, "jaccard", distributed)
+    if distributed is None:
+        rows, tbl = _bounded_collect(rows, _DRIVER_TRIPLE_LIMIT)
+        if tbl is not None:
+            return _verify_pairs(_pairs(tbl), docs_ds, "doc_id", text_col,
+                                 _jac, "jaccard", distributed)
+    else:
+        rows = rows.materialize()
+
+    def _j_key(b: pa.Table) -> np.ndarray:
+        return b.column("j").to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    cand = _coarse_grouped_pairs(rows, _j_key, _pairs)
+    return _verify_pairs(cand, docs_ds, "doc_id", text_col, _jac,
+                         "jaccard", distributed)
+
+
 def ngram_jaccard_dup_pairs_prefix(docs_ds, threshold: float = 0.6,
                                    k: int = 3, text_col: str = "text",
                                    distributed: bool | None = None):

@@ -328,3 +328,32 @@ def test_ngram_containment_distributed_branch(ray_session):
                zip(fast.a, fast.b, fast.containment))
     assert got[(0, 1)] == 1.0  # subset containment
     assert len(got) == 1
+
+
+def test_snm_distributed_equals_driver(ray_session):
+    """Sorted-neighborhood candidates via the coarse-grouped path ==
+    the driver run-finder; window semantics (rank distance <= w)."""
+    import ray.data
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": base + " tail"},     # adjacent by prefix
+        {"doc_id": 12, "text": "zz completely different text here now"},
+        {"doc_id": 13, "text": base + " other end"},
+        {"doc_id": 14, "text": "mid range unrelated words go here ok"},
+    ]
+    fast = dedup.sorted_neighborhood_pairs(
+        ray.data.from_items(docs), window=2, threshold=0.5).to_pandas()
+    dist = dedup.sorted_neighborhood_pairs(
+        ray.data.from_items(docs), window=2, threshold=0.5,
+        distributed=True).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        _norm(fast, key)[["a", "b", "jaccard"]],
+        _norm(dist, key)[["a", "b", "jaccard"]],
+        check_dtype=False,
+    )
+    got = set(zip(fast.a, fast.b))
+    # the three base-prefixed docs sort adjacently: all three pairs
+    assert {(10, 11), (10, 13), (11, 13)} <= got
