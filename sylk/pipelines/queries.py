@@ -4218,6 +4218,21 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["user_triangles"] = """
+        WITH uh AS (SELECT DISTINCT user_id AS u,
+                           (epoch_us(ts) // 1000000) // 3600 AS h
+                    FROM events),
+        edges AS (SELECT x.u AS a, y.u AS b
+                  FROM uh x JOIN uh y ON x.h = y.h AND x.u < y.u
+                  GROUP BY 1, 2 HAVING count(*) >= 10),
+        tri AS (SELECT e1.a AS u1, e1.b AS u2, e2.b AS u3
+                FROM edges e1
+                JOIN edges e2 ON e1.b = e2.a
+                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        m AS (SELECT u1 AS user_id FROM tri
+              UNION ALL SELECT u2 FROM tri
+              UNION ALL SELECT u3 FROM tri)
+        SELECT user_id, COUNT(*) AS n_tri FROM m GROUP BY 1"""
     d["snm_dup_pairs"] = r"""
         WITH ranked AS (
           SELECT doc_id, text,
@@ -4417,6 +4432,45 @@ def q_running_max_per_user(sf_dir: str) -> pa.Table:
 
     out = out.map_batches(_cast, batch_format="pandas", batch_size=None)
     return _table(out, ["event_id", "user_id", "rmax"])
+
+
+def q_user_triangles(sf_dir: str) -> pa.Table:
+    """Triangle participation in the user co-activity graph: edges =
+    user pairs sharing ≥ 10 distinct active hours (the basket
+    co-occurrence kernel — one exchange, vocab-bounded), triangles via
+    the oriented wedge-join + closing-edge join
+    (graph.triangle_counts), then per-member counts.  The classic
+    multi-join graph workload expressed as two keyed Dataset.join
+    exchanges."""
+    import os
+
+    import ray.data
+
+    from ..stages.graph import triangle_counts
+    from ..stages.loganalytics import cooccurrence_counts
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        hour = pc.divide(pc.divide(us, 1_000_000), 3600)
+        return pa.table({"hour": pc.cast(hour, pa.int64()),
+                         "user_id": b.column("user_id")})
+
+    prepped = ev.map_batches(_prep, batch_format="pyarrow")
+    # items here are user ids (ints); the co-occurrence kernel's vocab
+    # round-trips them through strings — cast back to int64 edges
+    co = cooccurrence_counts(prepped, ["hour"], "user_id")
+    edges = co.filter(expr="n >= 10").map_batches(
+        lambda b: pa.table({
+            "a": pc.cast(b.column("type_a"), pa.int64()),
+            "b": pc.cast(b.column("type_b"), pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    out = triangle_counts(edges)
+    out = out.map_batches(lambda b: b.rename_columns(["user_id", "n_tri"]),
+                          batch_format="pyarrow", batch_size=None)
+    return _table(out, ["user_id", "n_tri"])
 
 
 def q_value_histogram(sf_dir: str) -> pa.Table:
@@ -4653,6 +4707,7 @@ QUERIES = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "value_histogram": q_value_histogram,
     "snm_dup_pairs": q_snm_dup_pairs,
+    "user_triangles": q_user_triangles,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash
