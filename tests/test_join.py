@@ -176,3 +176,22 @@ def test_hash_join_first_block_empty(ray_session):
     out = hash_join(left, right, on=("k",), num_partitions=4).take_all()
     assert sorted((r["k"], r["x"], r["y"]) for r in out) == \
         [(3, 1, 7), (4, 2, 7)]
+
+
+def test_hash_join_full_outer_coalesces_keys(ray_session):
+    """full_outer keeps unmatched rows from BOTH sides with the key
+    coalesced into one column and the missing side null."""
+    import pyarrow as pa
+    import ray.data
+
+    from sylk.stages.join import hash_join
+
+    left = ray.data.from_arrow(pa.table({"h": [1, 2, 3],
+                                         "x": [10, 20, 30]}))
+    right = ray.data.from_arrow(pa.table({"h": [2, 3, 4],
+                                          "y": [5, 6, 7]}))
+    out = hash_join(left, right, on="h", join_type="full_outer",
+                    num_partitions=2).to_pandas().set_index("h").sort_index()
+    assert set(out.index) == {1, 2, 3, 4}
+    assert out.loc[1].isna()["y"] and out.loc[4].isna()["x"]
+    assert out.loc[2, "x"] == 20 and out.loc[2, "y"] == 5
