@@ -4345,14 +4345,20 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 def _hourly_type_counts(sf_dir: str, event_type: str, out_name: str):
-    """events filtered to one type -> distributed (hour, count) Dataset
-    with the count column named ``out_name``.  Hour derivation matches
-    q_hourly_counts (floor division, pre-1970-safe)."""
+    """events filtered to one type -> (hour, count) Dataset with the
+    count column named ``out_name``.  Hour derivation matches
+    q_hourly_counts (floor division, pre-1970-safe).
+
+    The count itself uses the LOCAL two-phase merge (per-block partials
+    + driver pyarrow group_by — hour cardinality is calendar-bounded;
+    Ray's sort-based groupby costs seconds even on tiny partial
+    tables), re-lifted to a Dataset so the downstream full-outer join
+    still runs as the distributed hash-partitioned ``Dataset.join``."""
     import os
 
     import ray.data
 
-    from ..stages.aggregate import grouped_counts
+    from ..stages.aggregate import grouped_counts_local
 
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["ts", "event_type"])
@@ -4364,12 +4370,10 @@ def _hourly_type_counts(sf_dir: str, event_type: str, out_name: str):
         hour = np.floor_divide(np.floor_divide(ts, 1_000_000), 3600)
         return pa.table({"hour": pa.array(hour, pa.int64())})
 
-    counts = grouped_counts(
+    counts = grouped_counts_local(
         ev.map_batches(_hour, batch_format="pyarrow", batch_size=None),
         ["hour"])
-    return counts.map_batches(
-        lambda b: b.rename_columns(["hour", out_name]),
-        batch_format="pyarrow", batch_size=None)
+    return ray.data.from_arrow(counts.rename_columns(["hour", out_name]))
 
 
 def q_view_click_full_outer(sf_dir: str) -> pa.Table:

@@ -361,24 +361,43 @@ def _bloom_positions(keys: np.ndarray, n_bits: int) -> list:
 
 
 def build_bloom(right_ds, key: str, n_bits: int = _BLOOM_BITS) -> np.ndarray:
-    """Mergeable bloom filter of a key column: each block emits a packed
-    bitmap partial, the driver ORs them — the same combiner shape as the
-    HLL sketch (state size is fixed, never O(keys))."""
+    """Mergeable bloom filter of a key column: each block emits a
+    partial, the driver ORs them — the same combiner shape as the HLL
+    sketch (driver state is one fixed-size bitmap, never O(keys)).
+
+    HYBRID partials: a block whose set-bit positions are smaller than
+    the packed bitmap ships the sorted distinct positions instead
+    (sparse key streams — the common dim-side case — move KBs per
+    block, not n_bits/8; at 10^5 blocks that is the difference between
+    GBs and MBs through the object store).  Dense blocks still ship
+    the bitmap, so a partial is never larger than n_bits/8 + O(1)."""
     import ray
 
     def _partial(b: pa.Table) -> pa.Table:
-        bits = np.zeros(n_bits // 8, dtype=np.uint8)
         k = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        for pos in _bloom_positions(k, n_bits):
+        pos_parts = _bloom_positions(k, n_bits)
+        if 8 * 3 * len(k) < n_bits // 8:
+            pos = (np.unique(np.concatenate(pos_parts)) if len(k)
+                   else np.empty(0, dtype=np.int64))
+            return pa.table({"kind": pa.array(["pos"], pa.string()),
+                             "blob": pa.array([pos.tobytes()], pa.binary())})
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pos in pos_parts:
             np.bitwise_or.at(bits, pos >> 3,
                              np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
-        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+        return pa.table({"kind": pa.array(["bits"], pa.string()),
+                         "blob": pa.array([bits.tobytes()], pa.binary())})
 
     parts = right_ds.map_batches(_partial, batch_format="pyarrow",
                                  batch_size=None).take_all()
     merged = np.zeros(n_bits // 8, dtype=np.uint8)
     for p in parts:
-        merged |= np.frombuffer(p["bits"], dtype=np.uint8)
+        if p["kind"] == "pos":
+            pos = np.frombuffer(p["blob"], dtype=np.int64)
+            np.bitwise_or.at(merged, pos >> 3,
+                             np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+        else:
+            merged |= np.frombuffer(p["blob"], dtype=np.uint8)
     return merged
 
 
