@@ -4218,6 +4218,28 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["legacy_union_rollup"] = """
+        WITH legacy AS (
+          SELECT event_id + 10000000 AS event_id, event_type
+          FROM events WHERE event_id % 10 = 0),
+        u AS (
+          SELECT event_id, event_type, value FROM events
+          UNION ALL
+          SELECT event_id, event_type, NULL AS value FROM legacy)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_value
+        FROM u GROUP BY 1"""
+    d["type_hod_grid"] = """
+        WITH t AS (SELECT DISTINCT event_type FROM events),
+        h AS (SELECT unnest(range(24)) AS hod),
+        c AS (SELECT event_type,
+                     ((epoch_us(ts) // 1000000 // 3600) % 24) AS hod,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+        SELECT t.event_type, h.hod, COALESCE(c.n, 0) AS n
+        FROM t CROSS JOIN h
+        LEFT JOIN c ON c.event_type = t.event_type AND c.hod = h.hod"""
     d["user_triangles"] = """
         WITH uh AS (SELECT DISTINCT user_id AS u,
                            (epoch_us(ts) // 1000000) // 3600 AS h
@@ -4477,6 +4499,112 @@ def q_user_triangles(sf_dir: str) -> pa.Table:
     return _table(out, ["user_id", "n_tri"])
 
 
+def q_legacy_union_rollup(sf_dir: str) -> pa.Table:
+    """Schema-drift tolerant consolidation: the current events shard
+    (event_id, event_type, value) unioned BY NAME with a derived
+    legacy shard that predates the value column (10% sample, shifted
+    ids, two columns only) — join.union_by_name null-fills the missing
+    column with no rewrite pass — then one partial-aggregate pass
+    emitting per-type totals AND null-value counts (count_all minus
+    non-null count, per block, driver-merged)."""
+    import os
+
+    import ray
+    import ray.data
+
+    from ..stages.join import union_by_name
+
+    full = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"])
+    legacy_src = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"])
+
+    def _legacy(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").cast(pa.int64())
+        keep = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 10), 10)), 0)
+        b = b.filter(keep)
+        return pa.table({
+            "event_id": pc.add(b.column("event_id").cast(pa.int64()),
+                               pa.scalar(10_000_000, pa.int64())),
+            "event_type": b.column("event_type"),
+        })
+
+    legacy = legacy_src.map_batches(_legacy, batch_format="pyarrow",
+                                    batch_size=None)
+    u = union_by_name([full, legacy])
+
+    def _part(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b.column("event_type"),
+                      "value": b.column("value")})
+        g = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("value", "count")])
+        return g.rename_columns(["event_type", "n", "nv"])
+
+    parts = u.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        [t for t in ray.get(parts.to_arrow_refs()) if t.num_columns])
+    m = tbl.group_by(["event_type"]).aggregate([("n", "sum"), ("nv", "sum")])
+    out = pa.table({
+        "event_type": m.column("event_type"),
+        "n": m.column("n_sum").cast(pa.int64()),
+        "n_null_value": pc.subtract(m.column("n_sum"),
+                                    m.column("nv_sum")).cast(pa.int64()),
+    })
+    return out.select(["event_type", "n", "n_null_value"]) \
+              .sort_by("event_type")
+
+
+def q_type_hod_grid(sf_dir: str) -> pa.Table:
+    """Dense (event_type x hour-of-day) report grid with zeros where no
+    event occurred: CROSS JOIN of the two dimension spines (broadcast
+    cartesian — join.cross_join, the only 100-TB-sane cross join shape)
+    left-joined against the reduced counts.  The grid is dimension-
+    sized (|types| x 24); the fact table only ever flows through the
+    two-phase count."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts_local
+    from ..stages.join import cross_join
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+              .to_numpy(zero_copy_only=False)
+        hod = np.floor_divide(np.floor_divide(us, 1_000_000), 3600) % 24
+        return pa.table({"event_type": b.column("event_type"),
+                         "hod": pa.array(hod, pa.int64())})
+
+    prepped = ev.map_batches(_prep, batch_format="pyarrow",
+                             batch_size=None)
+    counts = grouped_counts_local(prepped, ["event_type", "hod"])
+    types = counts.group_by(["event_type"]).aggregate([]) \
+                  .sort_by("event_type")
+    hods = pa.table({"hod": pa.array(np.arange(24, dtype=np.int64),
+                                     pa.int64())})
+    grid = cross_join(ray.data.from_arrow(types), hods)
+
+    import ray
+
+    cref = ray.put(counts)
+
+    def _fill(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        j = b.join(c, keys=["event_type", "hod"], join_type="left outer")
+        i = j.schema.get_field_index("n")
+        return j.set_column(i, "n",
+                            pc.fill_null(j.column("n").cast(pa.int64()), 0))
+
+    out = grid.map_batches(_fill, batch_format="pyarrow", batch_size=None)
+    return _table(out, ["event_type", "hod", "n"])
+
+
 def q_value_histogram(sf_dir: str) -> pa.Table:
     """Numeric equi-width histogram (20 bins over [min, max] of the
     event value): pass 1 reduces to two scalars (Min/Max — broadcast in
@@ -4712,6 +4840,8 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "snm_dup_pairs": q_snm_dup_pairs,
     "user_triangles": q_user_triangles,
+    "type_hod_grid": q_type_hod_grid,
+    "legacy_union_rollup": q_legacy_union_rollup,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash

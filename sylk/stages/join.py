@@ -107,6 +107,34 @@ def broadcast_join(fact_ds, dim: pa.Table, on, right_on=None,
                                zero_copy_batch=True)
 
 
+def cross_join(left_ds, right: pa.Table):
+    """CROSS JOIN a streaming Dataset against a broadcast small side:
+    each left block is index-repeated against the tiled right table —
+    pure per-block compute, no shuffle.  The small side rides the
+    object store once (``ray.put``); output volume is |left| x |right|
+    rows, so the right side MUST be dimension-sized (grids, calendars,
+    parameter sweeps) — that is the only cross join with a sane 100-TB
+    shape, and the one SQL engines broadcast too."""
+    import ray
+
+    ref = ray.put(right)
+
+    def _x(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        nl, nr = len(b), len(d)
+        if nl == 0 or nr == 0:
+            return pa.table({**{c: b.column(c).slice(0, 0) for c in b.column_names},
+                             **{c: d.column(c).slice(0, 0) for c in d.column_names}})
+        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
+        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
+        lt, rt = b.take(li), d.take(ri)
+        return pa.table({**{c: lt.column(c) for c in lt.column_names},
+                         **{c: rt.column(c) for c in rt.column_names}})
+
+    return left_ds.map_batches(_x, batch_format="pyarrow", batch_size=None,
+                               zero_copy_batch=True)
+
+
 _JOIN_PARTITION_BYTES = 256 << 20  # target per-partition input
 
 
@@ -453,6 +481,47 @@ def bloom_semi_join(left_ds, right_ds, on: str, right_key: str | None = None,
     definite = left_ds.map_batches(_split(False), batch_format="pyarrow",
                                    batch_size=None)
     return definite.union(joined)
+
+
+def union_by_name(ds_list):
+    """Schema-drift tolerant UNION ALL (``UNION ALL BY NAME``): aligns
+    inputs by column NAME — a column missing from one input is
+    null-filled at that input's declared type elsewhere, every input is
+    cast/reordered to one canonical schema, then plain ``Dataset.union``
+    concatenates block lists (no shuffle, no materialization).
+
+    The heterogeneous-shard reality at corpus scale: shards written
+    before a column existed union with current data without a rewrite
+    pass.  Canonical schema = first-seen name order, first-seen type
+    (later inputs cast; an uncastable drift should fail loudly here,
+    not silently coerce)."""
+    import functools
+
+    import ray.data
+
+    fields: dict[str, pa.DataType] = {}
+    for ds in ds_list:
+        sch = ds.schema().base_schema
+        for name, typ in zip(sch.names, sch.types):
+            fields.setdefault(name, typ)
+
+    def _align(sch_names):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {}
+            for name, typ in fields.items():
+                if name in sch_names:
+                    cols[name] = b.column(name).cast(typ)
+                else:
+                    cols[name] = pa.nulls(len(b), typ)
+            return pa.table(cols)
+        return f
+
+    aligned = [
+        ds.map_batches(_align(set(ds.schema().base_schema.names)),
+                       batch_format="pyarrow", batch_size=None)
+        for ds in ds_list
+    ]
+    return functools.reduce(ray.data.Dataset.union, aligned)
 
 
 # --- set operations ---------------------------------------------------------

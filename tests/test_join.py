@@ -195,3 +195,37 @@ def test_hash_join_full_outer_coalesces_keys(ray_session):
     assert set(out.index) == {1, 2, 3, 4}
     assert out.loc[1].isna()["y"] and out.loc[4].isna()["x"]
     assert out.loc[2, "x"] == 20 and out.loc[2, "y"] == 5
+
+
+def test_union_by_name_aligns_schemas(ray_session):
+    """Missing columns null-fill, types cast to first-seen, canonical
+    column order across all inputs."""
+    import pyarrow as pa
+    import ray.data
+
+    from sylk.stages.join import union_by_name
+
+    a = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                      "v": pa.array([1.5, 2.5],
+                                                    pa.float64())}))
+    b = ray.data.from_arrow(pa.table({"v": pa.array([9], pa.float32()),
+                                      "extra": pa.array(["x"])}))
+    out = union_by_name([a, b]).to_pandas()
+    assert list(out.columns) == ["k", "v", "extra"]
+    assert len(out) == 3
+    assert out["k"].isna().sum() == 1 and out["extra"].isna().sum() == 2
+    assert sorted(out["v"].tolist()) == [1.5, 2.5, 9.0]
+
+
+def test_cross_join_cartesian(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sylk.stages.join import cross_join
+
+    left = ray.data.from_arrow(pa.table({"a": [1, 2, 3]}))
+    right = pa.table({"b": ["x", "y"]})
+    out = cross_join(left, right).to_pandas()
+    assert len(out) == 6
+    assert set(zip(out.a, out.b)) == {(i, c) for i in (1, 2, 3)
+                                      for c in ("x", "y")}
