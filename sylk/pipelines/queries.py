@@ -4218,6 +4218,13 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["events_checksum"] = """
+        SELECT lower(lpad(to_hex(bit_xor(md5_number_lower(
+                 CAST(event_id AS VARCHAR) || '|' || event_type
+                 || '|' || CAST(user_id AS VARCHAR)))), 16, '0'))
+                 AS checksum,
+               COUNT(*) AS n
+        FROM events"""
     d["legacy_union_rollup"] = """
         WITH legacy AS (
           SELECT event_id + 10000000 AS event_id, event_type
@@ -4497,6 +4504,48 @@ def q_user_triangles(sf_dir: str) -> pa.Table:
     out = out.map_batches(lambda b: b.rename_columns(["user_id", "n_tri"]),
                           batch_format="pyarrow", batch_size=None)
     return _table(out, ["user_id", "n_tri"])
+
+
+def q_events_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent table checksum (shard anti-entropy): XOR of a
+    canonical per-row md5-64 over the whole table + the row count.  The
+    combiner is PERFECT scale shape — each block reduces to 8 bytes +
+    a count, the driver folds blocks in any order, and two replicas
+    (or a source and its rewrite) compare equal without any sort or
+    shuffle.  Hash = content_hash64("id|type|user"), bit-identical to
+    DuckDB's md5_number_lower (the deterministic-sample precedent)."""
+    import os
+
+    import ray
+    import ray.data
+
+    from ..stages.sample import content_hash64
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        keys = ["%s|%s|%s" % (e, t, u) for e, t, u in zip(
+            b.column("event_id").to_pylist(),
+            b.column("event_type").to_pylist(),
+            b.column("user_id").to_pylist())]
+        h = content_hash64(keys).astype(np.uint64)
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"x": pa.array([int(x)], pa.uint64()),
+                         "n": pa.array([len(h)], pa.int64())})
+
+    parts = ev.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    acc, n = np.uint64(0), 0
+    for t in ray.get(parts.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for v in t.column("x").to_pylist():
+            acc ^= np.uint64(v)
+        n += sum(t.column("n").to_pylist())
+    return pa.table({"checksum": pa.array([format(int(acc), "016x")],
+                                          pa.string()),
+                     "n": pa.array([n], pa.int64())})
 
 
 def q_legacy_union_rollup(sf_dir: str) -> pa.Table:
@@ -4842,6 +4891,7 @@ QUERIES = {
     "user_triangles": q_user_triangles,
     "type_hod_grid": q_type_hod_grid,
     "legacy_union_rollup": q_legacy_union_rollup,
+    "events_checksum": q_events_checksum,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash
