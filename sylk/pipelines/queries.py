@@ -4218,6 +4218,17 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["user_type_entropy"] = """
+        WITH c AS (SELECT user_id, event_type, COUNT(*) AS k
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT user_id, CAST(SUM(k) AS BIGINT) AS n
+              FROM c GROUP BY 1)
+        SELECT c.user_id,
+               ROUND(-SUM((CAST(k AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * ln(CAST(k AS DOUBLE) / CAST(t.n AS DOUBLE))),
+                     6) AS entropy,
+               t.n AS n
+        FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.n"""
     d["events_checksum"] = """
         SELECT lower(lpad(to_hex(bit_xor(md5_number_lower(
                  CAST(event_id AS VARCHAR) || '|' || event_type
@@ -4504,6 +4515,40 @@ def q_user_triangles(sf_dir: str) -> pa.Table:
     out = out.map_batches(lambda b: b.rename_columns(["user_id", "n_tri"]),
                           batch_format="pyarrow", batch_size=None)
     return _table(out, ["user_id", "n_tri"])
+
+
+def q_user_type_entropy(sf_dir: str) -> pa.Table:
+    """Per-user Shannon entropy of the event-type mix — the diversity
+    signal corpus curation uses to flag template-stuck sources (entropy
+    ~0) vs organic ones.  The heavy pass is the two-phase (user, type)
+    count; entropy finishes vectorized on the reduced table (bounded by
+    users x |types|).  Float protocol: same IEEE ops in the same order
+    as the SQL (p = k/n double, p*ln(p), per-user sum, negate), rounded
+    to 6dp BOTH sides (the doc_logprob/BM25 ln-ulp precedent)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts_local
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    counts = grouped_counts_local(ev, ["user_id", "event_type"])
+    u = counts.column("user_id").to_numpy(zero_copy_only=False)
+    k = counts.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(u, kind="stable")
+    u, k = u[order], k[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(u)) + 1))
+    totals = np.add.reduceat(k, starts)
+    n_per_row = np.repeat(totals, np.diff(np.concatenate((starts, [len(u)]))))
+    p = k / n_per_row
+    terms = p * np.log(p)
+    ent = np.round(-np.add.reduceat(terms, starts), 6)
+    return pa.table({
+        "user_id": pa.array(u[starts], pa.int64()),
+        "entropy": pa.array(ent, pa.float64()),
+        "n": pa.array(totals.astype(np.int64), pa.int64()),
+    })
 
 
 def q_events_checksum(sf_dir: str) -> pa.Table:
@@ -4892,6 +4937,7 @@ QUERIES = {
     "type_hod_grid": q_type_hod_grid,
     "legacy_union_rollup": q_legacy_union_rollup,
     "events_checksum": q_events_checksum,
+    "user_type_entropy": q_user_type_entropy,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash
