@@ -4218,6 +4218,12 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["type_value_geomean"] = """
+        SELECT event_type,
+               ROUND(exp(SUM(ln(value)) / CAST(COUNT(*) AS DOUBLE)), 6)
+                 AS geomean,
+               COUNT(*) AS n
+        FROM events GROUP BY 1"""
     d["user_type_entropy"] = """
         WITH c AS (SELECT user_id, event_type, COUNT(*) AS k
                    FROM events GROUP BY 1, 2),
@@ -4515,6 +4521,43 @@ def q_user_triangles(sf_dir: str) -> pa.Table:
     out = out.map_batches(lambda b: b.rename_columns(["user_id", "n_tri"]),
                           batch_format="pyarrow", batch_size=None)
     return _table(out, ["user_id", "n_tri"])
+
+
+def q_type_value_geomean(sf_dir: str) -> pa.Table:
+    """Per-type GEOMETRIC mean of the event value — the log-domain
+    aggregate family (multiplicative averages for rate/ratio metrics):
+    per-block additive partials of (Σ ln v, count) per type, driver
+    merge, exp(Σ/n) finish.  Same 6dp protocol as entropy/doc_logprob;
+    op order mirrored exactly (SUM(ln v) / CAST(n AS DOUBLE), exp,
+    round)."""
+    import os
+
+    import ray
+    import ray.data
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "lv": pa.array(np.log(v), pa.float64())})
+        g = t.group_by(["event_type"]).aggregate(
+            [("lv", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "s", "n"])
+
+    parts = ev.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_columns]
+    m = pa.concat_tables(tbls).group_by(["event_type"]).aggregate(
+        [("s", "sum"), ("n", "sum")])
+    s = m.column("s_sum").to_numpy(zero_copy_only=False)
+    n = m.column("n_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    gm = np.round(np.exp(s / n), 6)
+    return pa.table({
+        "event_type": m.column("event_type"),
+        "geomean": pa.array(gm, pa.float64()),
+        "n": m.column("n_sum").cast(pa.int64()),
+    }).sort_by("event_type")
 
 
 def q_user_type_entropy(sf_dir: str) -> pa.Table:
@@ -4938,6 +4981,7 @@ QUERIES = {
     "legacy_union_rollup": q_legacy_union_rollup,
     "events_checksum": q_events_checksum,
     "user_type_entropy": q_user_type_entropy,
+    "type_value_geomean": q_type_value_geomean,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash
