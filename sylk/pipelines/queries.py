@@ -4218,6 +4218,19 @@ def build_oracle_sql() -> dict[str, str]:
                COALESCE(v.n_view, 0) AS n_view,
                COALESCE(c.n_click, 0) AS n_click
         FROM v FULL OUTER JOIN c ON v.hour = c.hour"""
+    d["sliding_modal_type"] = """
+        WITH dc AS (SELECT (epoch_us(ts) // 1000000) // 86400 AS day,
+                           event_type, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+        e AS (SELECT day - o AS w_start, event_type, n
+              FROM dc CROSS JOIN (SELECT unnest([0, 1, 2]) AS o)),
+        w AS (SELECT w_start, event_type, CAST(SUM(n) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+        r AS (SELECT w_start, event_type, n,
+                     ROW_NUMBER() OVER (PARTITION BY w_start
+                                        ORDER BY n DESC, event_type) AS rk
+              FROM w)
+        SELECT w_start, event_type, n FROM r WHERE rk = 1"""
     d["type_value_geomean"] = """
         SELECT event_type,
                ROUND(exp(SUM(ln(value)) / CAST(COUNT(*) AS DOUBLE)), 6)
@@ -4521,6 +4534,47 @@ def q_user_triangles(sf_dir: str) -> pa.Table:
     out = out.map_batches(lambda b: b.rename_columns(["user_id", "n_tri"]),
                           batch_format="pyarrow", batch_size=None)
     return _table(out, ["user_id", "n_tri"])
+
+
+def q_sliding_modal_type(sf_dir: str) -> pa.Table:
+    """Modal event type per sliding 3-day window (windowed ranking):
+    the fact stream reduces ONCE to the (day, type) grain, then the
+    window explode + re-sum + argmax all run on the reduced table
+    (days x types x 3 rows — driver-sized here, a small keyed shuffle
+    at calendar scale).  Deterministic ties: highest n, then
+    lexicographically smallest type (the topk_per_group rule)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts_local
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.divide(pc.divide(us, 1_000_000), 86400)
+        return pa.table({"day": pc.cast(day, pa.int64()),
+                         "event_type": b.column("event_type")})
+
+    dc = grouped_counts_local(
+        ev.map_batches(_day, batch_format="pyarrow", batch_size=None),
+        ["day", "event_type"])
+    import pandas as pd
+
+    df = dc.to_pandas()
+    ex = pd.concat([df.assign(w_start=df["day"] - o) for o in (0, 1, 2)],
+                   ignore_index=True)
+    w = ex.groupby(["w_start", "event_type"], as_index=False)["n"].sum()
+    w = w.sort_values(["w_start", "n", "event_type"],
+                      ascending=[True, False, True], kind="mergesort")
+    top = w.drop_duplicates(subset=["w_start"], keep="first")
+    return pa.table({
+        "w_start": pa.array(top["w_start"].to_numpy(), pa.int64()),
+        "event_type": pa.array(top["event_type"].tolist(), pa.string()),
+        "n": pa.array(top["n"].to_numpy().astype(np.int64), pa.int64()),
+    })
 
 
 def q_type_value_geomean(sf_dir: str) -> pa.Table:
@@ -4982,6 +5036,7 @@ QUERIES = {
     "events_checksum": q_events_checksum,
     "user_type_entropy": q_user_type_entropy,
     "type_value_geomean": q_type_value_geomean,
+    "sliding_modal_type": q_sliding_modal_type,
     "multimodal_features": q_multimodal_features,
     # exact-oracled despite banded candidate generation: minhash (exact
     # all-pairs Jaccard, deterministic recall on this corpus), simhash
