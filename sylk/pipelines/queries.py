@@ -529,7 +529,7 @@ def q_doc_split_assign(sf_dir: str) -> pa.Table:
     from ..stages.sample import content_hash64
 
     def _assign(b: pa.Table) -> pa.Table:
-        h = content_hash64(b.column("text").to_pylist()) % np.uint64(100)
+        h = content_hash64(b.column("text")) % np.uint64(100)
         split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
         return pa.table({"doc_id": b.column("doc_id"),
                          "split": pa.array(split.tolist(), pa.string())})
@@ -2364,7 +2364,7 @@ def q_doc_shuffle_rank(sf_dir: str) -> pa.Table:
         columns=["doc_id", "text"])
 
     def _prep(b: pa.Table) -> pa.Table:
-        h = content_hash64(b.column("text").to_pylist())
+        h = content_hash64(b.column("text"))
         n = len(b)
         return pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
@@ -4668,10 +4668,13 @@ def q_events_checksum(sf_dir: str) -> pa.Table:
         columns=["event_id", "event_type", "user_id"])
 
     def _part(b: pa.Table) -> pa.Table:
-        keys = ["%s|%s|%s" % (e, t, u) for e, t, u in zip(
-            b.column("event_id").to_pylist(),
-            b.column("event_type").to_pylist(),
-            b.column("user_id").to_pylist())]
+        # Arrow-native canonical key: int->string cast matches Python
+        # str(int) digit-for-digit, so the hash is unchanged
+        keys = pc.binary_join_element_wise(
+            pc.cast(b.column("event_id"), pa.string()),
+            b.column("event_type"),
+            pc.cast(b.column("user_id"), pa.string()),
+            "|")
         h = content_hash64(keys).astype(np.uint64)
         x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
         return pa.table({"x": pa.array([int(x)], pa.uint64()),

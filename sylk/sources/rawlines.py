@@ -33,7 +33,7 @@ def read_syslog_lines(paths, include_line_hash: bool = False):
     def _stamp(b: pa.Table) -> pa.Table:
         from ..stages.sample import content_hash64
 
-        h = content_hash64(b.column("text").to_pylist())
+        h = content_hash64(b.column("text"))
         return b.append_column("line_h", pa.array(h.astype("int64"),
                                                   pa.int64()))
 

@@ -235,6 +235,49 @@ def test_winnow_dup_pairs(ray_session):
     assert not any((2 in p) for p in zip(pairs.a, pairs.b))
 
 
+def test_content_hash64_kernel():
+    """Differential fuzz of the vectorized numpy-MD5 kernel against the
+    per-row hashlib reference: boundary lengths (55/56/63/64 pad edges,
+    multi-block, >_MD5_LONG hashlib-fallback rows), unicode, salts,
+    nulls, chunked arrays, and offset slices."""
+    import random
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sylk.stages import sample as S
+
+    rng = random.Random(20260818)
+    vals = []
+    for L in [0, 1, 7, 54, 55, 56, 57, 63, 64, 65, 118, 119, 120, 121,
+              127, 128, S._MD5_LONG - 1, S._MD5_LONG, S._MD5_LONG + 1,
+              1000]:
+        vals.append("".join(rng.choice(string.printable[:90])
+                            for _ in range(L)))
+    vals += ["héllo wörld ünïcode " * rng.randint(0, 40)
+             for _ in range(100)]
+    vals += ["".join(rng.choice(string.ascii_letters)
+                     for _ in range(rng.randint(0, 400)))
+             for _ in range(1500)]
+    vals += [None] * 5
+    arr = pa.array(vals, pa.string())
+    mask = np.array([v is not None for v in vals])
+    for salt in ["", "s1", "longer-salt-prefix-here"]:
+        fast = S.content_hash64(arr, salt)
+        ref = S.content_hash64_ref(vals, salt)
+        assert (fast[mask] == ref[mask]).all(), salt
+    # chunked and non-zero-offset slices hit the buffer-view math
+    ch = pa.chunked_array([arr[:100], arr[100:]])
+    assert (S.content_hash64(ch) == S.content_hash64(arr)).all()
+    sl = arr.slice(37, 500)
+    assert (S.content_hash64(sl) == S.content_hash64(arr)[37:537]).all()
+    # list input takes the conversion path; tiny lists the hashlib path
+    assert (S.content_hash64([v for v in vals if v is not None][:10])
+            == S.content_hash64_ref(
+                [v for v in vals if v is not None][:10])).all()
+
+
 def test_deterministic_sample(ray_session):
     """Content-hash sampling: reproducible, correct rate, DuckDB-parity
     hash (md5_number_lower = little-endian digest bytes 8..16)."""
