@@ -152,6 +152,34 @@ def _ok(ds):
     return ds.filter(expr="ok")
 
 
+def _cached_store(src: str, kind: str, build) -> str:
+    """Crash-safe per-source /tmp cache: ``build(tmp_dir)`` writes into a
+    scratch dir that is atomically renamed into place, so the final dir
+    exists iff the build COMPLETED — a run that dies mid-write leaves
+    only scratch, and a rerun rebuilds from zero instead of appending a
+    second copy of the rows into the same store.  The key hashes
+    path + size + mtime, so a regenerated corpus at the same path never
+    reuses a stale store.  Returns the final dir path."""
+    import hashlib
+    import os
+    import shutil
+
+    st = os.stat(src)
+    key = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    final = f"/tmp/sylk_{kind}_{tag}"
+    if not os.path.isdir(final):
+        tmp = f"{final}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # lost a same-host race: the winner's store is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 # --- parse family ----------------------------------------------------------
 
 def q_transcript_lines(sf_dir: str) -> pa.Table:
@@ -656,7 +684,6 @@ def q_events_csv_rollup(sf_dir: str) -> pa.Table:
     sf_dir under /tmp), read it back through the streaming CSV source,
     and roll up integer-exact per-type stats.  Proves the CSV read
     path end-to-end against the parquet oracle."""
-    import hashlib
     import os
 
     import ray.data
@@ -665,15 +692,13 @@ def q_events_csv_rollup(sf_dir: str) -> pa.Table:
     from ..sources.rawlines import read_events_csv
 
     src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    out_dir = f"/tmp/sylk_csv_{tag}"
-    done = os.path.join(out_dir, "_DONE")
-    if not os.path.exists(done):
+
+    def _build(tmp: str) -> None:
         ds = ray.data.read_parquet(
             src, columns=["event_id", "user_id", "event_type"])
-        ds.write_csv(out_dir)
-        with open(done, "w") as f:
-            f.write(src)
+        ds.write_csv(tmp)
+
+    out_dir = _cached_store(src, "csv", _build)
     files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
              if f.endswith(".csv")]
     ev = read_events_csv(files)
@@ -2423,10 +2448,12 @@ def q_event_cooccurrence(sf_dir: str) -> pa.Table:
         columns=["user_id", "ts", "event_type"])
 
     def _prep(b: pa.Table) -> pa.Table:
-        us = b.column("ts").cast(pa.int64())
-        hour = pc.divide(pc.divide(us, 1_000_000), 3600)
+        # FLOOR division (queries.py:282 convention): pc.divide truncates
+        # toward zero, diverging from DuckDB `//` on pre-1970 epochs
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = pa.array(np.floor_divide(us, 3_600_000_000), pa.int64())
         return pa.table({"user_id": b.column("user_id"),
-                         "hour": pc.cast(hour, pa.int64()),
+                         "hour": hour,
                          "event_type": b.column("event_type")})
 
     prepped = ev.map_batches(_prep, batch_format="pyarrow")
@@ -2450,9 +2477,10 @@ def q_sliding_daily_actives(sf_dir: str) -> pa.Table:
         columns=["user_id", "ts"])
 
     def _day(b: pa.Table) -> pa.Table:
-        us = b.column("ts").cast(pa.int64())
-        day = pc.divide(pc.divide(us, 1_000_000), 86400)
-        return pa.table({"day": pc.cast(day, pa.int64()),
+        # FLOOR division (queries.py:282 convention), not pc.divide
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(np.floor_divide(us, 86_400_000_000),
+                                         pa.int64()),
                          "user_id": b.column("user_id")})
 
     du = grouped_counts(ev.map_batches(_day, batch_format="pyarrow"),
@@ -2482,7 +2510,6 @@ def q_union_sources_rollup(sf_dir: str) -> pa.Table:
     duplication), then rolled up per type with an exact cents money sum
     — the multi-shipper log-consolidation shape.  Exports are cached
     per sf_dir under /tmp."""
-    import hashlib
     import os
 
     import ray.data
@@ -2492,17 +2519,16 @@ def q_union_sources_rollup(sf_dir: str) -> pa.Table:
     from ..sources.rawlines import read_events_csv, read_events_jsonl
 
     src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(src.encode()).hexdigest()[:12]
     cols = ["event_id", "event_type", "value"]
 
-    jdir, cdir = f"/tmp/sylk_uj_{tag}", f"/tmp/sylk_uc_{tag}"
-    for out_dir, writer in ((jdir, "write_json"), (cdir, "write_csv")):
-        done = os.path.join(out_dir, "_DONE")
-        if not os.path.exists(done):
+    def _export(writer):
+        def _build(tmp: str) -> None:
             ds = ray.data.read_parquet(src, columns=cols + ["ts"])
-            getattr(ds, writer)(out_dir)
-            with open(done, "w") as f:
-                f.write(src)
+            getattr(ds, writer)(tmp)
+        return _build
+
+    jdir = _cached_store(src, "uj", _export("write_json"))
+    cdir = _cached_store(src, "uc", _export("write_csv"))
 
     jfiles = [os.path.join(jdir, f) for f in sorted(os.listdir(jdir))
               if f.endswith(".json")]
@@ -2770,9 +2796,9 @@ def q_daily_type_delta(sf_dir: str) -> pa.Table:
         columns=["event_type", "ts"])
 
     def _day(b: pa.Table) -> pa.Table:
-        us = b.column("ts").cast(pa.int64())
-        day = pc.cast(pc.divide(pc.divide(us, 1_000_000), 86400),
-                      pa.int64())
+        # FLOOR division (queries.py:282 convention), not pc.divide
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pa.array(np.floor_divide(us, 86_400_000_000), pa.int64())
         return pa.table({"event_type": b.column("event_type"),
                          "day": day})
 
@@ -2799,7 +2825,6 @@ def q_day_range_rollup(sf_dir: str) -> pa.Table:
     3-day range query that opens only the 3 matching day directories —
     storage-level pruning, the 100-TB time-series access path
     (sylk/stages/temporal.py day_partitioned_write/read_day_range)."""
-    import hashlib
     import os
 
     import ray.data
@@ -2809,14 +2834,12 @@ def q_day_range_rollup(sf_dir: str) -> pa.Table:
                                    day_partitioned_write, read_day_range)
 
     src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    store = f"/tmp/sylk_days_{tag}"
-    done = os.path.join(store, "_DONE")
-    if not os.path.exists(done):
+
+    def _build(tmp: str) -> None:
         ev = ray.data.read_parquet(src, columns=["ts", "event_type"])
-        day_partitioned_write(ev, store)
-        with open(done, "w") as f:
-            f.write(src)
+        day_partitioned_write(ev, tmp)
+
+    store = _cached_store(src, "days", _build)
     lo = day_partition_values(store)[0]
     ds, dirs = read_day_range(store, lo + 10, lo + 12,
                               columns=["event_type"])
@@ -4516,10 +4539,11 @@ def q_user_triangles(sf_dir: str) -> pa.Table:
                                columns=["user_id", "ts"])
 
     def _prep(b: pa.Table) -> pa.Table:
-        us = b.column("ts").cast(pa.int64())
-        hour = pc.divide(pc.divide(us, 1_000_000), 3600)
-        return pa.table({"hour": pc.cast(hour, pa.int64()),
-                         "user_id": b.column("user_id")})
+        # FLOOR division (queries.py:282 convention), not pc.divide
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"hour": pa.array(
+            np.floor_divide(us, 3_600_000_000), pa.int64()),
+            "user_id": b.column("user_id")})
 
     prepped = ev.map_batches(_prep, batch_format="pyarrow")
     # items here are user ids (ints); the co-occurrence kernel's vocab
@@ -4553,10 +4577,12 @@ def q_sliding_modal_type(sf_dir: str) -> pa.Table:
                                columns=["event_type", "ts"])
 
     def _day(b: pa.Table) -> pa.Table:
-        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-        day = pc.divide(pc.divide(us, 1_000_000), 86400)
-        return pa.table({"day": pc.cast(day, pa.int64()),
-                         "event_type": b.column("event_type")})
+        # FLOOR division (queries.py:282 convention), not pc.divide
+        us = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        return pa.table({"day": pa.array(
+            np.floor_divide(us, 86_400_000_000), pa.int64()),
+            "event_type": b.column("event_type")})
 
     dc = grouped_counts_local(
         ev.map_batches(_day, batch_format="pyarrow", batch_size=None),

@@ -121,6 +121,12 @@ def cross_join(left_ds, right: pa.Table):
 
     def _x(b: pa.Table) -> pa.Table:
         d = ray.get(ref)
+        overlap = set(b.column_names) & set(d.column_names)
+        if overlap:
+            # dict-union output would silently overwrite the left column
+            raise ValueError(
+                f"cross_join: overlapping column names {sorted(overlap)}; "
+                "rename one side before joining")
         nl, nr = len(b), len(d)
         if nl == 0 or nr == 0:
             return pa.table({**{c: b.column(c).slice(0, 0) for c in b.column_names},

@@ -109,7 +109,10 @@ def rate_spikes(ds, key: str = "hostname", window_col: str = "hour",
     from .aggregate import grouped_counts
     from .join import hash_join
 
-    per_window = grouped_counts(ds, [key, window_col])
+    # per_window feeds TWO consumers (totals + join left side); without a
+    # pin Ray re-executes the full raw-stream count once per consumer
+    # (CLAUDE.md shared-lineage rule).  Key-cardinality-bounded: safe.
+    per_window = grouped_counts(ds, [key, window_col]).materialize()
     totals = per_window.groupby(key).aggregate(
         Sum(on="n", alias_name="key_total"),
         Count(alias_name="key_windows"),

@@ -199,9 +199,11 @@ def day_partitioned_write(ds, path: str, t_col: str = "ts"):
     def _tag(b: pa.Table) -> pa.Table:
         # normalize to timestamp[us] first: a pandas-born column is
         # timestamp[ns] and a raw int64 cast would be nanoseconds
-        us = b.column(t_col).cast(pa.timestamp("us")).cast(pa.int64())
-        day = pc.cast(pc.divide(pc.divide(us, 1_000_000), 86400),
-                      pa.int64())
+        us = (b.column(t_col).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        # FLOOR division (queries.py:282 convention): pc.divide truncates
+        # toward zero and would mis-bucket pre-1970 epochs vs DuckDB `//`
+        day = pa.array(np.floor_divide(us, 86_400_000_000), pa.int64())
         return b.append_column("day", day)
 
     ds.map_batches(_tag, batch_format="pyarrow", batch_size=None) \
