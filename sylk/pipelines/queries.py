@@ -2207,6 +2207,10 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
         .map_batches(_as_media, batch_format="pyarrow")
         .map_batches(
             ImageDecoder,
+            # text bytes are NOT valid image containers — pin the
+            # deterministic stub so the result is environment-invariant
+            # even where Pillow is installed
+            fn_constructor_kwargs={"decode": "fake"},
             batch_format="pyarrow",
             batch_size=64,
             concurrency=(1, 4),

@@ -5,12 +5,14 @@ Media travel as opaque ``binary`` payload columns with typed metadata
 extraction are ACTOR-POOL ``map_batches`` stages — model/codec setup in
 ``__init__``, small ``batch_size`` because payload rows are wide.
 
-The image/audio codec libraries are not available in this container, so
-the decode kernels are STUBBED: with ``strict=True`` the stage raises
-``NotImplementedError`` exactly where a real decoder would be invoked;
-by default a clearly-marked deterministic fake (payload-hash ->
-pseudo-pixels) stands in so the Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested end-to-end.
+Decode is capability-detected per stage (``decode="auto"|"real"|"fake"``):
+when the codec library imports (Pillow for images, soundfile for audio)
+the kernel decodes for REAL; otherwise a clearly-marked deterministic
+fake (payload-hash -> pseudo-pixels) stands in so the Ray-side plumbing
+— schema, actor signature, batch sizing, output layout — is real and
+tested end-to-end even in codec-less containers.  ``decode="real"``
+raises ImportError up front if the library is missing; ``strict=True``
+turns the auto-mode fallback into an error instead of a fake.
 
 Usage::
 
@@ -76,27 +78,39 @@ def _fake_decode(payload: bytes, n: int) -> np.ndarray:
 class ImageDecoder:
     """Actor-pool image decode -> fixed-size feature vector.
 
-    Real pipeline: ``__init__`` loads the codec/model once per actor;
-    ``__call__`` decodes each payload and emits a ``list<float>``
-    feature column.  ``strict=True`` raises NotImplementedError at the
-    decode call (no image library in this container)."""
+    ``__init__`` resolves the codec once per actor; ``__call__`` decodes
+    each payload and emits a ``list<float>`` feature column (grayscale
+    ``sqrt(FEATURE_DIM)``-square thumbnail, row-major, [0,1] floats).
+    ``decode``: "real" requires Pillow (ImportError otherwise), "fake"
+    forces the deterministic stub, "auto" (default) decodes for real
+    when Pillow imports and falls back to the stub — or, with
+    ``strict=True``, to NotImplementedError — when it does not."""
 
     FEATURE_DIM = 64
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, decode: str = "auto"):
+        if decode not in ("auto", "real", "fake"):
+            raise ValueError(f"decode={decode!r}")
         self.strict = strict
-        try:  # real decoder, if ever present
-            import PIL.Image  # noqa: F401
+        self._pil = None
+        if decode in ("auto", "real"):
+            try:
+                from PIL import Image
 
-            self._have_pil = True
-        except ImportError:
-            self._have_pil = False
+                self._pil = Image
+            except ImportError:
+                if decode == "real":
+                    raise ImportError(
+                        "ImageDecoder(decode='real') requires Pillow")
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if self._have_pil:
-            raise NotImplementedError(
-                "real PIL decode intentionally not wired in this sandbox"
-            )
+        if self._pil is not None:
+            import io
+
+            side = int(self.FEATURE_DIM ** 0.5)
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((side, side))
+            return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)
         if self.strict:
             raise NotImplementedError("image decode requires an image library")
         return _fake_decode(payload, self.FEATURE_DIM)
@@ -108,23 +122,49 @@ class ImageDecoder:
 
 
 class AudioFeatures:
-    """Actor-pool audio feature extraction (stubbed decode, real framing).
+    """Actor-pool audio feature extraction (real framing; decode is
+    capability-detected like ImageDecoder).
 
-    Emits per-window energies: n_windows x 1 floats from the decoded
-    sample stream (fake-decoded here)."""
+    Emits per-window RMS energies: ``N_WINDOWS`` floats from the decoded
+    sample stream.  Real path reads any soundfile-supported container
+    (WAV/FLAC/OGG) and pads the tail window with zeros."""
 
     N_WINDOWS = 16
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, decode: str = "auto"):
+        if decode not in ("auto", "real", "fake"):
+            raise ValueError(f"decode={decode!r}")
         self.strict = strict
+        self._sf = None
+        if decode in ("auto", "real"):
+            try:
+                import soundfile
+
+                self._sf = soundfile
+            except ImportError:
+                if decode == "real":
+                    raise ImportError(
+                        "AudioFeatures(decode='real') requires soundfile")
+
+    def _samples(self, payload: bytes) -> np.ndarray:
+        if self._sf is not None:
+            import io
+
+            data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+            if data.ndim > 1:  # downmix to mono
+                data = data.mean(axis=1)
+            pad = (-len(data)) % self.N_WINDOWS
+            if pad or len(data) == 0:
+                data = np.pad(data, (0, pad or self.N_WINDOWS))
+            return data
+        if self.strict:
+            raise NotImplementedError("audio decode requires an audio library")
+        return _fake_decode(payload, 1024)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for p in batch.column("payload").to_pylist():
-            if self.strict:
-                raise NotImplementedError("audio decode requires an audio library")
-            samples = _fake_decode(p, 1024)
-            win = samples.reshape(self.N_WINDOWS, -1)
+            win = self._samples(p).reshape(self.N_WINDOWS, -1)
             out.append(np.sqrt((win**2).mean(axis=1)).tolist())
         col = pa.array(out, pa.list_(pa.float32()))
         return batch.drop_columns(["payload"]).append_column("energies", col)

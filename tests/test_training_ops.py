@@ -189,17 +189,25 @@ def test_multimodal_plumbing(ray_session):
 
     media = ray.data.from_arrow(synth_media(30))
     imgs = media.filter(lambda r: r["kind"] == "image")
-    feats = imgs.map_batches(ImageDecoder, batch_format="pyarrow",
+    # synthetic payloads are opaque blobs, not image containers — pin the
+    # deterministic stub so plumbing behavior is environment-invariant
+    feats = imgs.map_batches(ImageDecoder,
+                             fn_constructor_kwargs={"decode": "fake"},
+                             batch_format="pyarrow",
                              batch_size=8, concurrency=2).to_pandas()
     assert len(feats) == 10 and all(len(f) == 64 for f in feats.features)
     # determinism across runs
-    feats2 = imgs.map_batches(ImageDecoder, batch_format="pyarrow",
+    feats2 = imgs.map_batches(ImageDecoder,
+                              fn_constructor_kwargs={"decode": "fake"},
+                              batch_format="pyarrow",
                               batch_size=4, concurrency=1).to_pandas()
     m1 = dict(zip(feats.media_id, [tuple(f) for f in feats.features]))
     m2 = dict(zip(feats2.media_id, [tuple(f) for f in feats2.features]))
     assert m1 == m2
     aud = media.filter(lambda r: r["kind"] == "audio")
-    en = aud.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+    en = aud.map_batches(AudioFeatures,
+                         fn_constructor_kwargs={"decode": "fake"},
+                         batch_format="pyarrow", batch_size=8,
                          concurrency=2).to_pandas()
     assert all(len(e) == 16 for e in en.energies)
     vid = media.filter(lambda r: r["kind"] == "video")
@@ -208,12 +216,82 @@ def test_multimodal_plumbing(ray_session):
     assert set(fr.frame_idx) == {0, 8, 16, 24, 32, 40}
 
 
+def _have(mod: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
 def test_multimodal_strict_raises():
+    """Without a codec library, strict auto-mode raises at the decode
+    call and decode='real' refuses up front; with one present the real
+    path is exercised instead (test_image_decoder_real_pil)."""
     import pytest as _pytest
 
+    if _have("PIL"):
+        _pytest.skip("Pillow present: strict auto-mode decodes for real")
     dec = ImageDecoder(strict=True)
     with _pytest.raises(NotImplementedError):
         dec(synth_media(3).filter(pa.array([True, False, False])))
+    with _pytest.raises(ImportError):
+        ImageDecoder(decode="real")
+
+
+def test_image_decoder_real_pil():
+    """Capability-gated real path: a genuine PNG decodes to the exact
+    8x8 grayscale thumbnail (no stub anywhere in the loop)."""
+    import io
+
+    import pytest as _pytest
+
+    Image = _pytest.importorskip("PIL.Image")
+    import numpy as _np
+
+    # 16x16 horizontal gradient PNG, encoded with the real codec
+    px = _np.tile(_np.arange(16, dtype=_np.uint8) * 16, (16, 1))
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    batch = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([payload], pa.binary()),
+        "meta": pa.array(['{"width":16,"height":16}']),
+    })
+    out = ImageDecoder(strict=True)(batch)  # strict must NOT raise here
+    feat = _np.asarray(out.column("features").to_pylist()[0])
+    expect = (_np.asarray(
+        Image.open(io.BytesIO(payload)).convert("L").resize((8, 8)),
+        dtype=_np.float32) / 255.0).reshape(-1)
+    assert feat.shape == (64,) and _np.allclose(feat, expect)
+
+
+def test_audio_features_real_soundfile():
+    """Capability-gated real audio path: a genuine WAV yields per-window
+    RMS of the actual samples."""
+    import io
+
+    import pytest as _pytest
+
+    sf = _pytest.importorskip("soundfile")
+    import numpy as _np
+
+    t = _np.arange(1600, dtype=_np.float32) / 16000.0
+    samples = _np.sin(2 * _np.pi * 440.0 * t).astype(_np.float32)
+    buf = io.BytesIO()
+    sf.write(buf, samples, 16000, format="WAV")
+    payload = buf.getvalue()
+
+    batch = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["audio"]),
+        "payload": pa.array([payload], pa.binary()),
+        "meta": pa.array(['{"sr":16000,"n_samples":1600}']),
+    })
+    out = AudioFeatures(strict=True)(batch)
+    en = _np.asarray(out.column("energies").to_pylist()[0])
+    assert en.shape == (16,) and en.max() > 0.1  # real signal energy
 
 
 def test_winnow_dup_pairs(ray_session):
