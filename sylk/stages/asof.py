@@ -190,9 +190,13 @@ def fill_forward(ds, key: str, order_cols, value_col: str, out_col: str,
                                     for c in order_cols},
                                  "_last": pd.Series([], dtype="float64")})
         firsts = _run_key(df, key, order_cols)
-        last = df.groupby(key, sort=False)[value_col] \
-                 .agg(lambda s: s.dropna().iloc[-1] if s.notna().any() else None)
-        firsts["_last"] = firsts[key].map(last)
+        # last non-null value per key, vectorized: positional last row of
+        # the non-null subset (a Python lambda agg here was measured at
+        # ~10x the cost of every Arrow<->pandas conversion combined)
+        nn = df[df[value_col].notna()].drop_duplicates(
+            subset=[key], keep="last")
+        firsts["_last"] = firsts[key].map(
+            nn.set_index(key)[value_col]).astype("float64")
         return firsts
 
     def _seed(states: pd.DataFrame) -> pd.DataFrame:
