@@ -66,7 +66,16 @@ def route_and_write(parsed_ds, out_dir: str, by_sink: bool = True, **write_kwarg
     The sort key is the dense int16 ``route_id`` (same clustering as the
     string pair, far cheaper to exchange/compare).  Set
     ``by_sink=False`` to skip the exchange when the input is already
-    clustered by key (e.g. re-routing previously routed data)."""
+    clustered by key (e.g. re-routing previously routed data).
+
+    Measured alternative (12M rows, 32 cpus, interleaved best-of-4;
+    BASELINE.md round 4): ``repartition(keys=["route_id"])`` under
+    HASH_SHUFFLE gives the same 1 file/sink but runs ~2.7x slower
+    (~39 s vs ~12-15 s — the hash-shuffle operator's fixed aggregator
+    overhead dominates at 201 distinct keys), and skipping the exchange
+    writes 91 files/sink.  The range sort is also the shape that keeps
+    working when one sink is hot: ranges split a hot key across tasks,
+    a hash bucket cannot."""
     ds = parsed_ds.map_batches(add_route_columns, batch_format="pyarrow")
     if by_sink:
         ds = ds.sort("route_id")
