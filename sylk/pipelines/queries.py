@@ -1114,6 +1114,21 @@ def q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
                         "shared_fps", "int64")
 
 
+def q_tfidf_cosine_pairs(sf_dir: str) -> pa.Table:
+    """TF-IDF weighted cosine similarity join (sylk/stages/dedup.py
+    tfidf_cosine_pairs): the WEIGHTED counterpart of the n-gram Jaccard
+    join — w(d,t) = tf * ln(N/df) over whitespace tokens with the
+    df <= 0.5N stopword cap, pairs at cosine >= 0.6.  Full exact oracle
+    (token-join replay in SQL); threshold compared unrounded both sides
+    — valid while no pair sits within float noise of 0.6 (measured on
+    this corpus: the 300 dup pairs score 1.0 at 6dp, the next candidate
+    is below 0.01 — the df cap strips all cross-doc boilerplate)."""
+    from ..stages.dedup import tfidf_cosine_pairs
+
+    return _pairs_table(tfidf_cosine_pairs(_docs(sf_dir), threshold=0.6),
+                        "cosine")
+
+
 def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
     """EXACT n-gram (word 3-gram) Jaccard near-dup pairs via the
     inverted shingle index — a full-recall counterpart to the banded
@@ -4239,6 +4254,38 @@ def build_oracle_sql() -> dict[str, str]:
     # threshold (see q_minhash_dup_pairs docstring)
     d["minhash_dup_pairs"] = d["ngram_jaccard_dup_pairs"].replace(
         ">= 0.6", ">= 0.8")
+    # TF-IDF weighted cosine join: exact replay — same whitespace
+    # tokens, w = tf * ln(N/df) with the df <= 0.5N stopword cap,
+    # cosine = dot/(|a||b|); threshold compared unrounded both sides
+    # (embedding_dup_pairs protocol), output rounded 6dp (ln/sum-order
+    # ulp protocol)
+    d["tfidf_cosine_pairs"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        w AS (
+          SELECT tf.doc_id, tf.t,
+                 tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df) AS w
+          FROM tf JOIN df ON tf.t = df.t CROSS JOIN nd
+          WHERE df.df <= 0.5 * nd.n
+        ),
+        norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        dots AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+          FROM w x JOIN w y ON x.t = y.t AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = a
+        JOIN norms nb ON nb.doc_id = b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.6"""
     # the keep list is the representative slice of the cluster map —
     # same recursive-CTE oracle, filtered to doc_id = cluster_id
     d["dedup_keep_docs"] = (f"SELECT doc_id FROM ({d['dup_cluster_ids']})"
@@ -5121,6 +5168,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,

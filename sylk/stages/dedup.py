@@ -1575,3 +1575,290 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "doc_id",
         lambda b: pa.table({node_col: b.column("node"),
                             "cluster_id": b.column("label")}),
         batch_format="pyarrow", batch_size=None)
+
+
+# --- TF-IDF weighted cosine similarity join ---------------------------------
+
+def tfidf_token_rows(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Explode each doc into (doc_id, th, tf) rows: word-token hash64 +
+    in-doc term frequency.  Tokenization is the shingle rule at k=1
+    (whitespace split, empties dropped), so the SQL oracle replays it
+    with ``regexp_split_to_array(text, '\\s+')``.  Docs with no tokens
+    emit nothing (they cannot pair)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    cat, offs = _shingle_hash_segments(texts, 1)
+    if len(cat) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "th": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64())})
+    seg = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(offs))
+    order = np.lexsort((cat, seg))
+    seg_s, cat_s = seg[order], cat[order]
+    new = np.ones(len(cat_s), dtype=bool)
+    new[1:] = (seg_s[1:] != seg_s[:-1]) | (cat_s[1:] != cat_s[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.concatenate((starts, [len(cat_s)])))
+    # hash rides BIT-REINTERPRETED as int64: Ray's groupby/join shuffle
+    # round-trips uint64 > 2^63 through Python ints and overflows the
+    # rebuilt int64 column; the view keeps the 1:1 token mapping
+    return pa.table({
+        "doc_id": pa.array(ids[seg_s[starts]].astype(np.int64), pa.int64()),
+        "th": pa.array(cat_s[starts].view(np.int64), pa.int64()),
+        "tf": pa.array(tf.astype(np.int64), pa.int64()),
+    })
+
+
+def _pair_products_from_keyed_rows(tbl: pa.Table, key_col: str,
+                                   val_col: str) -> pd.DataFrame:
+    """(doc_id, key, val) rows -> (a, b, dot) partial sums of va*vb over
+    shared keys — the weighted sibling of _pair_counts_from_keyed_rows.
+    Ids are distinct within a key by construction (one row per (doc,
+    token)); within-run ids sort ascending so a < b by packing."""
+    key = tbl.column(key_col).to_numpy(zero_copy_only=False)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    vals = tbl.column(val_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, key))
+    key, ids, vals = key[order], ids[order], vals[order]
+    boundaries = np.flatnonzero(np.diff(key) != 0) + 1
+    starts = np.concatenate(([0], boundaries))
+    stops = np.concatenate((boundaries, [len(key)]))
+    empty = _empty_pairs().assign(dot=pd.Series([], dtype="float64"))
+    if len(ids) and (ids.max() >= (1 << 32) or ids.min() < 0):
+        # same escape hatch as _expand_runs_to_pair_counts: ids beyond
+        # the uint64 pack bound take a dict accumulator (tested, slow)
+        acc: dict = {}
+        for s, e in zip(starts, stops):
+            if e - s < 2:
+                continue
+            u, v = ids[s:e], vals[s:e]
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    p = (int(u[i]), int(u[j]))
+                    acc[p] = acc.get(p, 0.0) + float(v[i] * v[j])
+        if not acc:
+            return empty
+        ks = sorted(acc)
+        return pd.DataFrame({"a": [k[0] for k in ks],
+                             "b": [k[1] for k in ks],
+                             "dot": [acc[k] for k in ks]})
+    u64 = ids.astype(np.uint64)
+    key_chunks, prod_chunks = [], []
+    for s, e in zip(starts, stops):
+        m = e - s
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        key_chunks.append((u64[s:e][ii] << np.uint64(32)) | u64[s:e][jj])
+        prod_chunks.append(vals[s:e][ii] * vals[s:e][jj])
+    if not key_chunks:
+        return empty
+    keys_cat = np.concatenate(key_chunks)
+    prods = np.concatenate(prod_chunks)
+    uk, inv = np.unique(keys_cat, return_inverse=True)
+    dots = np.zeros(len(uk), dtype=np.float64)
+    np.add.at(dots, inv, prods)
+    return pd.DataFrame({"a": (uk >> np.uint64(32)).astype(np.int64),
+                         "b": (uk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                         "dot": dots})
+
+
+_TFIDF_VOCAB_BROADCAST_LIMIT = 5_000_000
+
+
+def tfidf_cosine_pairs(docs_ds, threshold: float = 0.5,
+                       max_df_frac: float = 0.5, text_col: str = "text",
+                       distributed: bool | None = None):
+    """All-pairs TF-IDF weighted cosine similarity join: pairs (a, b,
+    cosine) with a < b and cosine >= threshold, where each doc is the
+    sparse vector w(d, t) = tf(d, t) * ln(N / df(t)) over whitespace
+    word tokens, N = docs with >= 1 token.  The WEIGHTED counterpart of
+    the n-gram Jaccard join: shared rare terms dominate, boilerplate
+    stopwords are damped by idf and the df cap.
+
+    Tokens with df > max_df_frac * N are dropped (the standard stopword
+    cap) — also the SKEW BOUND: a token in m docs emits m(m-1)/2
+    partial products, so the cap bounds the hottest bucket; the
+    threshold then prunes the aggregate.  The comparison runs UNROUNDED
+    on both sides (same protocol as embedding_dup_pairs — valid when no
+    pair sits within float noise of the threshold); output cosine is
+    rounded to 6dp (ln/sum-order last-ulp protocol).
+
+    Scale shape: one token-row exchange for df (vocab-bounded result,
+    broadcast under _TFIDF_VOCAB_BROADCAST_LIMIT, hash-join above), one
+    doc-keyed exchange for norms, one token-keyed coarse-grouped pair
+    expansion (co-located buckets, vectorized products, never a
+    per-pair Python loop), one (a, b) aggregate of reduced rows."""
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    rows = docs_ds.map_batches(
+        lambda b: tfidf_token_rows(b, text_col),
+        batch_format="pyarrow", batch_size=None)
+
+    def _local(tbl: pa.Table) -> pd.DataFrame:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        th = tbl.column("th").to_numpy(zero_copy_only=False)
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(ids) == 0:
+            return _empty_pairs().assign(cosine=pd.Series([], dtype="float64"))
+        n_docs = len(np.unique(ids))
+        uth, inv, df = np.unique(th, return_inverse=True, return_counts=True)
+        keep = df[inv] <= max_df_frac * n_docs
+        ids, th, tf, inv = ids[keep], th[keep], tf[keep], inv[keep]
+        w = tf * np.log(n_docs / df[inv])
+        uid, dinv = np.unique(ids, return_inverse=True)
+        norm2 = np.zeros(len(uid))
+        np.add.at(norm2, dinv, w * w)
+        nw = w / np.sqrt(norm2)[dinv]
+        sub = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "th": pa.array(th, pa.int64()),
+                        "nw": pa.array(nw, pa.float64())})
+        out = _pair_products_from_keyed_rows(sub, "th", "nw")
+        out = out[out["dot"] >= threshold]
+        return pd.DataFrame({"a": out["a"].to_numpy(),
+                             "b": out["b"].to_numpy(),
+                             "cosine": np.round(out["dot"].to_numpy(), 6)})
+
+    if distributed is False:
+        tbl = pa.concat_tables(ray.get(rows.to_arrow_refs()))
+        return ray.data.from_pandas(_local(tbl))
+    if distributed is None:
+        rows, tbl = _bounded_collect(rows, _DRIVER_TRIPLE_LIMIT)
+        if tbl is not None:
+            return ray.data.from_pandas(_local(tbl))
+    else:
+        rows = rows.materialize()
+
+    # ---- distributed tier ----
+    # N: token rows are generated per block, so a doc's rows never span
+    # blocks — per-block distinct doc counts sum exactly
+    n_docs = int(sum(
+        r["nd"] for r in rows.map_batches(
+            lambda b: pa.table({"nd": pa.array(
+                [len(np.unique(b.column("doc_id").to_numpy(
+                    zero_copy_only=False)))], pa.int64())}),
+            batch_format="pyarrow", batch_size=None).take_all()))
+    df_ds = rows.groupby("th").count()
+
+    df_ds, df_tbl = _bounded_collect(df_ds, _TFIDF_VOCAB_BROADCAST_LIMIT)
+    cap = max_df_frac * n_docs
+    if df_tbl is not None:
+        dth = df_tbl.column("th").to_numpy(zero_copy_only=False)
+        dcnt = df_tbl.column("count()").to_numpy(zero_copy_only=False)
+        o = np.argsort(dth)
+        dth, dcnt = dth[o], dcnt[o]
+        ref = ray.put((dth, dcnt))
+
+        def _weight(b: pa.Table) -> pa.Table:
+            vth, vdf = ray.get(ref)
+            th = b.column("th").to_numpy(zero_copy_only=False)
+            tf = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+            dfv = vdf[np.searchsorted(vth, th)]
+            keep = dfv <= cap
+            w = tf[keep] * np.log(n_docs / dfv[keep])
+            return pa.table({"doc_id": b.column("doc_id").filter(
+                                 pa.array(keep)),
+                             "th": b.column("th").filter(pa.array(keep)),
+                             "w": pa.array(w, pa.float64())})
+
+        w_rows = rows.map_batches(_weight, batch_format="pyarrow",
+                                  batch_size=None)
+    else:
+        from .join import hash_join
+
+        def _idf(b: pa.Table) -> pa.Table:
+            cnt = b.column("count()").to_numpy(zero_copy_only=False)
+            keep = cnt <= cap
+            return pa.table({
+                "_jth": b.column("th").filter(pa.array(keep)),
+                "idf": pa.array(np.log(n_docs / cnt[keep]), pa.float64())})
+
+        idf_ds = df_ds.map_batches(_idf, batch_format="pyarrow",
+                                   batch_size=None)
+        joined = hash_join(rows, idf_ds, on="th", right_on="_jth")
+
+        def _mul(b: pa.Table) -> pa.Table:
+            tf = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+            idf = b.column("idf").to_numpy(zero_copy_only=False)
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "th": b.column("th"),
+                             "w": pa.array(tf * idf, pa.float64())})
+
+        w_rows = joined.map_batches(_mul, batch_format="pyarrow",
+                                    batch_size=None)
+
+    w_rows = w_rows.materialize()
+
+    def _n2(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "w2": pa.array(w * w, pa.float64())})
+
+    norms = w_rows.map_batches(_n2, batch_format="pyarrow",
+                               batch_size=None) \
+        .groupby("doc_id").aggregate(Sum(on="w2", alias_name="n2")) \
+        .map_batches(lambda b: pa.table({
+            "_jdoc": b.column("doc_id"),
+            "norm": pa.array(np.sqrt(
+                b.column("n2").to_numpy(zero_copy_only=False)),
+                pa.float64())}),
+            batch_format="pyarrow", batch_size=None)
+
+    from .join import hash_join as _hj
+
+    nw_rows = _hj(w_rows, norms, on="doc_id", right_on="_jdoc")
+
+    def _norm(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        nm = b.column("norm").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "th": b.column("th"),
+                         "nw": pa.array(w / nm, pa.float64())})
+
+    nw_rows = nw_rows.map_batches(_norm, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+
+    # coarse-grouped weighted pair expansion (a th bucket never splits);
+    # a float dot column rules out reusing _coarse_grouped_pairs' int64
+    # output contract
+    from ..functions.hashing import mix64
+
+    n = nw_rows.count()
+    n_groups = max(32, min(4096, n // _COARSE_GROUP_ROWS + 1))
+
+    def _add_pkey(b: pa.Table) -> pa.Table:
+        key = b.column("th").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pkey = (mix64(key) % np.uint64(n_groups)).astype(np.int64)
+        return b.append_column("pkey", pa.array(pkey, pa.int64()))
+
+    def _group_pairs(g: pa.Table) -> pa.Table:
+        df = _pair_products_from_keyed_rows(g, "th", "nw")
+        return pa.table({
+            "a": pa.array(df["a"].to_numpy().astype(np.int64), pa.int64()),
+            "b": pa.array(df["b"].to_numpy().astype(np.int64), pa.int64()),
+            "dot": pa.array(df["dot"].to_numpy(), pa.float64())})
+
+    partial = nw_rows.map_batches(_add_pkey, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True) \
+        .groupby("pkey").map_groups(_group_pairs, batch_format="pyarrow")
+    # many tiny map_groups blocks -> repartition before the aggregate
+    # (the measured 16s -> 2.6s shuffle-fixed-cost lesson)
+    partial = partial.repartition(max(2, n_groups // 16))
+    summed = partial.groupby(["a", "b"]).aggregate(
+        Sum(on="dot", alias_name="cos"))
+
+    def _fin(b: pa.Table) -> pa.Table:
+        cos = b.column("cos").to_numpy(zero_copy_only=False)
+        keep = cos >= threshold
+        return pa.table({
+            "a": b.column("a").filter(pa.array(keep)),
+            "b": b.column("b").filter(pa.array(keep)),
+            "cosine": pa.array(np.round(cos[keep], 6), pa.float64())})
+
+    return summed.map_batches(_fin, batch_format="pyarrow",
+                              batch_size=None)

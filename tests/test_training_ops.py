@@ -618,3 +618,49 @@ def test_ivf_train_unbiased_on_clustered_store(ray_session):
         e = set(exact[exact.query_idx == qi].vec_id)
         a = set(approx[approx.query_idx == qi].vec_id)
         assert len(e & a) / 5 >= 0.8, (qi, e, a)
+
+
+def test_tfidf_cosine_pairs(ray_session):
+    """TF-IDF weighted cosine join: near-dup pair found with high
+    cosine; docs sharing only high-df boilerplate never pair (the df
+    cap strips it); unrelated doc pairs with nothing."""
+    import ray.data
+
+    from sylk.stages.dedup import tfidf_cosine_pairs
+
+    boiler = "terms and conditions apply all rights reserved contact us"
+    docs = [
+        # near-dups: one rare word changed out of many shared rare words
+        {"doc_id": 0, "text": boiler + " zephyr quasar nebula pulsar quark gluon meson hadron"},
+        {"doc_id": 1, "text": boiler + " zephyr quasar nebula pulsar quark gluon meson lepton"},
+        # shares ONLY the boilerplate (df = 4 of 4 docs -> capped away)
+        {"doc_id": 2, "text": boiler + " aardvark bison caribou dingo"},
+        {"doc_id": 3, "text": boiler + " einkorn farro spelt teff"},
+    ]
+    out = tfidf_cosine_pairs(ray.data.from_items(docs),
+                             threshold=0.5).to_pandas()
+    got = set(zip(out.a, out.b))
+    assert got == {(0, 1)}
+    # shared rare words carry df=2 (idf ln2), the one differing word
+    # df=1 (idf ln4, double weight): cosine = 7·ln²2/(7·ln²2+ln²4) ≈ 0.636
+    assert abs(out.cosine.iloc[0] - 7 * np.log(2) ** 2
+               / (7 * np.log(2) ** 2 + np.log(4) ** 2)) < 1e-6
+
+    # forced-distributed tier must produce the identical pair set
+    out_d = tfidf_cosine_pairs(ray.data.from_items(docs), threshold=0.5,
+                               distributed=True).to_pandas()
+    assert (sorted(zip(out_d.a, out_d.b, out_d.cosine))
+            == sorted(zip(out.a, out.b, out.cosine)))
+
+
+def test_tfidf_token_rows_tf_counts():
+    """Term frequencies count repeats; empty docs emit nothing."""
+    import pyarrow as pa
+
+    from sylk.stages.dedup import tfidf_token_rows
+
+    t = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                  "text": pa.array(["a b a  a b", ""])})
+    rows = tfidf_token_rows(t)
+    assert rows.column("doc_id").to_pylist() == [7, 7]
+    assert sorted(rows.column("tf").to_pylist()) == [2, 3]
