@@ -1690,8 +1690,6 @@ def tfidf_cosine_pairs(docs_ds, threshold: float = 0.5,
     doc-keyed exchange for norms, one token-keyed coarse-grouped pair
     expansion (co-located buckets, vectorized products, never a
     per-pair Python loop), one (a, b) aggregate of reduced rows."""
-    import math
-
     import ray
     import ray.data
     from ray.data.aggregate import Sum
