@@ -1129,6 +1129,67 @@ def q_tfidf_cosine_pairs(sf_dir: str) -> pa.Table:
                         "cosine")
 
 
+def q_bigram_pmi(sf_dir: str) -> pa.Table:
+    """Adjacent-word collocation mining: bigram counts over the
+    documents corpus with pointwise mutual information
+    ``pmi = ln(n·T / (ca·cb))`` (T = total bigrams, ca/cb = the left/
+    right token's bigram-position marginals), kept at n >= 5, 6dp (the
+    ln ulp protocol).  ONE raw-stream exchange (the two-phase bigram
+    count); marginals and T come from the REDUCED bigram table via the
+    driver's pyarrow C++ group_by (bigram-vocabulary-bounded — the
+    log_templates local-merge precedent; swap grouped_counts_local for
+    grouped_counts + two keyed aggregates if a corpus ever outgrows
+    it)."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts_local
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["text"])
+
+    def _bg(b: pa.Table) -> pa.Table:
+        la, rb = [], []
+        for t in b.column("text").to_pylist():
+            ts = (t or "").split()
+            if len(ts) >= 2:
+                la.extend(ts[:-1])
+                rb.extend(ts[1:])
+        return pa.table({"a": pa.array(la, pa.string()),
+                         "b": pa.array(rb, pa.string())})
+
+    rows = docs.map_batches(_bg, batch_format="pyarrow", batch_size=None)
+    c = grouped_counts_local(rows, ["a", "b"])
+    if c.num_columns == 0:
+        return pa.table({"tok_a": pa.array([], pa.string()),
+                         "tok_b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    n = c.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = n.sum()
+    la_t = c.group_by("a").aggregate([("n", "sum")])
+    rb_t = c.group_by("b").aggregate([("n", "sum")])
+    la_k = la_t.column("a").to_numpy(zero_copy_only=False)
+    la_v = la_t.column("n_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    rb_k = rb_t.column("b").to_numpy(zero_copy_only=False)
+    rb_v = rb_t.column("n_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    lo = np.argsort(la_k)
+    ro = np.argsort(rb_k)
+    a_arr = c.column("a").to_numpy(zero_copy_only=False)
+    b_arr = c.column("b").to_numpy(zero_copy_only=False)
+    ca = la_v[lo][np.searchsorted(la_k[lo], a_arr)]
+    cb = rb_v[ro][np.searchsorted(rb_k[ro], b_arr)]
+    pmi = np.round(np.log(n * total / (ca * cb)), 6)
+    keep = n >= 5
+    return pa.table({
+        "tok_a": pa.array(a_arr[keep], pa.string()),
+        "tok_b": pa.array(b_arr[keep], pa.string()),
+        "n": pa.array(n[keep].astype(np.int64), pa.int64()),
+        "pmi": pa.array(pmi[keep], pa.float64()),
+    })
+
+
 def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
     """EXACT n-gram (word 3-gram) Jaccard near-dup pairs via the
     inverted shingle index — a full-recall counterpart to the banded
@@ -4254,6 +4315,36 @@ def build_oracle_sql() -> dict[str, str]:
     # threshold (see q_minhash_dup_pairs docstring)
     d["minhash_dup_pairs"] = d["ngram_jaccard_dup_pairs"].replace(
         ">= 0.6", ">= 0.8")
+    # bigram PMI: same whitespace tokens; bigrams packed as
+    # 'left SP right' strings (tokens cannot contain whitespace, so
+    # split_part is unambiguous); marginals over ALL bigrams, the
+    # n >= 5 floor applied last — exactly the Ray order
+    d["bigram_pmi"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ),
+        bgl AS (
+          SELECT [ts[i] || ' ' || ts[i+1]
+                  FOR i IN generate_series(1, len(ts) - 1)] AS gs
+          FROM toks WHERE len(ts) >= 2
+        ),
+        bg AS (SELECT unnest(gs) AS g FROM bgl),
+        c AS (SELECT split_part(g, ' ', 1) AS a,
+                     split_part(g, ' ', 2) AS b,
+                     count(*) AS n
+              FROM bg GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+        la AS (SELECT a, CAST(sum(n) AS DOUBLE) AS ca FROM c GROUP BY 1),
+        rb AS (SELECT b, CAST(sum(n) AS DOUBLE) AS cb FROM c GROUP BY 1)
+        SELECT c.a AS tok_a, c.b AS tok_b, CAST(c.n AS BIGINT) AS n,
+               round(ln(c.n * tot.t / (la.ca * rb.cb)), 6) AS pmi
+        FROM c CROSS JOIN tot
+        JOIN la ON la.a = c.a
+        JOIN rb ON rb.b = c.b
+        WHERE c.n >= 5"""
     # TF-IDF weighted cosine join: exact replay — same whitespace
     # tokens, w = tf * ln(N/df) with the df <= 0.5N stopword cap,
     # cosine = dot/(|a||b|); threshold compared unrounded both sides
@@ -5169,6 +5260,7 @@ QUERIES = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "bigram_pmi": q_bigram_pmi,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,
