@@ -128,6 +128,21 @@ def bench_minhash_dedup(_files) -> dict:
     return {"pairs": pairs.count()}
 
 
+def bench_tfidf_pairs(_files) -> dict:
+    """TF-IDF weighted cosine similarity join over the documents table
+    (round-4 family headline: df-capped idf weights + weighted pair
+    products)."""
+    import ray.data
+
+    from sylk.stages.dedup import tfidf_cosine_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = tfidf_cosine_pairs(docs, threshold=0.6)
+    return {"pairs": pairs.count()}
+
+
 def bench_ann(_files) -> dict:
     import numpy as np
     import ray.data
@@ -180,6 +195,7 @@ BENCHES = {
     "parse_agg": bench_parse_agg,
     "host_histogram": bench_host_histogram,
     "minhash_dedup": bench_minhash_dedup,
+    "tfidf_pairs": bench_tfidf_pairs,
     "ann_bruteforce": bench_ann,
     "join_rollup": bench_join_rollup,
     "asof_join": bench_asof_join,
