@@ -742,6 +742,45 @@ def q_funnel_stages(sf_dir: str) -> pa.Table:
     return _table(out.select_columns(cols), cols)
 
 
+def q_funnel_latency_quantiles(sf_dir: str) -> pa.Table:
+    """Conversion-latency distribution: p50/p90/p99 of
+    (t_purchase - t_view) µs over fully-converted users — the funnel
+    frontier chain (sylk/stages/funnel.py) feeding the exact 3-pass
+    interpolated-quantile selection (bit-exact quantile_cont protocol:
+    lo*(1-f) + hi*f)."""
+    import os
+
+    import ray.data
+
+    from ..stages.funnel import funnel_stages
+    from ..stages.selection import distributed_quantiles_cont
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_type": b.column("event_type"),
+                         "t_us": b.column("ts").cast(pa.int64())})
+
+    stages = funnel_stages(
+        ev.map_batches(_prep, batch_format="pyarrow", batch_size=None),
+        _FUNNEL_STEPS)
+
+    def _lat(b: pa.Table) -> pa.Table:
+        full = pc.equal(b.column("stage"), 3)
+        lat = pc.subtract(b.column("t_purchase").filter(full),
+                          b.column("t_view").filter(full))
+        return pa.table({"latency": pc.cast(lat, pa.float64())})
+
+    lat = stages.map_batches(_lat, batch_format="pyarrow", batch_size=None)
+    p = distributed_quantiles_cont(lat, "latency", [0.5, 0.9, 0.99])
+    return pa.table({"p50": pa.array([p[0]], pa.float64()),
+                     "p90": pa.array([p[1]], pa.float64()),
+                     "p99": pa.array([p[2]], pa.float64())})
+
+
 _WSAMPLE_K = 200
 
 
@@ -4315,6 +4354,26 @@ def build_oracle_sql() -> dict[str, str]:
     # threshold (see q_minhash_dup_pairs docstring)
     d["minhash_dup_pairs"] = d["ngram_jaccard_dup_pairs"].replace(
         ">= 0.6", ">= 0.8")
+    # conversion-latency quantiles: funnel chain + quantile_cont
+    # (lo*(1-f)+hi*f — the interpolation the selection stage matches
+    # bit-exactly)
+    d["funnel_latency_quantiles"] = """
+        WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click'
+                 AND epoch_us(e.ts) > s1.t_view GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+               FROM events e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND epoch_us(e.ts) > s2.t_click GROUP BY 1),
+        lat AS (SELECT CAST(s3.t_purchase - s1.t_view AS DOUBLE) AS l
+                FROM s3 JOIN s1 USING (user_id))
+        SELECT quantile_cont(l, 0.5) AS p50,
+               quantile_cont(l, 0.9) AS p90,
+               quantile_cont(l, 0.99) AS p99
+        FROM lat"""
     # bigram PMI: same whitespace tokens; bigrams packed as
     # 'left SP right' strings (tokens cannot contain whitespace, so
     # split_part is unambiguous); marginals over ALL bigrams, the
@@ -5261,6 +5320,7 @@ QUERIES = {
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "bigram_pmi": q_bigram_pmi,
+    "funnel_latency_quantiles": q_funnel_latency_quantiles,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,

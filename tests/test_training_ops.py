@@ -664,3 +664,26 @@ def test_tfidf_token_rows_tf_counts():
     rows = tfidf_token_rows(t)
     assert rows.column("doc_id").to_pylist() == [7, 7]
     assert sorted(rows.column("tf").to_pylist()) == [2, 3]
+
+
+def test_tfidf_vocab_join_fallback(ray_session, monkeypatch):
+    """Vocab above the broadcast limit takes the hash-join idf tier —
+    must produce the identical pair set."""
+    import ray.data
+
+    from sylk.stages import dedup as D
+
+    boiler = "terms and conditions apply all rights reserved contact us"
+    docs = [
+        {"doc_id": 0, "text": boiler + " zephyr quasar nebula pulsar quark gluon meson hadron"},
+        {"doc_id": 1, "text": boiler + " zephyr quasar nebula pulsar quark gluon meson lepton"},
+        {"doc_id": 2, "text": boiler + " aardvark bison caribou dingo"},
+        {"doc_id": 3, "text": boiler + " einkorn farro spelt teff"},
+    ]
+    base = D.tfidf_cosine_pairs(ray.data.from_items(docs), threshold=0.5,
+                                distributed=True).to_pandas()
+    monkeypatch.setattr(D, "_TFIDF_VOCAB_BROADCAST_LIMIT", 0)
+    fb = D.tfidf_cosine_pairs(ray.data.from_items(docs), threshold=0.5,
+                              distributed=True).to_pandas()
+    assert (sorted(zip(fb.a, fb.b, fb.cosine))
+            == sorted(zip(base.a, base.b, base.cosine)) != [])
