@@ -5,6 +5,7 @@ Usage (also works under `ray job submit -- python -m sylk ...`)::
     python -m sylk run --input '/data/transcripts/*.parquet' --out /data/routed \
         [--files-per-unit 16] [--concurrent-units 2] [--num-cpus N]
     python -m sylk synth --out /tmp/corpus --rows 1000000
+    python -m sylk serve --proto udp --port 5514   # live syslog server loop
 
 ``run`` streams parse -> enrich -> route -> aggregate with per-unit
 checkpointing; re-running with the same --out resumes (committed units
@@ -53,6 +54,21 @@ def main(argv=None) -> int:
     synth.add_argument("--rows", type=int, required=True)
     synth.add_argument("--rows-per-file", type=int, default=250_000)
 
+    srv = sub.add_parser(
+        "serve",
+        help="live syslog server (the crate's doc-example loop): bind a "
+             "UDP (RFC 5426) or TCP (RFC 6587) socket, parse each "
+             "message through the flagship stages, print per-sink "
+             "counts on exit")
+    srv.add_argument("--proto", choices=("udp", "tcp"), default="udp")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=0,
+                     help="0 = OS-assigned (printed on start)")
+    srv.add_argument("--poll-s", type=float, default=0.5)
+    srv.add_argument("--idle-exit", type=int, default=20,
+                     help="exit after this many consecutive empty drains")
+    srv.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -66,6 +82,32 @@ def main(argv=None) -> int:
 
             write_transcripts(args.out, args.rows, rows_per_file=args.rows_per_file)
             print(json.dumps({"out": args.out, "rows": args.rows}))
+            return 0
+
+        if args.cmd == "serve":
+            from sylk.sources.socket_source import (TCPLineReceiver,
+                                                    UDPLineReceiver,
+                                                    serve_counts)
+
+            cls = UDPLineReceiver if args.proto == "udp" else TCPLineReceiver
+            recv = cls.remote(host=args.host, port=args.port)
+            host, port = ray.get(recv.address.remote())
+            print(json.dumps({"listening": f"{args.proto}://{host}:{port}"}),
+                  flush=True)
+            try:
+                totals, rows = serve_counts(recv, poll_s=args.poll_s,
+                                            idle_exit=args.idle_exit)
+            finally:
+                ray.get(recv.stop.remote())
+            print(json.dumps({
+                "rows": rows,
+                "dropped": ray.get(recv.dropped.remote()),
+                "sink_counts": {
+                    f"{f}/{s}": int(n) for f, s, n in zip(
+                        totals.column("facility").to_pylist(),
+                        totals.column("severity").to_pylist(),
+                        totals.column("n").to_pylist())},
+            }))
             return 0
 
         if args.cmd == "follow":
