@@ -1168,6 +1168,54 @@ def q_tfidf_cosine_pairs(sf_dir: str) -> pa.Table:
                         "cosine")
 
 
+def q_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Incremental exact dedup across ingest increments
+    (sylk/stages/dedup_store.py): events split into two increments by
+    event_id midpoint, keyed on (event_type, user_id) content identity;
+    each increment anti-joins only its hash-prefix store partitions and
+    appends its novel keys.  Accepted = first increment containing the
+    key, smallest event_id within it — SQL-exact via one global window."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.dedup_store import dedup_ingest, read_accepted
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b.column("event_type").cast(pa.string()),
+            pc.cast(b.column("user_id"), pa.string()), "|")
+        return pa.table({"event_id": pc.cast(b.column("event_id"),
+                                             pa.int64()),
+                         "key": key})
+
+    keyed = ev.map_batches(_key, batch_format="pyarrow", batch_size=None)
+    lohi = keyed.aggregate(Min("event_id"), Max("event_id"))
+    split = (lohi["min(event_id)"] + lohi["max(event_id)"]) // 2
+
+    root = tempfile.mkdtemp(prefix="sylk_incdedup_", dir="/tmp")
+    store, out = os.path.join(root, "store"), os.path.join(root, "out")
+    try:
+        for inc, expr in ((1, f"event_id <= {split}"),
+                          (2, f"event_id > {split}")):
+            # consuming the stats Dataset EXECUTES the ingest's writes;
+            # increments must land in order
+            dedup_ingest(keyed.filter(expr=expr), store, out,
+                         key_col="key", order_col="event_id",
+                         inc_id=inc).materialize()
+        acc = read_accepted(out).select_columns(["event_id"])
+        return _table(acc, ["event_id"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_bigram_pmi(sf_dir: str) -> pa.Table:
     """Adjacent-word collocation mining: bigram counts over the
     documents corpus with pointwise mutual information
@@ -4374,6 +4422,23 @@ def build_oracle_sql() -> dict[str, str]:
                quantile_cont(l, 0.9) AS p90,
                quantile_cont(l, 0.99) AS p99
         FROM lat"""
+    # incremental dedup: first increment containing the key wins,
+    # smallest event_id within it — one global window replays the
+    # sequential two-increment ingest exactly
+    d["incremental_dedup"] = """
+        WITH s AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m
+                   FROM events),
+        k AS (SELECT event_id,
+                     event_type || '|' || CAST(user_id AS VARCHAR) AS key,
+                     CASE WHEN event_id <= (SELECT m FROM s)
+                          THEN 1 ELSE 2 END AS inc
+              FROM events)
+        SELECT CAST(event_id AS BIGINT) AS event_id
+        FROM (SELECT event_id,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY inc, event_id) AS rn
+              FROM k)
+        WHERE rn = 1"""
     # bigram PMI: same whitespace tokens; bigrams packed as
     # 'left SP right' strings (tokens cannot contain whitespace, so
     # split_part is unambiguous); marginals over ALL bigrams, the
@@ -5321,6 +5386,7 @@ QUERIES = {
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "bigram_pmi": q_bigram_pmi,
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
+    "incremental_dedup": q_incremental_dedup,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,

@@ -1,0 +1,96 @@
+"""Incremental exact-dedup store: cross-increment anti-join, in-increment
+first-wins, rerun idempotence, crash-window convergence."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sylk.stages.dedup_store import dedup_ingest, read_accepted
+
+
+def _inc(rows):
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "key": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def _ingest(ray_ds, store, out, inc_id):
+    return dedup_ingest(ray_ds, store, out, key_col="key",
+                        order_col="event_id", inc_id=inc_id).to_pandas()
+
+
+def test_incremental_dedup_semantics(ray_session, tmp_path):
+    import ray.data
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    # inc 1: key a twice (first wins), keys b, c
+    inc1 = _inc([(5, "a"), (1, "a"), (2, "b"), (3, "c")])
+    s1 = _ingest(ray.data.from_arrow(inc1), store, out, 1)
+    assert s1.accepted.sum() == 3 and s1.rejected.sum() == 1
+    # inc 2: a and c seen (rejected), d and e novel, e twice
+    inc2 = _inc([(10, "a"), (11, "d"), (12, "c"), (14, "e"), (13, "e")])
+    s2 = _ingest(ray.data.from_arrow(inc2), store, out, 2)
+    assert s2.accepted.sum() == 2 and s2.rejected.sum() == 3
+    acc = read_accepted(out).to_pandas().sort_values("event_id")
+    assert acc.event_id.tolist() == [1, 2, 3, 11, 13]
+    assert read_accepted(out, 2).to_pandas().event_id.sort_values() \
+        .tolist() == [11, 13]
+
+
+def test_incremental_dedup_rerun_idempotent(ray_session, tmp_path):
+    """Re-ingesting the same increment (crash-rerun) overwrites its own
+    files: same accepted set, no duplicates, store file count stable."""
+    import ray.data
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    inc1 = _inc([(1, "a"), (2, "b")])
+    _ingest(ray.data.from_arrow(inc1), store, out, 1)
+    inc2 = _inc([(10, "a"), (11, "d")])
+    s2a = _ingest(ray.data.from_arrow(inc2), store, out, 2)
+    n_files = len(glob.glob(os.path.join(store, "p=*", "*.parquet")))
+    # rerun increment 2 — its own store entries must be IGNORED by the
+    # probe, its files overwritten
+    s2b = _ingest(ray.data.from_arrow(inc2), store, out, 2)
+    assert s2a.accepted.sum() == s2b.accepted.sum() == 1
+    assert len(glob.glob(os.path.join(store, "p=*", "*.parquet"))) == n_files
+    acc = read_accepted(out).to_pandas().event_id.sort_values().tolist()
+    assert acc == [1, 2, 11]
+
+
+def test_incremental_dedup_crash_after_store_append(ray_session, tmp_path):
+    """Worst crash window: store append landed but the accepted-output
+    file did not.  The rerun must still accept the increment's rows
+    (its own store files are excluded from the probe)."""
+    import ray.data
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    _ingest(ray.data.from_arrow(_inc([(1, "a")])), store, out, 1)
+    _ingest(ray.data.from_arrow(_inc([(2, "b")])), store, out, 2)
+    # simulate the crash: delete inc 2's accepted outputs, keep its
+    # store append
+    for f in glob.glob(os.path.join(out, "inc=2", "*.parquet")):
+        os.remove(f)
+    s2 = _ingest(ray.data.from_arrow(_inc([(2, "b")])), store, out, 2)
+    assert s2.accepted.sum() == 1
+    assert read_accepted(out, 2).to_pandas().event_id.tolist() == [2]
+
+
+def test_incremental_dedup_bucket_pruning(ray_session, tmp_path):
+    """Probe reads only the matching hash-prefix partitions: the store
+    layout is one dir per bucket and each increment appends at most one
+    file per bucket it touched."""
+    import ray.data
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    rows = [(i, f"k{i}") for i in range(200)]
+    _ingest(ray.data.from_arrow(_inc(rows)), store, out, 1)
+    pdirs = glob.glob(os.path.join(store, "p=*"))
+    assert 1 < len(pdirs) <= 64  # bits=6 -> at most 64 buckets
+    for d in pdirs:
+        fs = glob.glob(os.path.join(d, "*.parquet"))
+        assert [os.path.basename(f) for f in fs] == ["inc1.parquet"]
+        t = pq.read_table(fs[0])
+        assert t.schema.names == ["h"]
