@@ -234,6 +234,59 @@ def _field(parts, i: int):
     )
 
 
+def _tail_suffixes(tail, sd):
+    """Split each tail row after its SD prefix, by bytes, vectorized:
+    returns ``(sp_is_space bool[n], msg StringArray, msg_len int64[n])``
+    where msg = the tail after the sd prefix and one optional space
+    (exactly the old ``(?P<sp> ?)(?P<msg>(?s:.*))$`` captures).  Rows
+    with a null/unmatched sd use skip 0 (callers mask on sd validity).
+
+    Implementation reads the Arrow offsets+data buffers directly and
+    compresses the skipped prefix bytes with one boolean mask (O(bytes),
+    no per-row Python — the content_hash64 buffer discipline)."""
+    tail_f = pc.fill_null(tail, "")
+    if isinstance(tail_f, pa.ChunkedArray):
+        tail_f = tail_f.combine_chunks()
+    n = len(tail_f)
+    if n == 0:
+        return (np.zeros(0, bool), pa.array([], pa.string()),
+                np.zeros(0, np.int64))
+    off = np.frombuffer(tail_f.buffers()[1], dtype=np.int32)[
+        tail_f.offset: tail_f.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(tail_f.buffers()[2], dtype=np.uint8)
+    sd_len = pc.binary_length(pc.fill_null(sd, "")) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    row_len = off[1:] - off[:-1]
+    skip = np.minimum(sd_len, row_len)  # sd is a prefix; min is a guard
+    after = off[:-1] + skip
+    has_byte = skip < row_len
+    sp_is_space = np.zeros(n, dtype=bool)
+    idx = after[has_byte]
+    sp_is_space[has_byte] = data[idx] == 0x20
+    skip = skip + sp_is_space
+    # compress the per-row skipped prefixes out of the data buffer: the
+    # dropped bytes (SD prefixes, ~100 B/row) are far fewer than the
+    # kept bytes, so enumerate DROP indices (repeat+arange over the
+    # short skips) and boolean-compress once — O(bytes) with temps
+    # proportional to the dropped volume, not the buffer
+    lo, hi = off[0], off[-1]
+    seg = data[lo:hi]
+    starts_rel = off[:-1] - lo
+    tot_skip = int(skip.sum())
+    mask = np.ones(len(seg), dtype=bool)
+    if tot_skip:
+        csk = np.concatenate(([0], np.cumsum(skip)))
+        intra = np.arange(tot_skip, dtype=np.int64) \
+            - np.repeat(csk[:-1], skip)
+        mask[np.repeat(starts_rel, skip) + intra] = False
+    out_data = seg[mask]
+    new_off = (off - lo - np.concatenate(([0], np.cumsum(skip)))) \
+        .astype(np.int32)
+    msg = pa.StringArray.from_buffers(
+        n, pa.py_buffer(new_off.tobytes()), pa.py_buffer(out_data.tobytes()))
+    return sp_is_space, msg, off[1:] - off[:-1] - skip
+
+
 def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """The map_batches body: append parse-output columns to ``batch``.
 
@@ -335,16 +388,26 @@ def parse_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     nanos = fr_val * np.power(10, np.maximum(9 - np.maximum(fr_len, 1), 0))
 
     # --- SD boundary (loose capture) + strict validation + msg rule ---
-    sd_st = pc.extract_regex(tail, _SD_LOOSE_RE + r"(?P<sp> ?)(?P<msg>(?s:.*))$")
-    for f_name in ("sd", "sp", "msg"):
-        g[f_name] = pc.struct_field(sd_st, f_name)
+    # capture ONLY the (short) SD prefix: a trailing `(?P<msg>(?s:.*))$`
+    # capture forces RE2 into submatch-tracking over the WHOLE tail
+    # (measured 11.7 µs/row on 1 KB messages vs ~1 µs for the prefix
+    # alone); sp/msg then come from exact byte arithmetic on the Arrow
+    # buffers (`_tail_suffixes`), which the suffix-always-matches
+    # structure of the old pattern makes equivalent
+    sd_st = pc.extract_regex(tail, _SD_LOOSE_RE)
+    g["sd"] = pc.struct_field(sd_st, "sd")
     sd_matched = _np_bool(pc.is_valid(sd_st))
     sd_nil = _np_bool(pc.equal(g["sd"], "-"))
     sd_strict_ok = sd_nil | _np_bool(
         pc.match_substring_regex(g["sd"], _SD_STRICT_RE)
     )
-    sp_empty = _np_bool(pc.equal(g["sp"], ""))
-    msg_empty = _np_bool(pc.equal(g["msg"], ""))
+    sp_is_space, msg_arr, msg_len = _tail_suffixes(tail, g["sd"])
+    g["msg"] = pc.if_else(pa.array(sd_matched), msg_arr,
+                          pa.scalar(None, pa.string()))
+    # old semantics: sp/msg compare as False on unmatched rows (null
+    # propagation through pc.equal) — mask with sd_matched
+    sp_empty = (~sp_is_space) & sd_matched
+    msg_empty = (msg_len == 0) & sd_matched
     sd_slow = (~sd_nil) & sp_empty & (~msg_empty)
 
     ok_fast = (
