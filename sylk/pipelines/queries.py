@@ -1216,6 +1216,47 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_incremental_neardup(sf_dir: str) -> pa.Table:
+    """Incremental NEAR-dup dedup across increments
+    (dedup_store.neardup_ingest): documents split at the doc_id
+    midpoint; each increment resolves its in-increment near-dup
+    clusters (exact-verified LSH -> CC representatives) and then drops
+    representatives that near-match a PRIOR accepted doc via the band
+    store.  Exact oracle: all-pairs 3-gram Jaccard >= 0.8 with
+    per-increment recursive CCs and a cross-increment pair filter —
+    valid on this corpus by the minhash_dup_pairs recall argument
+    (dup pairs far above the banding threshold)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.dedup_store import neardup_ingest, read_accepted
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    ids = docs.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow", batch_size=None)
+    from ray.data.aggregate import Max, Min
+
+    lohi = ids.aggregate(Min("doc_id"), Max("doc_id"))
+    split = (lohi["min(doc_id)"] + lohi["max(doc_id)"]) // 2
+
+    root = tempfile.mkdtemp(prefix="sylk_incnear_", dir="/tmp")
+    store, out = os.path.join(root, "store"), os.path.join(root, "out")
+    try:
+        for inc, expr in ((1, f"doc_id <= {split}"),
+                          (2, f"doc_id > {split}")):
+            neardup_ingest(docs.filter(expr=expr), store, out, inc_id=inc,
+                           threshold=0.8)
+        acc = read_accepted(out).select_columns(["doc_id"])
+        return _table(acc, ["doc_id"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_bigram_pmi(sf_dir: str) -> pa.Table:
     """Adjacent-word collocation mining: bigram counts over the
     documents corpus with pointwise mutual information
@@ -4422,6 +4463,76 @@ def build_oracle_sql() -> dict[str, str]:
                quantile_cont(l, 0.9) AS p90,
                quantile_cont(l, 0.99) AS p99
         FROM lat"""
+    # incremental NEAR-dup: per-increment CCs over the exact 0.8-Jaccard
+    # pair graph (same recursive pattern as dup_cluster_ids), then
+    # inc2 representatives with a pair into inc1's kept set drop;
+    # pairs have a < b and the midpoint split makes a<=m<b the only
+    # cross shape
+    d["incremental_neardup"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                      ELSE [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                            FOR i IN generate_series(1, len(ts)-2)]
+                 END AS gs
+          FROM toks WHERE len(ts) > 0
+        ),
+        dsh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM dsh x JOIN dsh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+        ),
+        s AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+        u1 AS (SELECT a AS src, b AS dst FROM pairs, s WHERE b <= s.m
+               UNION
+               SELECT b, a FROM pairs, s WHERE b <= s.m),
+        r1(src, dst) AS (
+          SELECT src, dst FROM u1
+          UNION
+          SELECT r.src, u.dst FROM r1 r
+          JOIN u1 u ON r.dst = u.src WHERE u.dst <> r.src
+        ),
+        c1 AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cid
+               FROM r1 GROUP BY src),
+        kept1 AS (SELECT d.doc_id FROM documents d CROSS JOIN s
+                  LEFT JOIN c1 USING (doc_id)
+                  WHERE d.doc_id <= s.m
+                    AND COALESCE(c1.cid, d.doc_id) = d.doc_id),
+        u2 AS (SELECT a AS src, b AS dst FROM pairs, s WHERE a > s.m
+               UNION
+               SELECT b, a FROM pairs, s WHERE a > s.m),
+        r2(src, dst) AS (
+          SELECT src, dst FROM u2
+          UNION
+          SELECT r.src, u.dst FROM r2 r
+          JOIN u2 u ON r.dst = u.src WHERE u.dst <> r.src
+        ),
+        c2 AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cid
+               FROM r2 GROUP BY src),
+        rep2 AS (SELECT d.doc_id FROM documents d CROSS JOIN s
+                 LEFT JOIN c2 USING (doc_id)
+                 WHERE d.doc_id > s.m
+                   AND COALESCE(c2.cid, d.doc_id) = d.doc_id)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept1
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT) FROM rep2 r
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          JOIN kept1 k ON p.a = k.doc_id
+                          WHERE p.b = r.doc_id)"""
     # incremental dedup: first increment containing the key wins,
     # smallest event_id within it — one global window replays the
     # sequential two-increment ingest exactly
@@ -5387,6 +5498,7 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_neardup": q_incremental_neardup,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,

@@ -512,7 +512,12 @@ def _collect_needed(source_ds, id_col: str, val_col: str, need_ids) -> dict:
         return b.filter(mask).select([id_col, val_col])
 
     small = source_ds.map_batches(_filt, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(ray.get(small.to_arrow_refs()))
+    # filtered/joined sources can surface schemaless empty blocks
+    # (dedup.py:78 pattern) — drop them before the concat
+    blocks = [b for b in ray.get(small.to_arrow_refs()) if b.num_columns > 0]
+    if not blocks:
+        return {}
+    tbl = pa.concat_tables(blocks)
     return dict(zip(tbl.column(id_col).to_pylist(), tbl.column(val_col).to_pylist()))
 
 

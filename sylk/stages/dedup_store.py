@@ -133,3 +133,186 @@ def read_accepted(out_dir: str, inc_id: int | None = None):
            if inc_id is not None
            else os.path.join(out_dir, "inc=*", "*.parquet"))
     return ray.data.read_parquet(sorted(glob.glob(pat)))
+
+
+# --- incremental near-dup (MinHash-LSH) store --------------------------------
+
+def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
+                   threshold: float = 0.8, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Incremental NEAR-dup dedup across increments: the MinHash sibling
+    of :func:`dedup_ingest`.  Semantics (deterministic given the LSH
+    recall argument documented at ``dedup.minhash_dup_pairs``):
+
+    1. in-increment: exact-verified LSH pairs -> connected components ->
+       keep the min-id representative per cluster;
+    2. cross-increment: a kept doc is REJECTED iff one of its 16 band
+       buckets collides with a PRIOR ACCEPTED doc AND exact 3-gram
+       Jaccard against that doc's stored text >= ``threshold``;
+    3. survivors' rows land under ``out_dir/inc=<id>/`` and their
+       (band, band_hash, doc_id) rows under ``store_dir/inc=<id>/`` —
+       both written into scratch dirs atomically renamed into place, so
+       a rerun rebuilds its own increment instead of appending.
+
+    Doc ids must be globally unique across increments (they key the
+    text lookup for verification).  At 100-TB scale the band store
+    would additionally partition by band-hash prefix so a probe reads
+    only colliding ranges; the probe here streams the whole (reduced:
+    16 rows/accepted doc) store through one hash join, which is the
+    same exchange shape.
+
+    Returns ``{"accepted": n, "rejected_in_inc": n, "rejected_cross": n}``.
+    """
+    import shutil
+
+    import ray
+    import ray.data
+
+    from .aggregate import grouped_counts
+    from .dedup import (connected_components, minhash_bands_batch,
+                        minhash_dup_pairs, ngram_jaccard, _verify_pairs)
+    from .join import hash_join
+
+    n_inc = ds.count()
+    pairs = minhash_dup_pairs(ds, threshold=threshold, text_col=text_col)
+    nodes = ds.map_batches(lambda b: b.select([id_col]),
+                           batch_format="pyarrow", batch_size=None)
+    cc = connected_components(nodes, pairs, node_col=id_col)
+
+    def _reps(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_columns == 0:
+            return pa.table({"_rep": pa.array([], pa.int64())})
+        keep = pc.equal(b.column(id_col), b.column("cluster_id"))
+        return pa.table({"_rep": b.column(id_col).filter(keep)})
+
+    reps = cc.map_batches(_reps, batch_format="pyarrow", batch_size=None)
+    kept = hash_join(ds, reps, on=id_col, right_on="_rep").materialize()
+    n_kept = kept.count()
+
+    # ---- cross-increment probe ----
+    prior = sorted(
+        d for d in glob.glob(os.path.join(store_dir, "inc=*"))
+        if os.path.basename(d) != f"inc={inc_id}")
+    rejected_ids: set = set()
+    if prior:
+        new_bands = kept.map_batches(
+            lambda b: _bands_i64(b, text_col, id_col),
+            batch_format="pyarrow", batch_size=None)
+        store_bands = ray.data.read_parquet(
+            [f for d in prior
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))])
+
+        def _ren(b: pa.Table) -> pa.Table:
+            # by name: the Hive reader adds the inc=<id> dir as a column
+            if b.num_columns == 0:
+                return pa.table({"_old": pa.array([], pa.int64()),
+                                 "_sband": pa.array([], pa.int32()),
+                                 "_sbh": pa.array([], pa.int64())})
+            return pa.table({"_old": b.column("doc_id"),
+                             "_sband": b.column("band"),
+                             "_sbh": b.column("band_hash")})
+
+        cand = hash_join(new_bands,
+                         store_bands.map_batches(_ren,
+                                                 batch_format="pyarrow",
+                                                 batch_size=None),
+                         on=("band", "band_hash"),
+                         right_on=("_sband", "_sbh"))
+
+        def _ab(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            return pa.table({"a": b.column("doc_id"),
+                             "b": b.column("_old")})
+
+        cand = grouped_counts(
+            cand.map_batches(_ab, batch_format="pyarrow",
+                             batch_size=None), ["a", "b"]) \
+            .drop_columns(["n"])
+
+        def _sel_texts(b: pa.Table) -> pa.Table:
+            # upstream joins/map_groups can emit schemaless empty
+            # blocks (dedup.py:78 pattern) — rebuild the schema so the
+            # union's block schemas agree
+            if b.num_columns == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 text_col: pa.array([], pa.string())})
+            return b.select([id_col, text_col])
+
+        texts = kept.map_batches(
+            _sel_texts, batch_format="pyarrow", batch_size=None) \
+            .union(read_accepted(out_dir).map_batches(
+                _sel_texts, batch_format="pyarrow", batch_size=None))
+
+        def _jac(ta, tb):
+            j = ngram_jaccard(ta or "", tb or "")
+            return j if j >= threshold else None
+
+        verified = _verify_pairs(cand, texts, id_col, text_col, _jac,
+                                 "jaccard")
+        def _sel_a(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.table({"a": pa.array([], pa.int64())})
+            return b.select(["a"])
+
+        vdf = verified.map_batches(_sel_a, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
+        # an all-empty Dataset's to_pandas loses the schema entirely
+        rejected_ids = set(vdf["a"].tolist()) if "a" in vdf.columns else set()
+        # driver holds REJECTED ids only — bounded by the cross-dup
+        # volume, not the increment (the funnel-frontier bound argument)
+        if rejected_ids:
+            ref = ray.put(np.array(sorted(rejected_ids), dtype=np.int64))
+
+            def _drop(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                rej = ray.get(ref)
+                ids = b.column(id_col).to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(~np.isin(ids, rej)))
+
+            kept = kept.map_batches(_drop, batch_format="pyarrow",
+                                    batch_size=None)
+
+    # ---- atomic writes (scratch dir + rename; reruns overwrite) ----
+    accepted = kept.materialize()
+    n_acc = accepted.count()
+    for root, build in ((out_dir, lambda d: accepted.write_parquet(d)),
+                        (store_dir,
+                         lambda d: accepted.map_batches(
+                             lambda b: _bands_i64(b, text_col, id_col),
+                             batch_format="pyarrow",
+                             batch_size=None).write_parquet(d))):
+        os.makedirs(root, exist_ok=True)
+        final = os.path.join(root, f"inc={inc_id}")
+        tmp = os.path.join(root, f".build-inc{inc_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        build(tmp)
+        # a fully-rejected increment writes no files; the (empty) final
+        # dir must still exist so reruns and probes see the increment
+        os.makedirs(tmp, exist_ok=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+    return {"accepted": int(n_acc),
+            "rejected_in_inc": int(n_inc - n_kept),
+            "rejected_cross": len(rejected_ids)}
+
+
+def _bands_i64(b: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(doc_id, band, band_hash) rows with the hash bit-reinterpreted as
+    int64 — Ray's keyed shuffle overflows uint64 > 2^63 (CLAUDE.md)."""
+    from .dedup import minhash_bands_batch
+
+    if b.num_columns == 0:  # schemaless empty block (dedup.py:78 pattern)
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64())})
+    t = minhash_bands_batch(b, text_col, id_col)
+    bh = t.column("band_hash").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64).view(np.int64)
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "band": t.column("band").cast(pa.int32()),
+                     "band_hash": pa.array(bh, pa.int64())})

@@ -94,3 +94,61 @@ def test_incremental_dedup_bucket_pruning(ray_session, tmp_path):
         assert [os.path.basename(f) for f in fs] == ["inc1.parquet"]
         t = pq.read_table(fs[0])
         assert t.schema.names == ["h"]
+
+
+def _docs(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+_BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+         "into the deep dark woods tonight while the moon rises slowly")
+
+
+def test_neardup_ingest_semantics(ray_session, tmp_path):
+    """In-increment cluster collapses to its min-id representative;
+    cross-increment near-dups of prior ACCEPTED docs are rejected;
+    near-dups of prior REJECTED docs are not (they are not in the
+    store)."""
+    import ray.data
+
+    from sylk.stages.dedup_store import neardup_ingest, read_accepted
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    inc1 = _docs([(1, _BASE), (2, _BASE), (3, "totally unrelated words "
+                                              "about ray data pipelines")])
+    # threshold 0.7: the one-word edit below scores 3-gram j = 0.75
+    s1 = neardup_ingest(ray.data.from_arrow(inc1), store, out, inc_id=1,
+                        threshold=0.7)
+    assert s1 == {"accepted": 2, "rejected_in_inc": 1, "rejected_cross": 0}
+    # inc 2: near-dup of accepted doc 1 -> rejected; novel doc -> kept
+    inc2 = _docs([(10, _BASE.replace("moon", "sun")),
+                  (11, "completely novel content with no overlap at all "
+                       "whatsoever in any shingle")])
+    s2 = neardup_ingest(ray.data.from_arrow(inc2), store, out, inc_id=2,
+                        threshold=0.7)
+    assert s2 == {"accepted": 1, "rejected_in_inc": 0, "rejected_cross": 1}
+    acc = read_accepted(out).to_pandas().doc_id.sort_values().tolist()
+    assert acc == [1, 3, 11]
+
+
+def test_neardup_ingest_rerun_idempotent(ray_session, tmp_path):
+    import ray.data
+
+    from sylk.stages.dedup_store import neardup_ingest, read_accepted
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    inc1 = _docs([(1, _BASE), (2, "other standalone content here")])
+    neardup_ingest(ray.data.from_arrow(inc1), store, out, inc_id=1,
+                   threshold=0.7)
+    inc2 = _docs([(10, _BASE.replace("dog", "cat"))])
+    s2a = neardup_ingest(ray.data.from_arrow(inc2), store, out, inc_id=2,
+                         threshold=0.7)
+    s2b = neardup_ingest(ray.data.from_arrow(inc2), store, out, inc_id=2,
+                         threshold=0.7)
+    assert s2a == s2b == {"accepted": 0, "rejected_in_inc": 0,
+                          "rejected_cross": 1}
+    acc = read_accepted(out).to_pandas().doc_id.sort_values().tolist()
+    assert acc == [1, 2]
