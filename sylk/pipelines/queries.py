@@ -1216,6 +1216,60 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_upsert_current(sf_dir: str) -> pa.Table:
+    """LSM-style upsert store (sylk/stages/upsert_store.py): the event
+    stream as CDC — key user_id, arrival order event_id, 'error' events
+    as delete tombstones — written in two increments, COMPACTED, then
+    read as the live view (highest (inc, order) wins; tombstoned keys
+    absent).  Exact oracle: one global last-writer window (event_id is
+    monotone with the increment split, so (inc, order) == event_id)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.upsert_store import (compact_store, read_current,
+                                       upsert_write)
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "event_type": b.column("event_type"),
+            "value": b.column("value"),
+            "_del": pc.equal(b.column("event_type"), "error"),
+        })
+
+    keyed = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    lohi = keyed.aggregate(Min("event_id"), Max("event_id"))
+    split = (lohi["min(event_id)"] + lohi["max(event_id)"]) // 2
+
+    store = tempfile.mkdtemp(prefix="sylk_upsert_", dir="/tmp")
+    try:
+        for inc, expr in ((1, f"event_id <= {split}"),
+                          (2, f"event_id > {split}")):
+            upsert_write(keyed.filter(expr=expr), store,
+                         key_col="user_id", order_col="event_id",
+                         inc_id=inc).materialize()
+        compact_store(store, "user_id", "event_id", tombstone_col="_del")
+        live = read_current(store, "user_id", "event_id",
+                            tombstone_col="_del")
+        out = live.map_batches(
+            lambda b: pa.table({"user_id": b.column("user_id"),
+                                "last_type": b.column("event_type"),
+                                "last_value": b.column("value")}),
+            batch_format="pyarrow", batch_size=None)
+        return _table(out, ["user_id", "last_type", "last_value"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_incremental_neardup(sf_dir: str) -> pa.Table:
     """Incremental NEAR-dup dedup across increments
     (dedup_store.neardup_ingest): documents split at the doc_id
@@ -4463,6 +4517,16 @@ def build_oracle_sql() -> dict[str, str]:
                quantile_cont(l, 0.9) AS p90,
                quantile_cont(l, 0.99) AS p99
         FROM lat"""
+    # CDC upsert live view: last writer per user wins (event_id is the
+    # arrival order across both increments), error tombstones delete
+    d["cdc_upsert_current"] = """
+        WITH r AS (SELECT user_id, event_type, value,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY event_id DESC) AS rn
+                   FROM events)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               event_type AS last_type, value AS last_value
+        FROM r WHERE rn = 1 AND event_type <> 'error'"""
     # incremental NEAR-dup: per-increment CCs over the exact 0.8-Jaccard
     # pair graph (same recursive pattern as dup_cluster_ids), then
     # inc2 representatives with a pair into inc1's kept set drop;
@@ -5499,6 +5563,7 @@ QUERIES = {
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
     "incremental_dedup": q_incremental_dedup,
     "incremental_neardup": q_incremental_neardup,
+    "cdc_upsert_current": q_cdc_upsert_current,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,

@@ -152,3 +152,78 @@ def test_neardup_ingest_rerun_idempotent(ray_session, tmp_path):
                           "rejected_cross": 1}
     acc = read_accepted(out).to_pandas().doc_id.sort_values().tolist()
     assert acc == [1, 2]
+
+
+def test_upsert_store_semantics(ray_session, tmp_path):
+    """Last (inc, order) wins; tombstone winners vanish; a later
+    re-insert resurrects a deleted key; compaction preserves the live
+    view and collapses runs."""
+    import ray.data
+
+    from sylk.stages.upsert_store import (compact_store, read_current,
+                                          upsert_write)
+
+    store = str(tmp_path / "store")
+
+    def _inc_tbl(rows):
+        return pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "val": pa.array([r[2] for r in rows], pa.string()),
+            "_del": pa.array([r[3] for r in rows], pa.bool_()),
+        })
+
+    # inc 1: k1 v1 then v2 (in-inc last wins), k2 v1, k3 v1
+    upsert_write(ray.data.from_arrow(_inc_tbl([
+        (1, 10, "k1v1", False), (1, 11, "k1v2", False),
+        (2, 12, "k2v1", False), (3, 13, "k3v1", False)])),
+        store, "user_id", "event_id", inc_id=1).materialize()
+    # inc 2: k2 deleted, k3 updated, k4 inserted, k5 insert+delete
+    upsert_write(ray.data.from_arrow(_inc_tbl([
+        (2, 20, "", True), (3, 21, "k3v2", False),
+        (4, 22, "k4v1", False), (5, 23, "k5v1", False),
+        (5, 24, "", True)])),
+        store, "user_id", "event_id", inc_id=2).materialize()
+
+    live = read_current(store, "user_id", "event_id",
+                        tombstone_col="_del").to_pandas()
+    got = dict(zip(live.user_id, live.val))
+    assert got == {1: "k1v2", 3: "k3v2", 4: "k4v1"}
+
+    # inc 3: k2 resurrected
+    upsert_write(ray.data.from_arrow(_inc_tbl([(2, 30, "k2v2", False)])),
+                 store, "user_id", "event_id", inc_id=3).materialize()
+    live2 = read_current(store, "user_id", "event_id",
+                         tombstone_col="_del").to_pandas()
+    assert dict(zip(live2.user_id, live2.val))[2] == "k2v2"
+
+    stats = compact_store(store, "user_id", "event_id",
+                          tombstone_col="_del")
+    assert stats["runs_out"] < stats["runs_in"]
+    live3 = read_current(store, "user_id", "event_id",
+                         tombstone_col="_del").to_pandas()
+    assert (sorted(zip(live3.user_id, live3.val))
+            == sorted(zip(live2.user_id, live2.val)))
+
+
+def test_upsert_write_rerun_idempotent(ray_session, tmp_path):
+    import glob as _glob
+
+    import ray.data
+
+    from sylk.stages.upsert_store import read_current, upsert_write
+
+    store = str(tmp_path / "store")
+    t = pa.table({"user_id": pa.array([1, 2], pa.int64()),
+                  "event_id": pa.array([10, 11], pa.int64()),
+                  "val": pa.array(["a", "b"]),
+                  "_del": pa.array([False, False])})
+    upsert_write(ray.data.from_arrow(t), store, "user_id", "event_id",
+                 inc_id=1).materialize()
+    n_files = len(_glob.glob(os.path.join(store, "p=*", "*.parquet")))
+    upsert_write(ray.data.from_arrow(t), store, "user_id", "event_id",
+                 inc_id=1).materialize()
+    assert len(_glob.glob(os.path.join(store, "p=*", "*.parquet"))) == n_files
+    live = read_current(store, "user_id", "event_id",
+                        tombstone_col="_del").to_pandas()
+    assert sorted(live.user_id) == [1, 2]
