@@ -1216,6 +1216,58 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_LATENESS_US = 604_800_000_000  # 7 days
+
+
+def q_late_event_window_counts(sf_dir: str) -> pa.Table:
+    """Event-time tumbling windows with WATERMARK + allowed-lateness
+    admission — the streaming-engine rule as a deterministic batch
+    operator.  Arrival order is a deterministic hash shuffle of the
+    stream (the corpus's ts is ingest-monotone, which would make
+    lateness vacuous); the watermark is the running MAX event time over
+    arrival order (the skew-safe running_max carry on a constant key —
+    an event's own arrival can never reject it, so the inclusive
+    running max is exact); an event is admitted iff its hour-window end
+    > watermark - lateness; admitted events roll up per window.  The
+    uint64 arrival hash rides XOR-2^63 shifted into int64 so the carry
+    sort order equals DuckDB's unsigned ORDER BY."""
+    import os
+
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.asof import running_max
+    from ..stages.sample import content_hash64
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        h = content_hash64(pc.cast(b.column("event_id"), pa.string()))
+        h_ord = (h ^ np.uint64(1 << 63)).view(np.int64)  # order-preserving
+        return pa.table({
+            "_g": pa.array(np.zeros(len(b), np.int64)),
+            "h_ord": pa.array(h_ord, pa.int64()),
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "t": pc.cast(b.column("ts").cast(pa.timestamp("us"))
+                         .cast(pa.int64()), pa.float64()),
+        })
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow", batch_size=None)
+    rm = running_max(ds, "_g", ["h_ord", "event_id"], "t", "wm")
+
+    def _admit(b: pa.Table) -> pa.Table:
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        wm = b.column("wm").to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = np.floor_divide(t, 3_600_000_000)
+        keep = (hour + 1) * 3_600_000_000 > wm - _LATENESS_US
+        return pa.table({"hour": pa.array(hour[keep], pa.int64())})
+
+    admitted = rm.map_batches(_admit, batch_format="pyarrow",
+                              batch_size=None)
+    return _table(grouped_counts(admitted, ["hour"]), ["hour", "n"])
+
+
 def q_cdc_upsert_current(sf_dir: str) -> pa.Table:
     """LSM-style upsert store (sylk/stages/upsert_store.py): the event
     stream as CDC — key user_id, arrival order event_id, 'error' events
@@ -4517,6 +4569,20 @@ def build_oracle_sql() -> dict[str, str]:
                quantile_cont(l, 0.9) AS p90,
                quantile_cont(l, 0.99) AS p99
         FROM lat"""
+    # watermark admission: inclusive running max over the hashed
+    # arrival order (md5_number_lower = the content_hash64 kernel,
+    # unsigned order)
+    d["late_event_window_counts"] = f"""
+        WITH m AS (SELECT epoch_us(ts) AS t,
+                          MAX(epoch_us(ts)) OVER (
+                            ORDER BY md5_number_lower(
+                                       CAST(event_id AS VARCHAR)),
+                                     event_id) AS wm
+                   FROM events)
+        SELECT CAST(t // 3600000000 AS BIGINT) AS hour, COUNT(*) AS n
+        FROM m
+        WHERE (t // 3600000000 + 1) * 3600000000 > wm - {_LATENESS_US}
+        GROUP BY 1"""
     # CDC upsert live view: last writer per user wins (event_id is the
     # arrival order across both increments), error tombstones delete
     d["cdc_upsert_current"] = """
@@ -5564,6 +5630,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "incremental_neardup": q_incremental_neardup,
     "cdc_upsert_current": q_cdc_upsert_current,
+    "late_event_window_counts": q_late_event_window_counts,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,
