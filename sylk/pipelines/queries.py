@@ -567,6 +567,41 @@ def q_doc_split_assign(sf_dir: str) -> pa.Table:
     return _table(out, ["doc_id", "split"])
 
 
+def q_leakage_safe_split(sf_dir: str) -> pa.Table:
+    """Near-dup-LEAKAGE-SAFE train/val/test split: every doc in a
+    near-dup cluster lands in the SAME split — the split key is the
+    content hash of the CLUSTER id, not the doc — so no near-duplicate
+    pair ever straddles train and eval (plain per-doc hashing, e.g.
+    doc_split_assign, leaks paraphrases into eval sets).  Composition:
+    connected components over the exact 0.6-Jaccard pair graph
+    (dup_cluster_ids machinery) + the md5-parity 90/5/5 assignment on
+    ``CAST(cluster_id AS VARCHAR)``."""
+    import os
+
+    import ray.data
+
+    from ..stages.dedup import connected_components, ngram_jaccard_dup_pairs
+    from ..stages.sample import content_hash64
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dup_pairs(docs, threshold=0.6)
+    nodes = docs.map_batches(lambda b: b.select(["doc_id"]),
+                             batch_format="pyarrow", batch_size=None)
+    cc = connected_components(nodes, pairs, node_col="doc_id")
+
+    def _assign(b: pa.Table) -> pa.Table:
+        cid = b.column("cluster_id")
+        h = content_hash64(pc.cast(cid, pa.string())) % np.uint64(100)
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cluster_id": pc.cast(cid, pa.int64()),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    out = cc.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+    return _table(out, ["doc_id", "cluster_id", "split"])
+
+
 def q_value_ntiles(sf_dir: str) -> pa.Table:
     """``NTILE(4)`` + ``PERCENT_RANK()`` over (value, event_id) within
     each event_type — quantile bucketing as a distributed window op.
@@ -4569,6 +4604,20 @@ def build_oracle_sql() -> dict[str, str]:
                quantile_cont(l, 0.9) AS p90,
                quantile_cont(l, 0.99) AS p99
         FROM lat"""
+    # leakage-safe split: the dup-cluster CTE chain + md5 split on the
+    # cluster id (never the doc text)
+    d["leakage_safe_split"] = f"""
+        WITH RECURSIVE {_cluster_ctes("documents")}
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CASE WHEN md5_number_lower(CAST(
+                        COALESCE(c.cluster_id, d.doc_id) AS VARCHAR))
+                        % 100 < 90 THEN 'train'
+                    WHEN md5_number_lower(CAST(
+                        COALESCE(c.cluster_id, d.doc_id) AS VARCHAR))
+                        % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN comp c USING (doc_id)"""
     # watermark admission: inclusive running max over the hashed
     # arrival order (md5_number_lower = the content_hash64 kernel,
     # unsigned order)
@@ -5631,6 +5680,7 @@ QUERIES = {
     "incremental_neardup": q_incremental_neardup,
     "cdc_upsert_current": q_cdc_upsert_current,
     "late_event_window_counts": q_late_event_window_counts,
+    "leakage_safe_split": q_leakage_safe_split,
     # exact-oracled at nprobe=8: green iff IVF reproduces the brute-force
     # top-k row-for-row, i.e. recall == 1.0 (see q_ann_ivf_recall)
     "ann_ivf_recall": q_ann_ivf_recall,
