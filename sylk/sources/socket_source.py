@@ -232,6 +232,9 @@ def serve_counts(receiver, poll_s: float = 0.2, idle_exit: int = 5,
     while True:
         polls += 1
         ref = receiver.drain.remote()
+        # the drained block is a MICRO-batch (bounded by poll_s x line
+        # rate), so the driver peek for emptiness is O(micro-batch), not
+        # O(stream); the parse work happens in the Dataset stages below
         head = ray.get(ref)
         if head.num_rows == 0:
             idle += 1

@@ -99,7 +99,29 @@ def upsert_write(ds, store_dir: str, key_col: str, order_col: str,
 
 
 def _bucket_dirs(store_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(store_dir, "p=*")))
+    out = {d for d in glob.glob(os.path.join(store_dir, "p=*"))
+           if not d.endswith((".old", ".compact"))}
+    # a compaction that crashed between its two renames leaves only
+    # .old/.compact — surface the bucket so _recover_bucket converges it
+    for d in glob.glob(os.path.join(store_dir, "p=*.old")):
+        out.add(d[: -len(".old")])
+    return sorted(out)
+
+
+def _recover_bucket(pdir: str) -> None:
+    """Converge a bucket left by a crashed compaction: once the live
+    dir was renamed to ``.old`` the scratch ``.compact`` dir is known
+    complete, so roll FORWARD (.compact -> live); pre-rename crashes
+    only leave a stale scratch dir to delete."""
+    old, tmp = pdir + ".old", pdir + ".compact"
+    if os.path.isdir(old):
+        if not os.path.isdir(pdir):
+            if os.path.isdir(tmp):
+                os.rename(tmp, pdir)
+            else:  # unreachable by the protocol order; keep data anyway
+                os.rename(old, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _merge_bucket(pdir: str, key_col: str, order_col: str) -> pa.Table:
@@ -115,17 +137,24 @@ def read_current(store_dir: str, key_col: str, order_col: str,
                  tombstone_col: str | None = None):
     """Dataset of the store's LIVE rows: per-bucket run merge, highest
     (_inc, order) wins, tombstone winners dropped.  Buckets stream as
-    independent tasks — no cross-bucket exchange."""
+    independent tasks whose outputs stay in the OBJECT STORE — the
+    driver never holds a row (the task refs feed from_arrow_refs
+    directly; empty buckets contribute empty blocks)."""
     import ray
     import ray.data
 
-    dirs = _bucket_dirs(store_dir)
+    for d in _bucket_dirs(store_dir):
+        _recover_bucket(d)
+    # only buckets with at least one run (always true post-write; a
+    # fully-tombstoned compacted bucket holds a 0-row run with schema)
+    dirs = [d for d in _bucket_dirs(store_dir)
+            if glob.glob(os.path.join(d, "run_inc*.parquet"))]
+    if not dirs:
+        return ray.data.from_items([])
 
     @ray.remote
-    def _one(pdir: str):
+    def _one(pdir: str) -> pa.Table:
         tbl = _merge_bucket(pdir, key_col, order_col)
-        if tbl is None:
-            return None
         if tombstone_col is not None:
             import pyarrow.compute as pc
 
@@ -133,13 +162,7 @@ def read_current(store_dir: str, key_col: str, order_col: str,
                 tbl.column(tombstone_col).cast(pa.bool_()), False)))
         return tbl.drop_columns(["_inc"])
 
-    refs = [_one.remote(d) for d in dirs]
-    import ray as _ray
-
-    tbls = [t for t in _ray.get(refs) if t is not None and t.num_rows > 0]
-    if not tbls:
-        return ray.data.from_items([])
-    return ray.data.from_arrow_refs([_ray.put(t) for t in tbls])
+    return ray.data.from_arrow_refs([_one.remote(d) for d in dirs])
 
 
 def compact_store(store_dir: str, key_col: str, order_col: str,
@@ -151,6 +174,7 @@ def compact_store(store_dir: str, key_col: str, order_col: str,
 
     @ray.remote
     def _one(pdir: str) -> tuple:
+        _recover_bucket(pdir)
         tbl = _merge_bucket(pdir, key_col, order_col)
         if tbl is None:
             return (0, 0)

@@ -227,3 +227,38 @@ def test_upsert_write_rerun_idempotent(ray_session, tmp_path):
     live = read_current(store, "user_id", "event_id",
                         tombstone_col="_del").to_pandas()
     assert sorted(live.user_id) == [1, 2]
+
+
+def test_upsert_compaction_crash_recovery(ray_session, tmp_path):
+    """Crash between compaction's two renames (live dir renamed away,
+    scratch complete): read_current rolls the bucket forward — no data
+    loss, scratch/old dirs cleaned."""
+    import glob as _glob
+    import shutil
+
+    import ray.data
+
+    from sylk.stages.upsert_store import read_current, upsert_write
+
+    store = str(tmp_path / "store")
+    t = pa.table({"user_id": pa.array([1, 2, 3], pa.int64()),
+                  "event_id": pa.array([10, 11, 12], pa.int64()),
+                  "val": pa.array(["a", "b", "c"]),
+                  "_del": pa.array([False, False, False])})
+    upsert_write(ray.data.from_arrow(t), store, "user_id", "event_id",
+                 inc_id=1).materialize()
+    before = read_current(store, "user_id", "event_id",
+                          tombstone_col="_del").to_pandas()
+    # hand-build the worst crash window for one bucket: live -> .old,
+    # scratch .compact complete, live missing
+    pdir = sorted(_glob.glob(os.path.join(store, "p=*")))[0]
+    shutil.copytree(pdir, pdir + ".compact")
+    os.rename(pdir, pdir + ".old")
+    assert not os.path.isdir(pdir)
+    after = read_current(store, "user_id", "event_id",
+                         tombstone_col="_del").to_pandas()
+    assert (sorted(zip(after.user_id, after.val))
+            == sorted(zip(before.user_id, before.val)))
+    assert os.path.isdir(pdir)
+    assert not os.path.isdir(pdir + ".old")
+    assert not os.path.isdir(pdir + ".compact")
