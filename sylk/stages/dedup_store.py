@@ -278,14 +278,21 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
                                     batch_size=None)
 
     # ---- atomic writes (scratch dir + rename; reruns overwrite) ----
+    # ORDER MATTERS: band store FIRST, accepted output second.  A crash
+    # between the two swaps then leaves the increment VISIBLY
+    # incomplete (read_accepted(inc) empty -> caller reruns, both dirs
+    # overwritten); the reverse order would leave accepted docs whose
+    # bands never reached the store — silent recall loss for every
+    # later increment.  Probes already ignore the current inc's store
+    # files, so the early store swap never poisons its own rerun.
     accepted = kept.materialize()
     n_acc = accepted.count()
-    for root, build in ((out_dir, lambda d: accepted.write_parquet(d)),
-                        (store_dir,
+    for root, build in ((store_dir,
                          lambda d: accepted.map_batches(
                              lambda b: _bands_i64(b, text_col, id_col),
                              batch_format="pyarrow",
-                             batch_size=None).write_parquet(d))):
+                             batch_size=None).write_parquet(d)),
+                        (out_dir, lambda d: accepted.write_parquet(d))):
         os.makedirs(root, exist_ok=True)
         final = os.path.join(root, f"inc={inc_id}")
         tmp = os.path.join(root, f".build-inc{inc_id}")
