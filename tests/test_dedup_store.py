@@ -262,3 +262,79 @@ def test_upsert_compaction_crash_recovery(ray_session, tmp_path):
     assert os.path.isdir(pdir)
     assert not os.path.isdir(pdir + ".old")
     assert not os.path.isdir(pdir + ".compact")
+
+
+def test_upsert_store_model_based(ray_session, tmp_path):
+    """Randomized increments vs a dict reference model: after every
+    increment the live view must equal 'last write per key, tombstone
+    deletes' applied sequentially.  Seeded, deterministic."""
+    import random
+
+    import ray.data
+
+    from sylk.stages.upsert_store import (compact_store, read_current,
+                                          upsert_write)
+
+    rng = random.Random(1234)
+    store = str(tmp_path / "store")
+    model: dict = {}
+    eid = 0
+    for inc in range(1, 6):
+        rows = []
+        for _ in range(rng.randrange(1, 12)):
+            k = rng.randrange(8)
+            delete = rng.random() < 0.3
+            eid += 1
+            rows.append((k, eid, f"v{eid}", delete))
+        for k, _e, v, d in rows:  # arrival order == eid order
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "val": pa.array([r[2] for r in rows], pa.string()),
+            "_del": pa.array([r[3] for r in rows], pa.bool_()),
+        })
+        upsert_write(ray.data.from_arrow(t), store, "user_id",
+                     "event_id", inc_id=inc).materialize()
+        if inc == 3:  # compact mid-history; must be invisible
+            compact_store(store, "user_id", "event_id",
+                          tombstone_col="_del")
+        live = read_current(store, "user_id", "event_id",
+                            tombstone_col="_del").to_pandas()
+        got = dict(zip(live.user_id, live.val))
+        assert got == model, (inc, got, model)
+
+
+def test_dedup_ingest_model_based(ray_session, tmp_path):
+    """Randomized increments vs a set reference model: accepted ids
+    must equal 'first increment (then smallest order) per key'."""
+    import random
+
+    import ray.data
+
+    from sylk.stages.dedup_store import dedup_ingest, read_accepted
+
+    rng = random.Random(99)
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    seen: set = set()
+    expect: list = []
+    eid = 0
+    for inc in range(1, 5):
+        rows = []
+        for _ in range(rng.randrange(2, 15)):
+            eid += 1
+            rows.append((eid, f"k{rng.randrange(10)}"))
+        # model: first occurrence per key (by eid) across the history
+        for e, k in sorted(rows):
+            if k not in seen:
+                seen.add(k)
+                expect.append(e)
+        t = pa.table({"event_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "key": pa.array([r[1] for r in rows], pa.string())})
+        dedup_ingest(ray.data.from_arrow(t), store, out, key_col="key",
+                     order_col="event_id", inc_id=inc).materialize()
+    acc = read_accepted(out).to_pandas().event_id.sort_values().tolist()
+    assert acc == sorted(expect)
