@@ -1503,8 +1503,12 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_bands: int = 16,
 
 # --- dup-cluster resolution (connected components) --------------------------
 
+_CC_DRIVER_EDGE_LIMIT = 2_000_000  # graph.py's pagerank bound
+
+
 def connected_components(nodes_ds, edges_ds, node_col: str = "doc_id",
-                         max_iter: int = 50):
+                         max_iter: int = 50,
+                         distributed: bool | None = None):
     """Resolve near-dup PAIRS into canonical clusters: every node gets
     ``cluster_id`` = the smallest node id reachable through the edge
     set (singletons keep their own id).  This is the step that turns a
@@ -1549,6 +1553,49 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "doc_id",
             lambda b: pa.table({node_col: b.column("node"),
                                 "cluster_id": b.column("label")}),
             batch_format="pyarrow", batch_size=None)
+
+    # driver tier: each distributed round below costs seconds of fixed
+    # exchange overhead, which dwarfs the near-clique dup graphs this
+    # resolves (measured 15.5 s for 68 edges).  Under the edge bound the
+    # min-labels come from a vectorized numpy relax + pointer-jump over
+    # the collected EDGE list only — nodes are never collected; labels
+    # broadcast once and apply per node block.  Above the bound (or
+    # ``distributed=True``) the exchange path below is unchanged.
+    if not distributed:
+        edges, etbl = _bounded_collect(edges, _CC_DRIVER_EDGE_LIMIT)
+        if etbl is not None and etbl.num_rows:
+            src = etbl.column("src").to_numpy(zero_copy_only=False)
+            dst = etbl.column("dst").to_numpy(zero_copy_only=False)
+            uids, inv = np.unique(np.concatenate([src, dst]),
+                                  return_inverse=True)
+            lab = np.arange(len(uids), dtype=np.int64)
+            si, di = inv[: len(src)], inv[len(src):]
+            for _ in range(max_iter):
+                new = lab.copy()
+                np.minimum.at(new, si, lab[di])
+                while True:  # pointer jumping: chase labels to roots
+                    nn = new[new]
+                    if np.array_equal(nn, new):
+                        break
+                    new = nn
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            # uids ascend, so the min label INDEX is the min node id
+            final = uids[lab]
+            ref = ray.put((uids, final))
+
+            def _apply(b: pa.Table) -> pa.Table:
+                u, f = ray.get(ref)
+                n = b.column("node").to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(u, n), len(u) - 1)
+                inb = u[pos] == n
+                out = np.where(inb, f[pos], n)
+                return pa.table({node_col: pa.array(n, pa.int64()),
+                                 "cluster_id": pa.array(out, pa.int64())})
+
+            return labels.map_batches(_apply, batch_format="pyarrow",
+                                      batch_size=None)
 
     for _ in range(max_iter):
         # smallest neighbor label per src (neighbor = edge dst)

@@ -357,3 +357,32 @@ def test_snm_distributed_equals_driver(ray_session):
     got = set(zip(fast.a, fast.b))
     # the three base-prefixed docs sort adjacently: all three pairs
     assert {(10, 11), (10, 13), (11, 13)} <= got
+
+
+def test_connected_components_tier_equivalence(ray_session):
+    """Driver-tier CC (bounded edge collect + numpy relax) must equal
+    the distributed label-propagation path, including chain graphs,
+    singletons, and multi-cluster mixes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sylk.stages.dedup import connected_components
+
+    rng = np.random.default_rng(5)
+    nodes = pa.table({"doc_id": pa.array(range(60), pa.int64())})
+    # a 10-node chain, a clique, random extra edges, and singletons
+    e = [(i, i + 1) for i in range(10)]
+    e += [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    e += [(int(a), int(b)) for a, b in
+          rng.integers(30, 55, size=(12, 2)) if a != b]
+    edges = pa.table({"a": pa.array([min(x) for x in e], pa.int64()),
+                      "b": pa.array([max(x) for x in e], pa.int64())})
+    n_ds = ray.data.from_arrow(nodes)
+    e_ds = ray.data.from_arrow(edges)
+    fast = connected_components(n_ds, e_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = connected_components(n_ds, e_ds, distributed=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow)
+    assert (fast[fast.doc_id <= 10].cluster_id == 0).all()  # chain -> 0
