@@ -132,7 +132,10 @@ def read_accepted(out_dir: str, inc_id: int | None = None):
     pat = (os.path.join(out_dir, f"inc={inc_id}", "*.parquet")
            if inc_id is not None
            else os.path.join(out_dir, "inc=*", "*.parquet"))
-    return ray.data.read_parquet(sorted(glob.glob(pat)))
+    files = sorted(glob.glob(pat))
+    if not files:  # no (or a visibly-incomplete) increment yet
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files)
 
 
 # --- incremental near-dup (MinHash-LSH) store --------------------------------

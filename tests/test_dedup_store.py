@@ -338,3 +338,32 @@ def test_dedup_ingest_model_based(ray_session, tmp_path):
                      order_col="event_id", inc_id=inc).materialize()
     acc = read_accepted(out).to_pandas().event_id.sort_values().tolist()
     assert acc == sorted(expect)
+
+
+def test_neardup_crash_between_swaps_converges(ray_session, tmp_path):
+    """Crash after the band-store swap but before the accepted-output
+    swap: the increment is VISIBLY incomplete (read_accepted empty) and
+    a rerun converges — no silent recall loss, no duplicates."""
+    import shutil
+
+    import ray.data
+
+    from sylk.stages.dedup_store import neardup_ingest, read_accepted
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    inc1 = _docs([(1, _BASE), (2, "standalone other content entirely")])
+    neardup_ingest(ray.data.from_arrow(inc1), store, out, inc_id=1,
+                   threshold=0.7)
+    # simulate the crash window: store/inc=1 present, out/inc=1 gone
+    shutil.rmtree(os.path.join(out, "inc=1"))
+    assert read_accepted(out).count() == 0  # visibly incomplete
+    s1 = neardup_ingest(ray.data.from_arrow(inc1), store, out, inc_id=1,
+                        threshold=0.7)
+    assert s1["accepted"] == 2  # own store files ignored by the probe
+    # the store still rejects a later near-dup of inc 1's accepted doc
+    inc2 = _docs([(10, _BASE.replace("dog", "cat"))])
+    s2 = neardup_ingest(ray.data.from_arrow(inc2), store, out, inc_id=2,
+                        threshold=0.7)
+    assert s2["rejected_cross"] == 1
+    acc = read_accepted(out).to_pandas().doc_id.sort_values().tolist()
+    assert acc == [1, 2]
