@@ -84,6 +84,10 @@ class _ReceiverBase:
             "peer": pa.array([pr for _, _, pr in items], pa.string()),
         })
 
+    def _note_drop(self) -> None:
+        with self._lock:
+            self._dropped += 1
+
     def pending(self) -> int:
         with self._lock:
             return len(self._buf)
@@ -134,8 +138,16 @@ class TCPLineReceiver(_ReceiverBase):
     per connection from the first byte (digit => octet counting)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 max_buffer: int = 1_000_000):
+                 max_buffer: int = 1_000_000,
+                 max_frame: int = 1 << 20):
         super().__init__(max_buffer)
+        # cap on a single frame/line AND on the per-connection reassembly
+        # buffer: an unvalidated octet-count header ("999999999999 ") or
+        # a delimiter-free stream would otherwise grow `buf` without
+        # bound and OOM the actor.  On overflow: count a drop, discard
+        # the buffer, close the connection (the RFC 6587 stream has no
+        # way to resynchronize mid-frame).
+        self._max_frame = max_frame
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -183,6 +195,11 @@ class TCPLineReceiver(_ReceiverBase):
                     if octet_mode:
                         sp = buf.find(b" ")
                         if sp < 0:
+                            if len(buf) > 20:  # a real length header is
+                                # a handful of digits; this is garbage
+                                self._note_drop()
+                                buf = b""
+                                return
                             break
                         try:
                             n = int(buf[:sp])
@@ -190,6 +207,11 @@ class TCPLineReceiver(_ReceiverBase):
                             # malformed frame header: fall back to LF
                             octet_mode = False
                             continue
+                        if n > self._max_frame:
+                            # unvalidated header would buffer n bytes
+                            self._note_drop()
+                            buf = b""
+                            return
                         if len(buf) < sp + 1 + n:
                             break
                         self._push(buf[sp + 1: sp + 1 + n], peer)
@@ -197,6 +219,11 @@ class TCPLineReceiver(_ReceiverBase):
                     else:
                         nl = buf.find(b"\n")
                         if nl < 0:
+                            if len(buf) > self._max_frame:
+                                # delimiter-free stream: shed it
+                                self._note_drop()
+                                buf = b""
+                                return
                             break
                         self._push(buf[:nl].rstrip(b"\r"), peer)
                         buf = buf[nl + 1:]

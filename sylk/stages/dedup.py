@@ -1562,7 +1562,13 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "doc_id",
     # broadcast once and apply per node block.  Above the bound (or
     # ``distributed=True``) the exchange path below is unchanged.
     if not distributed:
-        edges, etbl = _bounded_collect(edges, _CC_DRIVER_EDGE_LIMIT)
+        if distributed is False:
+            # forced-driver: collect WITHOUT the bound — the caller
+            # explicitly opted out of the exchange path, so honor it
+            # (mirrors the `distributed is False` branches above)
+            etbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        else:
+            edges, etbl = _bounded_collect(edges, _CC_DRIVER_EDGE_LIMIT)
         if etbl is not None and etbl.num_rows:
             src = etbl.column("src").to_numpy(zero_copy_only=False)
             dst = etbl.column("dst").to_numpy(zero_copy_only=False)

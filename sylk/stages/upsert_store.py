@@ -20,10 +20,15 @@ absent from the live view.  Increments must be written with
 monotonically increasing ``inc_id`` (arrival order IS the CDC order).
 
 Compaction (:func:`compact_store`): per bucket, merge all runs into one
-``run_inc<max>.parquet`` holding only the winners — tombstone rows are
-DROPPED (a full-bucket compaction leaves nothing older for them to
+``run_compact<max>.parquet`` holding only the winners — tombstone rows
+are DROPPED (a full-bucket compaction leaves nothing older for them to
 mask).  The bucket directory is rebuilt in scratch and atomically
-swapped, so a crashed compaction leaves the old runs intact.
+swapped, so a crashed compaction leaves the old runs intact.  The
+``run_compact`` prefix is RESERVED: no increment can ever write it, so
+a crash-recovery rerun of increment ``<max>`` (which os.replace's its
+own deterministic ``run_inc<max>.parquet``) can never clobber the
+compacted history of other keys — per-row ``_inc`` still carries merge
+order, so the rerun's rows win ties exactly as the original did.
 
 Scale shape: writes are one hash exchange of the increment; reads and
 compaction stream per-bucket (embarrassingly parallel, bounded by
@@ -124,9 +129,17 @@ def _recover_bucket(pdir: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bucket_runs(pdir: str) -> list[str]:
+    # "run_compact*" sorts before "run_inc*" (c < i), so on an _inc tie
+    # (a rerun of the increment a compaction already absorbed) the
+    # rerun's row concatenates later and wins via lexsort stability —
+    # same data either way, but the order is deterministic.
+    return sorted(glob.glob(os.path.join(pdir, "run_inc*.parquet"))
+                  + glob.glob(os.path.join(pdir, "run_compact*.parquet")))
+
+
 def _merge_bucket(pdir: str, key_col: str, order_col: str) -> pa.Table:
-    runs = [pq.read_table(f)
-            for f in sorted(glob.glob(os.path.join(pdir, "run_inc*.parquet")))]
+    runs = [pq.read_table(f) for f in _bucket_runs(pdir)]
     if not runs:
         return None
     return _last_per_key(pa.concat_tables(runs), key_col,
@@ -147,8 +160,7 @@ def read_current(store_dir: str, key_col: str, order_col: str,
         _recover_bucket(d)
     # only buckets with at least one run (always true post-write; a
     # fully-tombstoned compacted bucket holds a 0-row run with schema)
-    dirs = [d for d in _bucket_dirs(store_dir)
-            if glob.glob(os.path.join(d, "run_inc*.parquet"))]
+    dirs = [d for d in _bucket_dirs(store_dir) if _bucket_runs(d)]
     if not dirs:
         return ray.data.from_items([])
 
@@ -178,7 +190,7 @@ def compact_store(store_dir: str, key_col: str, order_col: str,
         tbl = _merge_bucket(pdir, key_col, order_col)
         if tbl is None:
             return (0, 0)
-        n_in = sum(1 for _ in glob.glob(os.path.join(pdir, "run_inc*.parquet")))
+        n_in = len(_bucket_runs(pdir))
         if tombstone_col is not None:
             import pyarrow.compute as pc
 
@@ -189,7 +201,10 @@ def compact_store(store_dir: str, key_col: str, order_col: str,
         tmp = pdir + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        pq.write_table(tbl, os.path.join(tmp, f"run_inc{top}.parquet"))
+        # RESERVED name — upsert_write only ever writes run_inc<id>, so
+        # a rerun of increment `top` can never os.replace this file and
+        # silently drop every other key's compacted history
+        pq.write_table(tbl, os.path.join(tmp, f"run_compact{top}.parquet"))
         old = pdir + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(pdir, old)

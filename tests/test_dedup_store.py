@@ -367,3 +367,51 @@ def test_neardup_crash_between_swaps_converges(ray_session, tmp_path):
     assert s2["rejected_cross"] == 1
     acc = read_accepted(out).to_pandas().doc_id.sort_values().tolist()
     assert acc == [1, 2]
+
+
+def test_upsert_compaction_survives_increment_rerun(ray_session, tmp_path):
+    """ADVICE r5 (high): compacted runs carry a RESERVED name.  Repro:
+    two keys in one bucket, inc1 then inc2, compact, then the documented
+    crash-recovery rerun of increment 2 — inc1's key must stay live
+    (the old run_inc<top> compact name was os.replace'd by the rerun,
+    silently deleting every other key's history)."""
+    import numpy as np
+    import ray.data
+
+    from sylk.functions.hashing import mix64
+    from sylk.stages.upsert_store import (compact_store, read_current,
+                                          upsert_write)
+
+    # find two keys that hash into the same bucket at bits=4
+    buckets: dict = {}
+    k = 1
+    while True:
+        b = int(mix64(np.array([k], np.uint64))[0] >> np.uint64(60))
+        buckets.setdefault(b, []).append(k)
+        if len(buckets[b]) == 2:
+            k1, k2 = buckets[b]
+            break
+        k += 1
+
+    def _t(rows):
+        return pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "val": pa.array([r[2] for r in rows], pa.string()),
+            "_del": pa.array([r[3] for r in rows], pa.bool_()),
+        })
+
+    store = str(tmp_path / "store")
+    upsert_write(ray.data.from_arrow(_t([(k1, 10, "k1v1", False)])),
+                 store, "user_id", "event_id", inc_id=1).materialize()
+    upsert_write(ray.data.from_arrow(_t([(k2, 20, "k2v1", False)])),
+                 store, "user_id", "event_id", inc_id=2).materialize()
+    compact_store(store, "user_id", "event_id", tombstone_col="_del")
+    # the compacted run must be un-clobberable by any increment rerun
+    assert glob.glob(os.path.join(store, "p=*", "run_compact*.parquet"))
+    upsert_write(ray.data.from_arrow(_t([(k2, 20, "k2v1", False)])),
+                 store, "user_id", "event_id", inc_id=2).materialize()
+    live = read_current(store, "user_id", "event_id",
+                        tombstone_col="_del").to_pandas()
+    assert sorted(live.user_id) == sorted([k1, k2])
+    assert dict(zip(live.user_id, live.val)) == {k1: "k1v1", k2: "k2v1"}

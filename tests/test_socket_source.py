@@ -117,3 +117,49 @@ def test_udp_receiver_invalid_utf8(ray_session):
         assert "�" in tbl.column("text").to_pylist()[0]
     finally:
         ray.get(recv.stop.remote())
+
+
+def _wait_count(fn_remote, expect: int, timeout: float = 10.0) -> int:
+    import ray
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        v = ray.get(fn_remote.remote())
+        if v >= expect:
+            return v
+        time.sleep(0.05)
+    return ray.get(fn_remote.remote())
+
+
+def test_tcp_receiver_frame_overflow_bounded(ray_session):
+    """ADVICE r5: an unvalidated octet-count header or a delimiter-free
+    stream must not grow the per-connection buffer without bound — the
+    receiver counts a drop and closes the connection, and keeps serving
+    well-formed peers."""
+    import ray
+
+    recv = TCPLineReceiver.remote(max_frame=256)
+    host, port = ray.get(recv.address.remote())
+    try:
+        # hostile octet-count header: dropped + connection closed
+        c1 = socket.create_connection((host, port))
+        c1.sendall(b"999999999999 ")
+        assert _wait_count(recv.dropped, 1) == 1
+        c1.settimeout(5)
+        assert c1.recv(1) == b""  # receiver closed its side
+        c1.close()
+        # delimiter-free LF stream beyond the cap: dropped too
+        c2 = socket.create_connection((host, port))
+        c2.sendall(b"x" * 1000)
+        assert _wait_count(recv.dropped, 2) == 2
+        c2.close()
+        # nothing buffered from either hostile peer; new peers still work
+        assert ray.get(recv.pending.remote()) == 0
+        c3 = socket.create_connection((host, port))
+        c3.sendall(b"5 hello")
+        c3.close()
+        assert _wait_pending(recv, 1) == 1
+        tbl = ray.get(recv.drain.remote())
+        assert tbl.column("text").to_pylist() == ["hello"]
+    finally:
+        ray.get(recv.stop.remote())
