@@ -140,9 +140,24 @@ def read_accepted(out_dir: str, inc_id: int | None = None):
 
 # --- incremental near-dup (MinHash-LSH) store --------------------------------
 
+def _neardup_probe_files(store_dir: str, inc_id: int,
+                         buckets) -> list[str]:
+    """Prior-increment band files for the given band-hash buckets ONLY
+    — the probe's read set.  Factored out so the pruning contract is
+    directly testable (tests assert only colliding ``p=`` dirs open)."""
+    out = []
+    own = f"inc{inc_id}.parquet"
+    for bkt in sorted(buckets):
+        for f in sorted(glob.glob(os.path.join(store_dir, f"p={bkt}",
+                                               "inc*.parquet"))):
+            if os.path.basename(f) != own:
+                out.append(f)
+    return out
+
+
 def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
                    threshold: float = 0.8, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", bits: int = 6):
     """Incremental NEAR-dup dedup across increments: the MinHash sibling
     of :func:`dedup_ingest`.  Semantics (deterministic given the LSH
     recall argument documented at ``dedup.minhash_dup_pairs``):
@@ -152,17 +167,25 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
     2. cross-increment: a kept doc is REJECTED iff one of its 16 band
        buckets collides with a PRIOR ACCEPTED doc AND exact 3-gram
        Jaccard against that doc's stored text >= ``threshold``;
-    3. survivors' rows land under ``out_dir/inc=<id>/`` and their
-       (band, band_hash, doc_id) rows under ``store_dir/inc=<id>/`` —
-       both written into scratch dirs atomically renamed into place, so
-       a rerun rebuilds its own increment instead of appending.
+    3. survivors' rows land under ``out_dir/inc=<id>/`` (scratch dir
+       atomically renamed into place) and their (doc_id, band,
+       band_hash) rows under ``store_dir/p=<bucket>/inc<id>.parquet``
+       with ``bucket = band_hash >> (64 - bits)`` — the same hash-prefix
+       partitioning :func:`dedup_ingest` uses, written with
+       deterministic names + tmp/rename so reruns overwrite.
+
+    The probe is PRUNED: an increment collects its distinct band-hash
+    buckets (<= 2**bits values of metadata, never rows) and reads only
+    those ``p=`` partitions' prior files — at corpus scale the store is
+    large but the probe IO is bounded by the increment's colliding hash
+    ranges, not the store (raise ``bits`` as the corpus grows).
+    Verification texts are semi-joined down to candidate doc ids before
+    the pair join, and cross-rejected ids are removed with an anti-join
+    (bounded broadcast tier with a distributed fallback) — no driver-held
+    id set at any size.
 
     Doc ids must be globally unique across increments (they key the
-    text lookup for verification).  At 100-TB scale the band store
-    would additionally partition by band-hash prefix so a probe reads
-    only colliding ranges; the probe here streams the whole (reduced:
-    16 rows/accepted doc) store through one hash join, which is the
-    same exchange shape.
+    text lookup for verification).
 
     Returns ``{"accepted": n, "rejected_in_inc": n, "rejected_cross": n}``.
     """
@@ -174,7 +197,7 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
     from .aggregate import grouped_counts
     from .dedup import (connected_components, minhash_bands_batch,
                         minhash_dup_pairs, ngram_jaccard, _verify_pairs)
-    from .join import hash_join
+    from .join import anti_join, hash_join, semi_join
 
     n_inc = ds.count()
     pairs = minhash_dup_pairs(ds, threshold=threshold, text_col=text_col)
@@ -194,21 +217,41 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
     kept = hash_join(ds, reps, on=id_col, right_on="_rep").materialize()
     n_kept = kept.count()
 
-    # ---- cross-increment probe ----
-    prior = sorted(
-        d for d in glob.glob(os.path.join(store_dir, "inc=*"))
-        if os.path.basename(d) != f"inc={inc_id}")
-    rejected_ids: set = set()
-    if prior:
-        new_bands = kept.map_batches(
-            lambda b: _bands_i64(b, text_col, id_col),
-            batch_format="pyarrow", batch_size=None)
-        store_bands = ray.data.read_parquet(
-            [f for d in prior
-             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))])
+    def _bands_bkt(b: pa.Table) -> pa.Table:
+        t = _bands_i64(b, text_col, id_col)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        return t.append_column(
+            "_bkt", pa.array((bh >> np.uint64(64 - bits)).astype(np.int64),
+                             pa.int64()))
+
+    # ---- cross-increment probe (bucket-pruned) ----
+    # materialize: consumed by the bucket collection AND the candidate
+    # join — shared lineage would otherwise recompute the bands
+    # (CLAUDE.md's two-consumer rule); size is 16 rows per kept doc.
+    new_bands = kept.map_batches(_bands_bkt, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    # distinct buckets hit by THIS increment: per-block unique first, so
+    # the driver receives <= blocks x 2**bits bucket ids — metadata,
+    # never band rows
+    import pyarrow.compute as pc
+
+    hit: set = set()
+    for blk in ray.get(new_bands.map_batches(
+            lambda b: (pa.table({"_bkt": pc.unique(b.column("_bkt"))})
+                       if b.num_columns else
+                       pa.table({"_bkt": pa.array([], pa.int64())})),
+            batch_format="pyarrow", batch_size=None).to_arrow_refs()):
+        # empty blocks can surface schemaless (dedup.py:78 pattern)
+        if isinstance(blk, pa.Table) and "_bkt" in blk.schema.names:
+            hit.update(blk.column("_bkt").to_pylist())
+    prior_files = _neardup_probe_files(store_dir, inc_id, hit)
+    n_rej_cross = 0
+    if prior_files:
+        store_bands = ray.data.read_parquet(prior_files)
 
         def _ren(b: pa.Table) -> pa.Table:
-            # by name: the Hive reader adds the inc=<id> dir as a column
+            # by name: the reader adds the p=<bucket> dir as a column
             if b.num_columns == 0:
                 return pa.table({"_old": pa.array([], pa.int64()),
                                  "_sband": pa.array([], pa.int32()),
@@ -217,7 +260,7 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
                              "_sband": b.column("band"),
                              "_sbh": b.column("band_hash")})
 
-        cand = hash_join(new_bands,
+        cand = hash_join(new_bands.drop_columns(["_bkt"]),
                          store_bands.map_batches(_ren,
                                                  batch_format="pyarrow",
                                                  batch_size=None),
@@ -234,7 +277,7 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
         cand = grouped_counts(
             cand.map_batches(_ab, batch_format="pyarrow",
                              batch_size=None), ["a", "b"]) \
-            .drop_columns(["n"])
+            .drop_columns(["n"]).materialize()
 
         def _sel_texts(b: pa.Table) -> pa.Table:
             # upstream joins/map_groups can emit schemaless empty
@@ -245,10 +288,24 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
                                  text_col: pa.array([], pa.string())})
             return b.select([id_col, text_col])
 
+        def _cand_ids(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.table({"_cid": pa.array([], pa.int64())})
+            return pa.table({"_cid": pa.array(np.concatenate(
+                [b.column("a").to_numpy(zero_copy_only=False),
+                 b.column("b").to_numpy(zero_copy_only=False)]),
+                pa.int64())})
+
         texts = kept.map_batches(
             _sel_texts, batch_format="pyarrow", batch_size=None) \
             .union(read_accepted(out_dir).map_batches(
                 _sel_texts, batch_format="pyarrow", batch_size=None))
+        # prune the verification corpus to candidate docs BEFORE the
+        # pair join: only colliding texts enter the exchange (broadcast
+        # is-in filter under the key limit, distributed left_semi above)
+        texts = semi_join(texts, cand.map_batches(
+            _cand_ids, batch_format="pyarrow", batch_size=None),
+            on=id_col, right_key="_cid")
 
         def _jac(ta, tb):
             j = ngram_jaccard(ta or "", tb or "")
@@ -256,59 +313,63 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
 
         verified = _verify_pairs(cand, texts, id_col, text_col, _jac,
                                  "jaccard")
+
         def _sel_a(b: pa.Table) -> pa.Table:
             if b.num_columns == 0:
                 return pa.table({"a": pa.array([], pa.int64())})
             return b.select(["a"])
 
-        vdf = verified.map_batches(_sel_a, batch_format="pyarrow",
-                                   batch_size=None).to_pandas()
-        # an all-empty Dataset's to_pandas loses the schema entirely
-        rejected_ids = set(vdf["a"].tolist()) if "a" in vdf.columns else set()
-        # driver holds REJECTED ids only — bounded by the cross-dup
-        # volume, not the increment (the funnel-frontier bound argument)
-        if rejected_ids:
-            ref = ray.put(np.array(sorted(rejected_ids), dtype=np.int64))
+        # cross-rejected ids leave via an ANTI-JOIN (bounded broadcast
+        # tier, distributed left_anti fallback) — the driver never holds
+        # an id set
+        kept = anti_join(kept, verified.map_batches(
+            _sel_a, batch_format="pyarrow", batch_size=None),
+            on=id_col, right_key="a")
 
-            def _drop(b: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                rej = ray.get(ref)
-                ids = b.column(id_col).to_numpy(zero_copy_only=False)
-                return b.filter(pa.array(~np.isin(ids, rej)))
-
-            kept = kept.map_batches(_drop, batch_format="pyarrow",
-                                    batch_size=None)
-
-    # ---- atomic writes (scratch dir + rename; reruns overwrite) ----
+    # ---- writes ----
     # ORDER MATTERS: band store FIRST, accepted output second.  A crash
-    # between the two swaps then leaves the increment VISIBLY
-    # incomplete (read_accepted(inc) empty -> caller reruns, both dirs
-    # overwritten); the reverse order would leave accepted docs whose
+    # between the two leaves the increment VISIBLY incomplete
+    # (read_accepted(inc) empty -> caller reruns, deterministic names
+    # overwrite); the reverse order would leave accepted docs whose
     # bands never reached the store — silent recall loss for every
-    # later increment.  Probes already ignore the current inc's store
-    # files, so the early store swap never poisons its own rerun.
+    # later increment.  Probes ignore the current inc's store files, so
+    # early store writes never poison their own rerun.
     accepted = kept.materialize()
     n_acc = accepted.count()
-    for root, build in ((store_dir,
-                         lambda d: accepted.map_batches(
-                             lambda b: _bands_i64(b, text_col, id_col),
-                             batch_format="pyarrow",
-                             batch_size=None).write_parquet(d)),
-                        (out_dir, lambda d: accepted.write_parquet(d))):
-        os.makedirs(root, exist_ok=True)
-        final = os.path.join(root, f"inc={inc_id}")
-        tmp = os.path.join(root, f".build-inc{inc_id}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        build(tmp)
-        # a fully-rejected increment writes no files; the (empty) final
-        # dir must still exist so reruns and probes see the increment
-        os.makedirs(tmp, exist_ok=True)
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
+    n_rej_cross = n_kept - n_acc
+    os.makedirs(store_dir, exist_ok=True)
+
+    def _write_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        bkt = int(g.column("_bkt")[0].as_py())
+        pdir = os.path.join(store_dir, f"p={bkt}")
+        os.makedirs(pdir, exist_ok=True)
+        f = os.path.join(pdir, f"inc{inc_id}.parquet")
+        pq.write_table(g.drop_columns(["_bkt"]), f + ".tmp")
+        os.replace(f + ".tmp", f)
+        return pa.table({"bucket": pa.array([bkt], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    accepted.map_batches(_bands_bkt, batch_format="pyarrow",
+                         batch_size=None) \
+        .groupby("_bkt").map_groups(_write_bucket,
+                                    batch_format="pyarrow").materialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"inc={inc_id}")
+    tmp = os.path.join(out_dir, f".build-inc{inc_id}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    accepted.write_parquet(tmp)
+    # a fully-rejected increment writes no files; the (empty) final dir
+    # must still exist so reruns and readers see the increment
+    os.makedirs(tmp, exist_ok=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
     return {"accepted": int(n_acc),
             "rejected_in_inc": int(n_inc - n_kept),
-            "rejected_cross": len(rejected_ids)}
+            "rejected_cross": int(n_rej_cross)}
 
 
 def _bands_i64(b: pa.Table, text_col: str, id_col: str) -> pa.Table:

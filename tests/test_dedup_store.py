@@ -415,3 +415,45 @@ def test_upsert_compaction_survives_increment_rerun(ray_session, tmp_path):
                         tombstone_col="_del").to_pandas()
     assert sorted(live.user_id) == sorted([k1, k2])
     assert dict(zip(live.user_id, live.val)) == {k1: "k1v1", k2: "k2v1"}
+
+
+def test_neardup_probe_prunes_band_buckets(ray_session, tmp_path,
+                                           monkeypatch):
+    """VERDICT r4 #1: the near-dup store is partitioned by band-hash
+    prefix and an increment's probe opens ONLY the p= partitions its
+    own band hashes hit (the temporal day-pruning test's shape)."""
+    import ray.data
+
+    import sylk.stages.dedup_store as dstore
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    inc1 = _docs([(1, _BASE),
+                  (2, "standalone other content entirely"),
+                  (3, "a third very different document about parquet "
+                      "files and arrow tables in a ray cluster")])
+    dstore.neardup_ingest(ray.data.from_arrow(inc1), store, out, inc_id=1,
+                          threshold=0.7)
+    store_buckets = {os.path.basename(d)
+                     for d in glob.glob(os.path.join(store, "p=*"))}
+    assert len(store_buckets) > 1  # inc1's bands spread over partitions
+
+    seen: list = []
+    real = dstore._neardup_probe_files
+
+    def _rec(store_dir, inc_id, buckets):
+        files = real(store_dir, inc_id, buckets)
+        seen.append((set(buckets), files))
+        return files
+
+    monkeypatch.setattr(dstore, "_neardup_probe_files", _rec)
+    inc2 = _docs([(10, _BASE.replace("dog", "cat"))])
+    s2 = dstore.neardup_ingest(ray.data.from_arrow(inc2), store, out,
+                               inc_id=2, threshold=0.7)
+    assert s2["rejected_cross"] == 1  # pruning kept the collision
+    (buckets, files), = seen
+    probed_dirs = {os.path.basename(os.path.dirname(f)) for f in files}
+    # every opened file lives in a bucket hit by inc2's own bands...
+    assert probed_dirs <= {f"p={b}" for b in buckets}
+    # ...and the probe did NOT open the whole store (inc2 has 16 band
+    # hashes; inc1's three docs occupy more partitions than that)
+    assert len(probed_dirs) < len(store_buckets)
