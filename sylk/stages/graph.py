@@ -209,24 +209,120 @@ def _pagerank_driver(edges: pa.Table, iterations: int, damping_pct: int,
         rank_col: pa.array(r[order], pa.int64())}))
 
 
+def degree_orient(edges_ds, a_col: str = "a", b_col: str = "b",
+                  distributed: bool | None = None):
+    """Re-orient unique undirected edges by (degree, id) rank: each
+    edge comes back as (a, b) with rank(a) < rank(b) where rank =
+    (degree, node id).  Any total order makes every triangle
+    materialize exactly once in the wedge join; DEGREE order
+    additionally caps a vertex's oriented out-degree (it only points at
+    equal-or-higher-degree endpoints), collapsing a hot vertex's wedge
+    fan-out from degree^2 to the arboricity-style bound — the standard
+    skew mitigation for distributed triangle enumeration.
+
+    Tiers: the degree table is node-cardinality-bounded, so under
+    ``_DRIVER_EDGE_LIMIT`` it broadcasts once (ray.put) and the
+    re-orient is a per-block searchsorted lookup; above the bound (or
+    ``distributed=True``) two renamed hash joins attach endpoint
+    degrees — the pagerank tier pattern."""
+    import ray
+    import ray.data
+
+    from .aggregate import grouped_counts
+    from .join import hash_join
+
+    def _ends(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate(
+            [b.column(a_col).to_numpy(zero_copy_only=False),
+             b.column(b_col).to_numpy(zero_copy_only=False)]).astype(
+                 np.int64), pa.int64())})
+
+    deg = grouped_counts(
+        edges_ds.map_batches(_ends, batch_format="pyarrow",
+                             batch_size=None), ["node"])
+
+    def _orient_arrays(a, bb, da, db):
+        swap = (db < da) | ((db == da) & (bb < a))
+        return (np.where(swap, bb, a), np.where(swap, a, bb))
+
+    if distributed is not True:
+        from .dedup import _bounded_collect
+
+        deg, dtbl = _bounded_collect(deg, _DRIVER_EDGE_LIMIT)
+        if dtbl is not None:
+            nodes = dtbl.column("node").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dn = dtbl.column("n").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            o = np.argsort(nodes)
+            ref = ray.put((nodes[o], dn[o]))
+
+            def _orient(b: pa.Table) -> pa.Table:
+                nd, dd = ray.get(ref)
+                a = b.column(a_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                bb = b.column(b_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                # every endpoint is in the degree table by construction
+                da = dd[np.searchsorted(nd, a)]
+                db = dd[np.searchsorted(nd, bb)]
+                u, v = _orient_arrays(a, bb, da, db)
+                return pa.table({a_col: pa.array(u, pa.int64()),
+                                 b_col: pa.array(v, pa.int64())})
+
+            return edges_ds.map_batches(_orient, batch_format="pyarrow",
+                                        batch_size=None)
+
+    dega = deg.map_batches(
+        lambda t: pa.table({"_ka": t.column("node"),
+                            "_da": t.column("n")}),
+        batch_format="pyarrow", batch_size=None)
+    degb = deg.map_batches(
+        lambda t: pa.table({"_kb": t.column("node"),
+                            "_db": t.column("n")}),
+        batch_format="pyarrow", batch_size=None)
+    e = hash_join(edges_ds, dega, on=a_col, right_on="_ka")
+    e = hash_join(e, degb, on=b_col, right_on="_kb")
+
+    def _orient_joined(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        da = b.column("_da").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b.column("_db").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, v = _orient_arrays(a, bb, da, db)
+        return pa.table({a_col: pa.array(u, pa.int64()),
+                         b_col: pa.array(v, pa.int64())})
+
+    return e.map_batches(_orient_joined, batch_format="pyarrow",
+                         batch_size=None)
+
+
 def triangle_counts(edges_ds, a_col: str = "a", b_col: str = "b",
-                    num_partitions: int | None = None):
-    """Per-vertex triangle participation over an ORIENTED edge Dataset
-    (every edge stored once as a < b): wedge hash-join (edges as
+                    num_partitions: int | None = None,
+                    orient: str = "degree"):
+    """Per-vertex triangle participation over a unique-edge Dataset
+    (every undirected edge stored once): wedge hash-join (edges as
     (u1,u2) x edges as (u2,u3)) then a closing-edge inner hash join on
     the composite (u1, u3) key -> Dataset[(user_id, n)].
 
-    Orientation makes each triangle u1 < u2 < u3 materialize exactly
-    once (no /6 correction), and bounds wedge fan-out by the oriented
-    out-degree — the standard distributed triangle-enumeration shape
-    (two keyed exchanges; the membership explode + count is the usual
-    two-phase aggregate).  Skew note: a hot low-id vertex fans out its
-    oriented degree squared in the wedge join; the 100-TB mitigation is
-    degree-ordering the orientation (rank = (degree, id)) before this
-    operator, which this function accepts unchanged since it only
-    requires SOME total order."""
+    Orientation by a total order makes each triangle materialize
+    exactly once (no /6 correction) and bounds wedge fan-out by the
+    oriented out-degree — the standard distributed triangle-enumeration
+    shape (two keyed exchanges; the membership explode + count is the
+    usual two-phase aggregate).  ``orient="degree"`` (default) first
+    re-orients edges by (degree, id) rank via :func:`degree_orient`, so
+    a hot vertex's wedge fan-out collapses from degree^2 to the
+    arboricity-style bound; ``orient="id"`` trusts the caller's a < b
+    orientation unchanged (the result is orientation-invariant — only
+    the intermediate wedge volume differs)."""
     from .aggregate import grouped_counts
     from .join import hash_join
+
+    if orient == "degree":
+        # materialize: the oriented edge list is consumed by THREE
+        # joins below — shared lineage would re-run the degree pass
+        # per consumer (CLAUDE.md's two-consumer rule); size = edges.
+        edges_ds = degree_orient(edges_ds, a_col, b_col).materialize()
 
     def _ren(x, y):
         def f(t: pa.Table) -> pa.Table:

@@ -174,3 +174,39 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     # (dist 0) so it keeps one member; cluster 1 holds the rest
     assert rows[0]["n"] + rows[1]["n"] == 5
     assert rows[1]["qc"] == 10_000_000
+
+
+def test_triangle_degree_orientation_bounds_hot_vertex(ray_session):
+    """VERDICT r4 #3: degree-ordering the orientation caps a hot
+    low-id vertex's wedge fan-out.  Star 0-{1..40} plus two closing
+    edges: id-order orientation gives hub 0 an oriented out-degree of
+    40 (C(40,2) = 780 wedges); degree order points every star edge
+    INTO the hub (hub out-degree 0, wedge volume 2) — while triangle
+    counts are identical (the result is orientation-invariant)."""
+    import ray.data
+
+    from sylk.stages.graph import degree_orient, triangle_counts
+
+    edges = [{"a": 0, "b": i} for i in range(1, 41)]
+    edges += [{"a": 1, "b": 2}, {"a": 3, "b": 4}]
+    eds = ray.data.from_items(edges)
+
+    def wedge_volume(df):
+        out = df.groupby("a").size()
+        return int((out * (out - 1) // 2).sum())
+
+    assert wedge_volume(eds.to_pandas()) == 780  # id-order baseline
+    oriented = degree_orient(eds).to_pandas()
+    assert wedge_volume(oriented) == 2  # hub out-degree collapsed
+    # both orientations enumerate the same undirected edge set
+    assert (set(map(tuple, np.sort(oriented[["a", "b"]].to_numpy(), axis=1)))
+            == {(0, i) for i in range(1, 41)} | {(1, 2), (3, 4)})
+    # forced-distributed tier agrees with the broadcast tier
+    od = degree_orient(eds, distributed=True).to_pandas()
+    assert (sorted(map(tuple, od[["a", "b"]].to_numpy()))
+            == sorted(map(tuple, oriented[["a", "b"]].to_numpy())))
+
+    expect = {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+    for orient in ("id", "degree"):
+        df = triangle_counts(eds, orient=orient).to_pandas()
+        assert dict(zip(df.user_id, df.n)) == expect, orient
