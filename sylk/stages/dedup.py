@@ -1469,16 +1469,56 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_bands: int = 16,
         return _verify_broadcast(cand, emb_ds, "vec_id", "embedding", _cos,
                                  "cosine")
 
-    # join path: acero's hash join rejects list-typed payload columns,
-    # so ship each vector as float64 LE bytes and decode at assembly
+    # join path, TWO-STAGE (VERDICT r4 #4 — the one-stage join shipped
+    # candidates x 2 full float64 vectors, ~1 GiB at sf0.1 because the
+    # bands are loose by design).  Stage 1 joins candidates with int16
+    # QUANTIZED sketches (8-byte scale header + d x int16: ~3.8x
+    # smaller at d=64) and prunes with an EXACT angular error bound —
+    # a pair survives iff quantized cosine + bound >= threshold, so no
+    # true pair can be pruned (each vector's quantization radius r
+    # deviates its direction by at most arcsin(r/|q|)).  Stage 2
+    # re-fetches FULL vectors for surviving ids only (semi-join) and
+    # verifies exactly: the full-precision exchange is bounded by the
+    # near-dup volume, not the candidate volume.  (acero's hash join
+    # rejects list-typed payloads, hence the binary blobs.)
+    def _pack_q(b: pa.Table) -> pa.Table:
+        vecs = list_column_matrix(b["embedding"])
+        s = np.abs(vecs).max(axis=1)
+        s[s == 0] = 1.0
+        step = (s / 32767.0).astype(np.float64)
+        q = np.round(vecs / step[:, None]).astype(np.int16)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "qvb": pa.array([st.tobytes() + x.tobytes()
+                             for st, x in zip(step, q)], pa.binary()),
+        })
+
+    def _cos_q_gate(ba, bb):
+        if ba is None or bb is None:
+            return None
+        sa = np.frombuffer(ba, np.float64, count=1)[0]
+        qa = np.frombuffer(ba, np.int16, offset=8).astype(np.float64) * sa
+        sb = np.frombuffer(bb, np.float64, count=1)[0]
+        qb = np.frombuffer(bb, np.int16, offset=8).astype(np.float64) * sb
+        na = np.sqrt((qa * qa).sum())
+        nb = np.sqrt((qb * qb).sum())
+        if na == 0.0 or nb == 0.0:
+            return 1.0  # degenerate: defer to the exact stage
+        d = len(qa)
+        ra = sa * 0.5 * np.sqrt(d)
+        rb = sb * 0.5 * np.sqrt(d)
+        if ra >= na or rb >= nb:
+            return 1.0
+        bound = float(np.arcsin(ra / na) + np.arcsin(rb / nb))
+        c = float(qa @ qb / (na * nb))
+        return c if c + bound >= threshold else None
+
     def _pack(b: pa.Table) -> pa.Table:
         vecs = list_column_matrix(b["embedding"])
         return pa.table({
             "vec_id": b["vec_id"],
             "vecb": pa.array([v.tobytes() for v in vecs], pa.binary()),
         })
-
-    packed = emb_ds.map_batches(_pack, batch_format="pyarrow", batch_size=None)
 
     def _cos_packed(ba, bb):
         if ba is None or bb is None:
@@ -1497,8 +1537,38 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_bands: int = 16,
         import ray.data
 
         cand = ray.data.from_pandas(cand[["a", "b"]])
-    return _verify_pairs_join(cand, packed, "vec_id", "vecb", _cos_packed,
-                              "cosine")
+
+    from .join import semi_join
+
+    packed_q = emb_ds.map_batches(_pack_q, batch_format="pyarrow",
+                                  batch_size=None)
+    # materialize: survivors feed BOTH the id semi-join and the stage-2
+    # pair join (two consumers); size is survivor-bounded
+    surv = _verify_pairs_join(cand, packed_q, "vec_id", "qvb",
+                              _cos_q_gate, "qcos").materialize()
+
+    def _surv_ids(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table({"_sid": pa.array([], pa.int64())})
+        return pa.table({"_sid": pa.array(np.concatenate(
+            [b.column("a").to_numpy(zero_copy_only=False),
+             b.column("b").to_numpy(zero_copy_only=False)]).astype(
+                 np.int64), pa.int64())})
+
+    def _surv_pairs(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return b.select(["a", "b"])
+
+    packed = emb_ds.map_batches(_pack, batch_format="pyarrow",
+                                batch_size=None)
+    packed = semi_join(packed, surv.map_batches(
+        _surv_ids, batch_format="pyarrow", batch_size=None),
+        on="vec_id", right_key="_sid")
+    return _verify_pairs_join(surv.map_batches(
+        _surv_pairs, batch_format="pyarrow", batch_size=None),
+        packed, "vec_id", "vecb", _cos_packed, "cosine")
 
 
 # --- dup-cluster resolution (connected components) --------------------------

@@ -225,7 +225,8 @@ def _semi_anti(left_ds, right_ds, on: str, right_key: str, anti: bool,
     # SQL semi/anti semantics: a NULL right key never matches, so drop
     # Nones before sorting (mixed None/int would also crash sorted());
     # pc.is_in already treats left NULLs as non-members.
-    keys = sorted(k for k in key_list if k is not None)
+    # Dataset.unique returns None (not []) on an empty input
+    keys = sorted(k for k in (key_list or []) if k is not None)
     if not keys:
         return left_ds if anti else left_ds.limit(0)
     ref = ray.put(pa.array(keys))

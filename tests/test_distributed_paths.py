@@ -386,3 +386,41 @@ def test_connected_components_tier_equivalence(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert fast.equals(slow)
     assert (fast[fast.doc_id <= 10].cluster_id == 0).all()  # chain -> 0
+
+
+def test_embedding_two_stage_near_threshold(ray_session):
+    """VERDICT r4 #4 regression: the distributed tier's quantized
+    stage-1 gate must never prune a TRUE pair — planted pairs sit just
+    above and just below the threshold, where a sloppy bound would
+    flip them; the join path must equal the broadcast path exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(32)
+    vecs = [base]
+    # rotate base toward an orthogonal direction by controlled angles:
+    # cos 0.9705 (just above 0.97), cos 0.9695 (just below)
+    orth = rng.standard_normal(32)
+    orth -= orth @ base / (base @ base) * base
+    for target in (0.9705, 0.9695, 0.9990):
+        th = np.arccos(target)
+        v = np.cos(th) * base / np.linalg.norm(base) \
+            + np.sin(th) * orth / np.linalg.norm(orth)
+        vecs.append(v * 3.7)  # non-unit scale exercises the quant step
+    vecs.extend(rng.standard_normal((50, 32)))
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([np.asarray(v, np.float64).tolist()
+                               for v in vecs], pa.list_(pa.float64())),
+    })
+    fast = dedup.embedding_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.97).to_pandas()
+    dist = dedup.embedding_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.97, distributed=True).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(_norm(fast, key), _norm(dist, key),
+                                  check_dtype=False)
+    got = set(zip(fast.a, fast.b))
+    assert (0, 1) in got and (0, 3) in got  # 0.9705 and 0.999 survive
+    assert (0, 2) not in got  # 0.9695 is below threshold on both paths
