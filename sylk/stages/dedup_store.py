@@ -52,6 +52,111 @@ def _bucket_of(h: np.ndarray, bits: int) -> np.ndarray:
     return (h >> np.uint64(64 - bits)).astype(np.int64)
 
 
+def _bucket_probe_files(pdir: str, inc_id: int) -> list[str]:
+    """A probe's read set for one bucket: every prior increment's file
+    plus any reserved-name compact file (never "own increment"), minus
+    the current increment's own file (a rerun after a crashed output
+    rename must re-accept its rows)."""
+    own = f"inc{inc_id}.parquet"
+    return sorted(
+        f for f in (glob.glob(os.path.join(pdir, "inc*.parquet"))
+                    + glob.glob(os.path.join(pdir, "compact*.parquet")))
+        if os.path.basename(f) != own)
+
+
+def _compact_watermark(store_dir: str) -> int:
+    """Highest increment id folded into compact files (-1 = none)."""
+    import json
+
+    p = os.path.join(store_dir, "_compact.json")
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["upto"])
+
+
+def _write_watermark(store_dir: str, upto: int) -> None:
+    import json
+
+    p = os.path.join(store_dir, "_compact.json")
+    with open(p + ".tmp", "w") as f:
+        json.dump({"upto": upto}, f)
+    os.replace(p + ".tmp", p)
+
+
+def _check_watermark(store_dir: str, inc_id: int) -> None:
+    wm = _compact_watermark(store_dir)
+    if inc_id <= wm:
+        raise ValueError(
+            f"inc_id {inc_id} <= compaction watermark {wm}: increments "
+            "at or below the horizon are merged into reserved compact "
+            "files; a rerun would see its own hashes in the store and "
+            "silently reject every row (the upsert-store run-name "
+            "lesson).  Rerun-able increments are never compacted — "
+            "compact_ingest_store only folds increments whose accepted "
+            "output is visible.")
+
+
+def compact_ingest_store(store_dir: str, out_dir: str) -> dict:
+    """Bound an ingest store's per-bucket file count (VERDICT r4 #7).
+    Works on both p=<bucket>/inc<id>.parquet stores — the exact
+    dedup_ingest hash store and the near-dup band store: per bucket,
+    merge every COMPLETE increment's file (completeness = the
+    increment's ``out_dir/inc=<id>`` dir is visible; the store protocol
+    reruns an increment only while its output dir is MISSING, so a
+    visible increment can never rerun) plus any earlier compact file
+    into one reserved-name ``compact<upto>.parquet``.
+
+    ``upto`` (the highest folded inc id) persists as a watermark that
+    makes *_ingest refuse ``inc_id <= upto``: a rerun below the horizon
+    would find its own hashes in the compact file — which no per-file
+    name exclusion can hide — and silently reject all of its rows.
+
+    Crash safety (the compact.py discipline): write compact tmp ->
+    rename, THEN delete sources.  A crash between the rename and the
+    deletes leaves duplicate membership rows, which probes tolerate
+    (membership is a set test; band candidates dedupe in
+    grouped_counts) and the next compaction folds away.  Single-writer:
+    run between increments, like upsert_store.compact_store."""
+    import ray
+
+    incs = sorted(
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in glob.glob(os.path.join(out_dir, "inc=*")))
+    if not incs:
+        return {"files_in": 0, "files_out": 0,
+                "upto": _compact_watermark(store_dir)}
+    upto = max(incs)
+    complete = {f"inc{i}.parquet" for i in incs}
+
+    @ray.remote
+    def _one(pdir: str) -> tuple:
+        files = sorted(
+            f for f in glob.glob(os.path.join(pdir, "inc*.parquet"))
+            if os.path.basename(f) in complete)
+        files += sorted(glob.glob(os.path.join(pdir, "compact*.parquet")))
+        cf = os.path.join(pdir, f"compact{upto}.parquet")
+        if not files or files == [cf]:
+            return (len(files), len(files))
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        if tbl.schema.names == ["h"]:  # exact store: shrink to the set
+            tbl = pa.table({"h": pa.array(np.unique(
+                tbl.column("h").to_numpy(zero_copy_only=False)),
+                pa.int64())})
+        pq.write_table(tbl, cf + ".tmp")
+        os.replace(cf + ".tmp", cf)
+        for f in files:
+            if os.path.abspath(f) != os.path.abspath(cf):
+                os.remove(f)
+        return (len(files), 1)
+
+    res = ray.get([_one.remote(d) for d in
+                   sorted(glob.glob(os.path.join(store_dir, "p=*")))])
+    _write_watermark(store_dir, upto)
+    return {"files_in": sum(r[0] for r in res),
+            "files_out": sum(r[1] for r in res), "upto": upto}
+
+
 def dedup_ingest(ds, store_dir: str, out_dir: str, key_col: str,
                  order_col: str, inc_id: int, bits: int = 6):
     """Ingest one increment.  Returns a small per-bucket stats Dataset
@@ -64,6 +169,7 @@ def dedup_ingest(ds, store_dir: str, out_dir: str, key_col: str,
     from .sample import content_hash64
 
     os.makedirs(store_dir, exist_ok=True)
+    _check_watermark(store_dir, inc_id)
     acc_dir = os.path.join(out_dir, f"inc={inc_id}")
     os.makedirs(acc_dir, exist_ok=True)
 
@@ -88,14 +194,14 @@ def dedup_ingest(ds, store_dir: str, out_dir: str, key_col: str,
         keep_idx = sel[first]
         n_in_dupes = len(h) - len(keep_idx)
         kh = h[keep_idx]
-        # probe: every PRIOR increment's file in this bucket (skip our
-        # own — a rerun after a crashed output rename must re-accept)
+        # probe: every PRIOR increment's file in this bucket plus any
+        # compact file (skip our own — a rerun after a crashed output
+        # rename must re-accept)
         pdir = os.path.join(store_dir, f"p={bkt}")
         seen_parts = [
             pq.read_table(f, columns=["h"]).column("h")
             .to_numpy(zero_copy_only=False).astype(np.uint64)
-            for f in sorted(glob.glob(os.path.join(pdir, "inc*.parquet")))
-            if not f.endswith(f"inc{inc_id}.parquet")
+            for f in _bucket_probe_files(pdir, inc_id)
         ]
         if seen_parts:
             seen = np.sort(np.concatenate(seen_parts))
@@ -146,12 +252,9 @@ def _neardup_probe_files(store_dir: str, inc_id: int,
     — the probe's read set.  Factored out so the pruning contract is
     directly testable (tests assert only colliding ``p=`` dirs open)."""
     out = []
-    own = f"inc{inc_id}.parquet"
     for bkt in sorted(buckets):
-        for f in sorted(glob.glob(os.path.join(store_dir, f"p={bkt}",
-                                               "inc*.parquet"))):
-            if os.path.basename(f) != own:
-                out.append(f)
+        out.extend(_bucket_probe_files(
+            os.path.join(store_dir, f"p={bkt}"), inc_id))
     return out
 
 
@@ -199,6 +302,8 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
                         minhash_dup_pairs, ngram_jaccard, _verify_pairs)
     from .join import anti_join, hash_join, semi_join
 
+    os.makedirs(store_dir, exist_ok=True)
+    _check_watermark(store_dir, inc_id)
     n_inc = ds.count()
     pairs = minhash_dup_pairs(ds, threshold=threshold, text_col=text_col)
     nodes = ds.map_batches(lambda b: b.select([id_col]),

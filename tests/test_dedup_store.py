@@ -457,3 +457,114 @@ def test_neardup_probe_prunes_band_buckets(ray_session, tmp_path,
     # ...and the probe did NOT open the whole store (inc2 has 16 band
     # hashes; inc1's three docs occupy more partitions than that)
     assert len(probed_dirs) < len(store_buckets)
+
+
+def test_compact_ingest_store_exact(ray_session, tmp_path):
+    """VERDICT r4 #7: compaction folds complete increments' bucket
+    files into one reserved compact file; later increments still
+    reject dups of compacted content; a rerun below the watermark is
+    refused; a crash between rename and deletes converges."""
+    import pytest
+    import ray.data
+
+    from sylk.stages.dedup_store import (compact_ingest_store,
+                                         dedup_ingest, read_accepted)
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    for inc, rows in ((1, [(1, "alpha"), (2, "beta")]),
+                      (2, [(3, "gamma"), (4, "alpha")]),   # 4 rejected
+                      (3, [(5, "delta")])):
+        dedup_ingest(ray.data.from_arrow(_inc(rows)), store, out,
+                     "key", "event_id", inc_id=inc).materialize()
+    assert sorted(read_accepted(out).to_pandas().event_id) == [1, 2, 3, 5]
+
+    n_before = len(glob.glob(os.path.join(store, "p=*", "*.parquet")))
+    stats = compact_ingest_store(store, out)
+    assert stats["upto"] == 3 and stats["files_out"] < stats["files_in"]
+    # every bucket now holds at most one file, all reserved-name
+    for d in glob.glob(os.path.join(store, "p=*")):
+        fs = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(fs) <= 1 and all("compact3" in f for f in fs)
+    assert len(glob.glob(os.path.join(store, "p=*", "*.parquet"))) \
+        <= n_before
+
+    # a new increment probes THROUGH the compact file: dup of inc-1
+    # content is still rejected, novel content accepted
+    s4 = dedup_ingest(ray.data.from_arrow(
+        _inc([(6, "alpha"), (7, "epsilon")])), store, out,
+        "key", "event_id", inc_id=4).materialize().to_pandas()
+    assert int(s4.accepted.sum()) == 1 and int(s4.rejected.sum()) == 1
+    assert sorted(read_accepted(out).to_pandas().event_id) == [1, 2, 3, 5, 7]
+
+    # rerun below the watermark is refused (silent self-rejection trap)
+    with pytest.raises(ValueError, match="watermark"):
+        dedup_ingest(ray.data.from_arrow(_inc([(1, "alpha")])), store,
+                     out, "key", "event_id", inc_id=2)
+
+    # idempotence: compacting again folds inc4 in and converges
+    stats2 = compact_ingest_store(store, out)
+    assert stats2["upto"] == 4
+    stats3 = compact_ingest_store(store, out)
+    assert stats3["files_in"] == stats3["files_out"]
+
+
+def test_compact_ingest_store_crash_window(ray_session, tmp_path):
+    """Crash after the compact rename but before the source deletes:
+    membership stays correct (duplicate rows are harmless to a set
+    probe) and the next compaction cleans up."""
+    import shutil
+
+    import ray.data
+
+    from sylk.stages.dedup_store import (compact_ingest_store,
+                                         dedup_ingest, read_accepted)
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    for inc, rows in ((1, [(1, "alpha")]), (2, [(2, "beta")])):
+        dedup_ingest(ray.data.from_arrow(_inc(rows)), store, out,
+                     "key", "event_id", inc_id=inc).materialize()
+    compact_ingest_store(store, out)
+    # simulate the crash window: duplicate a compact file's content
+    # back as a leftover source file in one bucket
+    for d in glob.glob(os.path.join(store, "p=*")):
+        fs = glob.glob(os.path.join(d, "compact*.parquet"))
+        if fs:
+            shutil.copy(fs[0], os.path.join(d, "inc1.parquet"))
+            break
+    # probe is still correct: dup rejected despite double membership
+    s3 = dedup_ingest(ray.data.from_arrow(
+        _inc([(3, "alpha"), (4, "nu")])), store, out,
+        "key", "event_id", inc_id=3).materialize().to_pandas()
+    assert int(s3.accepted.sum()) == 1 and int(s3.rejected.sum()) == 1
+    # next compaction folds the leftover away
+    compact_ingest_store(store, out)
+    for d in glob.glob(os.path.join(store, "p=*")):
+        assert not glob.glob(os.path.join(d, "inc*.parquet"))
+    assert sorted(read_accepted(out).to_pandas().event_id) == [1, 2, 4]
+
+
+def test_compact_ingest_store_neardup_bands(ray_session, tmp_path):
+    """The same compaction bounds the near-dup BAND store's file count;
+    the pruned probe reads compact files and still rejects
+    cross-increment near-dups."""
+    import ray.data
+
+    from sylk.stages.dedup_store import (compact_ingest_store,
+                                         neardup_ingest, read_accepted)
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    neardup_ingest(ray.data.from_arrow(_docs(
+        [(1, _BASE), (2, "standalone other content entirely")])),
+        store, out, inc_id=1, threshold=0.7)
+    neardup_ingest(ray.data.from_arrow(_docs(
+        [(5, "yet another unrelated set of words for the corpus")])),
+        store, out, inc_id=2, threshold=0.7)
+    compact_ingest_store(store, out)
+    for d in glob.glob(os.path.join(store, "p=*")):
+        assert not glob.glob(os.path.join(d, "inc*.parquet"))
+    s3 = neardup_ingest(ray.data.from_arrow(_docs(
+        [(10, _BASE.replace("dog", "cat"))])), store, out, inc_id=3,
+        threshold=0.7)
+    assert s3 == {"accepted": 0, "rejected_in_inc": 0,
+                  "rejected_cross": 1}
+    assert sorted(read_accepted(out).to_pandas().doc_id) == [1, 2, 5]
