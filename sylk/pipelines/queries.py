@@ -5610,20 +5610,35 @@ QUERIES = {
     "late_event_window_counts": q_late_event_window_counts,
     "leakage_safe_split": q_leakage_safe_split,
     "asof_purchase_value": q_asof_purchase_value,
-    "running_value_per_user": q_running_value_per_user,
-    "latest_event_per_user": q_latest_event_per_user,
     "value_quantiles": q_value_quantiles,
-    "stratified_sample": q_stratified_sample,
-    "group_reservoir": q_group_reservoir,
     "last_signup_fill": q_last_signup_fill,
     "user_sessions": q_user_sessions,
     "approx_distinct_hosts": q_approx_distinct_hosts,
     "region_rollup": q_region_rollup,
     "priority_join_rollup": q_priority_join_rollup,
+    # round-5 window rotation (VERDICT r4 #5): the second cohort of
+    # FULL-oracle families the driver had never recorded — simhash/
+    # winnow dedup, PMI collocations, funnel quantiles, the incremental
+    # near-dup store, the composed curation pipeline, and the new LSH
+    # recall entry.  Displaced entries (running/latest window variants,
+    # two sampling variants, three join-family variants) moved to the
+    # tail with their r04 driver records standing; every head entry
+    # stays exact-oracle (tests/test_driver_contract.py guard).
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
+    "bigram_pmi": q_bigram_pmi,
+    "funnel_latency_quantiles": q_funnel_latency_quantiles,
+    "incremental_neardup": q_incremental_neardup,
+    "curated_corpus": q_curated_corpus,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    # --- past the driver's 50-query window (locally oracle-verified) ---
+    "running_value_per_user": q_running_value_per_user,
+    "latest_event_per_user": q_latest_event_per_user,
+    "stratified_sample": q_stratified_sample,
+    "group_reservoir": q_group_reservoir,
     "customers_without_big_orders": q_customers_without_big_orders,
     "mktsegment_rollup_bucketed": q_mktsegment_rollup_bucketed,
     "big_spender_customers": q_big_spender_customers,
-    # --- past the driver's 50-query window (locally oracle-verified) ---
     "severity_pivot": q_severity_pivot,
     "user_activity_histogram": q_user_activity_histogram,
     "top_bigrams": q_top_bigrams,
@@ -5657,7 +5672,6 @@ QUERIES = {
     "modal_order_status": q_modal_order_status,
     "orders_unpivot": q_orders_unpivot,
     "dedup_keep_docs": q_dedup_keep_docs,
-    "curated_corpus": q_curated_corpus,
     "doc_chunks": q_doc_chunks,
     "token_budget_mix": q_token_budget_mix,
     "packed_sequences": q_packed_sequences,
@@ -5707,21 +5721,10 @@ QUERIES = {
     "type_value_geomean": q_type_value_geomean,
     "sliding_modal_type": q_sliding_modal_type,
     "multimodal_features": q_multimodal_features,
-    # exact-oracled despite banded candidate generation: minhash (exact
-    # all-pairs Jaccard, deterministic recall on this corpus), simhash
-    # (recall 1 by pigeonhole at max_hamming=3 + md5-replayable
-    # signature), winnow (recall 1 — a shared fingerprint IS a shared
-    # bucket; hash chain replayed in SQL), heavy_hitter_hosts
-    # (collision-free at this cardinality)
+    # heavy_hitter_hosts: exact-oracled (collision-free at this
+    # cardinality); the simhash/winnow recall arguments live at their
+    # head-window entries (round-5 rotation)
     "heavy_hitter_hosts": q_heavy_hitter_hosts,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
-    "winnow_dup_pairs": q_winnow_dup_pairs,
-    "bigram_pmi": q_bigram_pmi,
-    "funnel_latency_quantiles": q_funnel_latency_quantiles,
-    "incremental_neardup": q_incremental_neardup,
-    # exact-oracled LSH recall at the generous 32x4 banding (the
-    # ann_ivf_recall pattern — see q_ann_lsh_recall)
-    "ann_lsh_recall": q_ann_lsh_recall,
     # rows-only (not SQL-expressible: approximate IVF/LSH recall at the
     # production nprobe=4; multimodal decode is stubbed pending codec libs)
     "ann_ivf": q_ann_ivf,
