@@ -6,6 +6,8 @@ Usage (also works under `ray job submit -- python -m sylk ...`)::
         [--files-per-unit 16] [--concurrent-units 2] [--num-cpus N]
     python -m sylk synth --out /tmp/corpus --rows 1000000
     python -m sylk serve --proto udp --port 5514   # live syslog server loop
+    python -m sylk compact --kind ingest --store S --out O
+    python -m sylk compact --kind upsert --store S --key-col k --order-col o
 
 ``run`` streams parse -> enrich -> route -> aggregate with per-unit
 checkpointing; re-running with the same --out resumes (committed units
@@ -69,13 +71,35 @@ def main(argv=None) -> int:
                      help="exit after this many consecutive empty drains")
     srv.add_argument("--num-cpus", type=int, default=None)
 
+    cmp_ = sub.add_parser(
+        "compact",
+        help="store maintenance: bound an incremental store's file "
+             "count (run between increments; see compact_ingest_store /"
+             " upsert_store.compact_store for the crash discipline)")
+    cmp_.add_argument("--kind", choices=("ingest", "upsert"),
+                      required=True,
+                      help="ingest = dedup_ingest/neardup_ingest hash or"
+                           " band store; upsert = CDC upsert store")
+    cmp_.add_argument("--store", required=True, help="store directory")
+    cmp_.add_argument("--out", help="ingest: the accepted-output dir "
+                                    "(gates which increments are "
+                                    "complete enough to fold)")
+    cmp_.add_argument("--key-col", help="upsert: key column")
+    cmp_.add_argument("--order-col", help="upsert: order column")
+    cmp_.add_argument("--tombstone-col", default=None)
+    cmp_.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     import ray
 
+    # only shut down a session WE started: under `ray job submit` (or a
+    # test harness) the ambient session belongs to the caller
+    started = False
     if not ray.is_initialized():
         kw = {"num_cpus": args.num_cpus} if getattr(args, "num_cpus", None) else {}
         ray.init(address="local", include_dashboard=False, **kw)
+        started = True
     try:
         if args.cmd == "synth":
             from sylk.sources.transcripts import write_transcripts
@@ -108,6 +132,25 @@ def main(argv=None) -> int:
                         totals.column("severity").to_pylist(),
                         totals.column("n").to_pylist())},
             }))
+            return 0
+
+        if args.cmd == "compact":
+            if args.kind == "ingest":
+                if not args.out:
+                    ap.error("--kind ingest requires --out")
+                from sylk.stages.dedup_store import compact_ingest_store
+
+                print(json.dumps(compact_ingest_store(args.store,
+                                                      args.out)))
+            else:
+                if not (args.key_col and args.order_col):
+                    ap.error("--kind upsert requires --key-col and "
+                             "--order-col")
+                from sylk.stages.upsert_store import compact_store
+
+                print(json.dumps(compact_store(
+                    args.store, args.key_col, args.order_col,
+                    tombstone_col=args.tombstone_col)))
             return 0
 
         if args.cmd == "follow":
@@ -148,7 +191,8 @@ def main(argv=None) -> int:
         print(json.dumps(summary, default=str))
         return 0
     finally:
-        ray.shutdown()
+        if started:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

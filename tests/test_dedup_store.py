@@ -568,3 +568,45 @@ def test_compact_ingest_store_neardup_bands(ray_session, tmp_path):
     assert s3 == {"accepted": 0, "rejected_in_inc": 0,
                   "rejected_cross": 1}
     assert sorted(read_accepted(out).to_pandas().doc_id) == [1, 2, 5]
+
+
+def test_compact_cli(ray_session, tmp_path, capsys):
+    """`python -m sylk compact` wires both maintenance paths and leaves
+    the ambient Ray session alone (it only shuts down a session it
+    started)."""
+    import json
+
+    import ray
+    import ray.data
+
+    from sylk.__main__ import main
+    from sylk.stages.dedup_store import dedup_ingest, read_accepted
+    from sylk.stages.upsert_store import read_current, upsert_write
+
+    store, out = str(tmp_path / "ds"), str(tmp_path / "do")
+    for inc, rows in ((1, [(1, "a")]), (2, [(2, "b"), (3, "a")])):
+        dedup_ingest(ray.data.from_arrow(_inc(rows)), store, out,
+                     "key", "event_id", inc_id=inc).materialize()
+    rc = main(["compact", "--kind", "ingest", "--store", store,
+               "--out", out])
+    assert rc == 0 and ray.is_initialized()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["upto"] == 2
+    assert sorted(read_accepted(out).to_pandas().event_id) == [1, 2]
+
+    ustore = str(tmp_path / "us")
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "o": pa.array([10, 11], pa.int64()),
+                  "val": pa.array(["x", "y"]),
+                  "_del": pa.array([False, False])})
+    for inc in (1, 2):
+        upsert_write(ray.data.from_arrow(t), ustore, "k", "o",
+                     inc_id=inc).materialize()
+    rc = main(["compact", "--kind", "upsert", "--store", ustore,
+               "--key-col", "k", "--order-col", "o",
+               "--tombstone-col", "_del"])
+    assert rc == 0 and ray.is_initialized()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["runs_out"] < stats["runs_in"]
+    assert sorted(read_current(ustore, "k", "o",
+                               tombstone_col="_del").to_pandas().k) == [1, 2]
