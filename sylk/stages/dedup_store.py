@@ -13,7 +13,7 @@ Store layout::
 so an increment's probe reads ONLY its buckets' files (at corpus scale
 the store is large but each increment touches every bucket with a tiny
 slice; the per-bucket file count is bounded by the increment count and
-compactable with stages/compact.py).
+bounded by :func:`compact_ingest_store` / ``sylk compact``).
 
 Semantics: the FIRST increment containing a key accepts it; within an
 increment, the row with the smallest ``order_col`` wins (a total order
