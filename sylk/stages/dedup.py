@@ -77,8 +77,11 @@ def _bounded_collect(ds, limit: int):
                for b in ray.get(mds.to_arrow_refs())]
         blocks = [b for b in raw if b.num_columns > 0]
         if not blocks:
+            schema = mds.schema()
+            if schema is None:  # every block schemaless (all-empty ds)
+                return mds, pa.table({})
             return mds, pa.Table.from_pydict(
-                {f.name: pa.array([], f.type) for f in mds.schema().base_schema})
+                {f.name: pa.array([], f.type) for f in schema.base_schema})
         return mds, pa.concat_tables(blocks)
     return mds, None
 

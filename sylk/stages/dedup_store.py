@@ -299,7 +299,8 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
 
     from .aggregate import grouped_counts
     from .dedup import (connected_components, minhash_bands_batch,
-                        minhash_dup_pairs, ngram_jaccard, _verify_pairs)
+                        minhash_dup_pairs, ngram_jaccard,
+                        _verify_broadcast, _verify_pairs)
     from .join import anti_join, hash_join, semi_join
 
     os.makedirs(store_dir, exist_ok=True)
@@ -405,31 +406,46 @@ def neardup_ingest(ds, store_dir: str, out_dir: str, inc_id: int,
             _sel_texts, batch_format="pyarrow", batch_size=None) \
             .union(read_accepted(out_dir).map_batches(
                 _sel_texts, batch_format="pyarrow", batch_size=None))
-        # prune the verification corpus to candidate docs BEFORE the
-        # pair join: only colliding texts enter the exchange (broadcast
-        # is-in filter under the key limit, distributed left_semi above)
-        texts = semi_join(texts, cand.map_batches(
-            _cand_ids, batch_format="pyarrow", batch_size=None),
-            on=id_col, right_key="_cid")
 
         def _jac(ta, tb):
             j = ngram_jaccard(ta or "", tb or "")
             return j if j >= threshold else None
 
-        verified = _verify_pairs(cand, texts, id_col, text_col, _jac,
-                                 "jaccard")
+        # tiered verify (each distributed exchange costs seconds of
+        # fixed overhead — CLAUDE.md): a bounded candidate collect
+        # routes small pair sets through the broadcast verifier (texts
+        # arrive via a worker-side is-in filter, never a full stream);
+        # above the limit, semi-join-pruned texts + the edge-join path.
+        from .dedup import _DRIVER_PAIR_LIMIT, _bounded_collect
+
+        cand, ctbl = _bounded_collect(cand, _DRIVER_PAIR_LIMIT)
+        verified = None
+        if ctbl is not None:
+            if ctbl.num_rows:
+                verified = _verify_broadcast(
+                    ctbl.to_pandas()[["a", "b"]], texts, id_col,
+                    text_col, _jac, "jaccard")
+        else:
+            # prune the verification corpus to candidate docs BEFORE
+            # the pair join: only colliding texts enter the exchange
+            texts = semi_join(texts, cand.map_batches(
+                _cand_ids, batch_format="pyarrow", batch_size=None),
+                on=id_col, right_key="_cid")
+            verified = _verify_pairs(cand, texts, id_col, text_col,
+                                     _jac, "jaccard")
 
         def _sel_a(b: pa.Table) -> pa.Table:
             if b.num_columns == 0:
                 return pa.table({"a": pa.array([], pa.int64())})
             return b.select(["a"])
 
-        # cross-rejected ids leave via an ANTI-JOIN (bounded broadcast
-        # tier, distributed left_anti fallback) — the driver never holds
-        # an id set
-        kept = anti_join(kept, verified.map_batches(
-            _sel_a, batch_format="pyarrow", batch_size=None),
-            on=id_col, right_key="a")
+        if verified is not None:
+            # cross-rejected ids leave via an ANTI-JOIN (bounded
+            # broadcast tier, distributed left_anti fallback) — the
+            # driver never holds an unbounded id set
+            kept = anti_join(kept, verified.map_batches(
+                _sel_a, batch_format="pyarrow", batch_size=None),
+                on=id_col, right_key="a")
 
     # ---- writes ----
     # ORDER MATTERS: band store FIRST, accepted output second.  A crash
