@@ -119,6 +119,8 @@ _I64 = {
     "share_ppm": pa.int64(),
     "prev_n": pa.int64(),
     "delta": pa.int64(),
+    "n_grams": pa.int64(),
+    "n_dup_grams": pa.int64(),
 }
 
 
@@ -1487,6 +1489,20 @@ def q_ngram_jaccard_dup_pairs(sf_dir: str) -> pa.Table:
     from ..stages.dedup import ngram_jaccard_dup_pairs
 
     return _pairs_table(ngram_jaccard_dup_pairs(_docs(sf_dir), threshold=0.6), "jaccard")
+
+
+def q_dup_ngram_spans(sf_dir: str) -> pa.Table:
+    """Cross-document duplicated word-8-gram span census (the
+    exact-substring dedup signal): per doc, total gram positions and
+    how many of them start a gram occurring in >= 2 documents.  The
+    distributed plan is the same df>=2 semi-join the SQL runs; gram
+    identity is the 64-bit positional-polynomial hash (collision-free
+    on this corpus, same equality contract as the inverted-index
+    Jaccard entries)."""
+    from ..stages.dedup import dup_ngram_spans
+
+    cols = ["doc_id", "n_grams", "n_dup_grams"]
+    return _table(dup_ngram_spans(_docs(sf_dir), k=8), cols)
 
 
 def q_ngram_containment_pairs(sf_dir: str) -> pa.Table:
@@ -4101,6 +4117,34 @@ def _oracle_sql_entries() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6""",
+        # duplicated 8-gram span census: positional sliding windows
+        # (docs under 8 tokens emit nothing on both sides), gram
+        # equality via ' '-joined tokens (whitespace-free, injective);
+        # within-doc repeats count per POSITION (no DISTINCT on pos)
+        "dup_ngram_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(
+                       [array_to_string(ts[i:i+7], ' ')
+                        FOR i IN generate_series(1, len(ts)-7)]) AS g
+              FROM toks WHERE len(ts) >= 8
+            ),
+            pg AS (SELECT doc_id, g, count(*) AS cnt
+                   FROM pos GROUP BY 1, 2),
+            dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+            tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
+                    FROM pg GROUP BY 1),
+            dupc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_grams
+                     FROM pg JOIN dup USING (g) GROUP BY 1)
+            SELECT t.doc_id, t.n_grams,
+                   COALESCE(d.n_dup_grams, 0) AS n_dup_grams
+            FROM tot t LEFT JOIN dupc d USING (doc_id)
+            ORDER BY t.doc_id""",
         # dup-pair transitive closure: the SAME pair derivation feeds a
         # recursive min-label CTE; singleton docs keep their own id
         "dup_cluster_ids": f"""
@@ -5730,4 +5774,5 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
+    "dup_ngram_spans": q_dup_ngram_spans,
 }

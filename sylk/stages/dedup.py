@@ -155,7 +155,8 @@ def minhash_signature(text: str) -> np.ndarray:
     return _mix64(hs[None, :] ^ _PERM_SEEDS[:, None]).min(axis=1)
 
 
-def _shingle_hash_segments(texts: list, k: int = 3):
+def _shingle_hash_segments(texts: list, k: int = 3,
+                           whole_doc_short: bool = True):
     """Block-batched shingle hashing: concatenated (non-unique) shingle
     hashes for every doc + int64 segment offsets (len n_docs+1).
 
@@ -165,6 +166,11 @@ def _shingle_hash_segments(texts: list, k: int = 3):
     the block (pandas factorize + blake2b over the vocabulary), window
     combination is a single positional-polynomial pass over the
     concatenated token-hash array with document boundaries masked out.
+
+    ``whole_doc_short=True`` (the minhash/Jaccard convention here) maps
+    a doc with 0 < tokens < k to ONE whole-doc shingle; ``False`` maps
+    it to zero shingles — the strict sliding-window count
+    (len-k+1), which is what positional gram census oracles expect.
     """
     n = len(texts)
     tok_lists = [(t or "").split() for t in texts]
@@ -184,8 +190,11 @@ def _shingle_hash_segments(texts: list, k: int = 3):
     np.cumsum(lens, out=doc_start[1:])
 
     # one shingle count per doc: lens-k+1 full-k windows, or one
-    # whole-doc shingle when 0 < lens < k, or zero when empty
-    n_sh = np.where(lens >= k, lens - k + 1, np.where(lens > 0, 1, 0))
+    # whole-doc shingle when 0 < lens < k (zero when short and
+    # whole_doc_short is off), or zero when empty
+    short_sh = 1 if whole_doc_short else 0
+    n_sh = np.where(lens >= k, lens - k + 1,
+                    np.where(lens > 0, short_sh, 0))
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_sh, out=offs[1:])
     out = np.empty(offs[-1], dtype=np.uint64)
@@ -211,7 +220,7 @@ def _shingle_hash_segments(texts: list, k: int = 3):
                 cnt = lens[d] - k + 1
                 out[offs[d] : offs[d + 1]] = full[fpos : fpos + cnt]
                 fpos += cnt
-            elif lens[d] > 0:
+            elif lens[d] > 0 and whole_doc_short:
                 kk = int(lens[d])
                 pw = _SHINGLE_BASE ** np.arange(kk - 1, -1, -1, dtype=np.uint64)
                 acc = (th[doc_start[d] : doc_start[d] + kk] * pw).sum(
@@ -717,6 +726,118 @@ def ngram_shingle_rows(batch: pa.Table, text_col: str = "text",
         "sh": pa.array(cat_u, pa.uint64()),
         "n_sh": pa.array(counts[seg_u].astype(np.int64), pa.int64()),
     })
+
+
+def positional_gram_count_rows(batch: pa.Table, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               k: int = 8) -> pa.Table:
+    """Explode each doc into (doc_id, g, cnt) rows: ``g`` = word k-gram
+    hash (bit-reinterpreted to int64 — uint64 > 2^63 overflows in Ray's
+    shuffle rebuild), ``cnt`` = how many POSITIONS in the doc start that
+    gram (within-doc repeats are counted, unlike the distinct-set
+    :func:`ngram_shingle_rows`).  Docs with fewer than k tokens emit
+    nothing (``whole_doc_short=False``) — the strict sliding-window
+    semantics the SQL oracle's generate_series(1, len-k+1) produces."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    cat, offs = _shingle_hash_segments(texts, k, whole_doc_short=False)
+    if len(cat) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "g": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    seg = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(offs))
+    order = np.lexsort((cat, seg))
+    seg_s, cat_s = seg[order], cat[order]
+    starts = np.ones(len(cat_s), dtype=bool)
+    starts[1:] = (seg_s[1:] != seg_s[:-1]) | (cat_s[1:] != cat_s[:-1])
+    idx = np.flatnonzero(starts)
+    run_len = np.diff(np.append(idx, len(cat_s)))
+    return pa.table({
+        "doc_id": pa.array(ids[seg_s[idx]].astype(np.int64), pa.int64()),
+        "g": pa.array(cat_s[idx].view(np.int64), pa.int64()),
+        "cnt": pa.array(run_len.astype(np.int64), pa.int64()),
+    })
+
+
+def dup_ngram_spans(docs_ds, k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    distributed: bool | None = None):
+    """Cross-document duplicated k-gram span census — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): for every doc with >= k tokens, how many
+    of its token positions start a word k-gram that ALSO occurs in at
+    least one other document.
+
+    Returns Dataset[(doc_id, n_grams, n_dup_grams)] with n_grams =
+    tokens-k+1 (the position count) and n_dup_grams = positions whose
+    gram's document frequency >= 2; n_dup_grams/n_grams is the doc's
+    duplicated-span fraction, the usual removal/score signal.
+
+    Scale shape: three keyed exchanges, all on compact rows — (1) the
+    per-(doc, gram) combiner partials (24 B/row, <= tokens rows/doc)
+    into a grouped doc-frequency count, (2) a semi-join of the gram rows
+    against the df>=2 gram set (auto broadcast tier when the dup-gram
+    set is driver-small, hash join otherwise), (3) ONE per-doc sum over
+    the union of dup counts and totals (join-free: totals cover every
+    doc, so no outer join is needed).  No step materializes pairs or
+    full texts; the totals side is a separate cheap Arrow-kernel scan
+    (count_substring_regex), so the expensive gram explode runs exactly
+    once per consumed branch.
+    """
+    from functools import partial
+
+    from .join import grouped_agg, semi_join
+
+    rows = docs_ds.map_batches(
+        partial(positional_gram_count_rows, text_col=text_col,
+                id_col=id_col, k=k),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    # gram document-frequency (rows are distinct per (doc, gram), so
+    # count-per-gram == doc frequency); two-phase so only per-block
+    # distinct grams shuffle
+    df = grouped_agg(rows.select_columns(["g"]), ["g"], [], count_name="df")
+    dup_grams = df.filter(expr="df >= 2").select_columns(["g"])
+
+    dup_rows = semi_join(rows, dup_grams, on="g", distributed=distributed)
+    dup_counts = grouped_agg(dup_rows.select_columns(["doc_id", "cnt"]),
+                             ["doc_id"], ["cnt"], count_name="_nr")
+
+    # merge with the per-doc totals by UNION + sum rather than an outer
+    # join: every doc appears on the totals side, so no join is needed —
+    # and a corpus with zero duplicated grams leaves dup_counts with no
+    # blocks at all (unknown schema), which Ray's hash-shuffle join
+    # cannot take as a right side but union handles trivially.
+    def _as_dup(b: pa.Table):
+        if b.num_columns:  # empty groupbys emit schemaless blocks
+            zero = pa.array(np.zeros(b.num_rows, np.int64), pa.int64())
+            yield pa.table({"doc_id": b.column("doc_id"),
+                            "n_grams": zero,
+                            "n_dup_grams": b.column("cnt")})
+
+    dup_counts = dup_counts.map_batches(_as_dup, batch_format="pyarrow",
+                                        batch_size=None)
+
+    def _totals(b: pa.Table) -> pa.Table:
+        nt = pc.count_substring_regex(b.column(text_col), r"\S+")
+        ng = pc.max_element_wise(
+            pc.subtract(pc.cast(nt, pa.int64()), pa.scalar(k - 1, pa.int64())),
+            pa.scalar(0, pa.int64()))
+        t = pa.table({"doc_id": pc.cast(b.column(id_col), pa.int64()),
+                      "n_grams": ng,
+                      "n_dup_grams": pa.array(
+                          np.zeros(len(ng), np.int64), pa.int64())})
+        return t.filter(pc.greater(t.column("n_grams"), 0))
+
+    totals = docs_ds.map_batches(_totals, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+
+    from ray.data.aggregate import Sum
+
+    out = totals.union(dup_counts).groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_dup_grams", alias_name="n_dup_grams"))
+    return out.sort("doc_id")
 
 
 def _pair_score_jaccard(c, na, nb):

@@ -687,3 +687,55 @@ def test_tfidf_vocab_join_fallback(ray_session, monkeypatch):
                               distributed=True).to_pandas()
     assert (sorted(zip(fb.a, fb.b, fb.cosine))
             == sorted(zip(base.a, base.b, base.cosine)) != [])
+
+
+def test_dup_ngram_spans_planted(ray_session):
+    """Planted duplicated-8-gram census: a shared 8-gram window between
+    two docs, within-doc positional repeats, a short (<8-token) doc
+    excluded, and a dup-free doc reported with n_dup_grams = 0."""
+    import ray.data
+
+    from sylk.stages.dedup import dup_ngram_spans
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = [
+        # doc 0: shared gram at position 0 plus 2 unique tail tokens
+        {"doc_id": 0, "text": shared + " alpha beta"},
+        # doc 1: the same 8-gram REPEATED twice (positions 0 and 8);
+        # both positions count as duplicated
+        {"doc_id": 1, "text": shared + " " + shared},
+        # doc 2: 9 unique tokens -> 2 grams, none shared
+        {"doc_id": 2, "text": "aa bb cc dd ee ff gg hh ii"},
+        # doc 3: under 8 tokens -> emits nothing
+        {"doc_id": 3, "text": "too short to have any gram"},
+        # doc 4: empty
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (dup_ngram_spans(ray.data.from_items(docs), k=8)
+           .to_pandas().set_index("doc_id"))
+    assert sorted(out.index) == [0, 1, 2]  # 3 and 4 emit no windows
+    # doc 0: 10 tokens -> 3 windows; only position 0's gram is shared
+    assert (out.loc[0, "n_grams"], out.loc[0, "n_dup_grams"]) == (3, 1)
+    # doc 1: 16 tokens -> 9 windows; positions 0 and 8 are the shared
+    # gram (counted per POSITION); the 7 straddling windows are unique
+    assert (out.loc[1, "n_grams"], out.loc[1, "n_dup_grams"]) == (9, 2)
+    # doc 2: no gram occurs elsewhere
+    assert (out.loc[2, "n_grams"], out.loc[2, "n_dup_grams"]) == (2, 0)
+
+
+def test_dup_ngram_spans_no_dups(ray_session):
+    """Corpus with no cross-doc gram at all: the dup set is empty, the
+    semi-join driver tier short-circuits, every doc reports 0."""
+    import ray.data
+
+    from sylk.stages.dedup import dup_ngram_spans
+
+    docs = [
+        {"doc_id": 0, "text": "a b c d e f g h i"},
+        {"doc_id": 1, "text": "j k l m n o p q r"},
+    ]
+    out = (dup_ngram_spans(ray.data.from_items(docs), k=8)
+           .to_pandas().set_index("doc_id"))
+    assert sorted(out.index) == [0, 1]
+    assert out.n_dup_grams.tolist() == [0, 0]
+    assert out.n_grams.tolist() == [2, 2]
