@@ -728,6 +728,28 @@ def ngram_shingle_rows(batch: pa.Table, text_col: str = "text",
     })
 
 
+def _gram_census_driver(tbl: pa.Table) -> pa.Table:
+    """Driver-tier census over collected (doc_id, g, cnt) gram rows:
+    per-g row count IS the document frequency (rows are distinct per
+    doc-gram), one bincount each for the per-doc totals and the df>=2
+    positional sum.  Output sorted by doc_id (np.unique order)."""
+    if tbl.num_columns == 0 or tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_dup_grams": pa.array([], pa.int64())})
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    g = tbl.column("g").to_numpy(zero_copy_only=False)
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    udoc, dinv = np.unique(doc, return_inverse=True)
+    n_grams = np.bincount(dinv, weights=cnt).astype(np.int64)
+    _, ginv, gc = np.unique(g, return_inverse=True, return_counts=True)
+    dup_cnt = np.where(gc[ginv] >= 2, cnt, 0)
+    n_dup = np.bincount(dinv, weights=dup_cnt).astype(np.int64)
+    return pa.table({"doc_id": pa.array(udoc, pa.int64()),
+                     "n_grams": pa.array(n_grams, pa.int64()),
+                     "n_dup_grams": pa.array(n_dup, pa.int64())})
+
+
 def positional_gram_count_rows(batch: pa.Table, text_col: str = "text",
                                id_col: str = "doc_id",
                                k: int = 8) -> pa.Table:
@@ -773,16 +795,20 @@ def dup_ngram_spans(docs_ds, k: int = 8, text_col: str = "text",
     gram's document frequency >= 2; n_dup_grams/n_grams is the doc's
     duplicated-span fraction, the usual removal/score signal.
 
-    Scale shape: three keyed exchanges, all on compact rows — (1) the
-    per-(doc, gram) combiner partials (24 B/row, <= tokens rows/doc)
-    into a grouped doc-frequency count, (2) a semi-join of the gram rows
+    Tiers: under _DRIVER_TRIPLE_LIMIT collected gram rows (24 B each,
+    bounded DECISION via _bounded_collect) the census is one numpy pass
+    on the driver; above it — or with ``distributed=True`` — the
+    distributed plan runs three keyed exchanges, all on compact rows:
+    (1) the per-(doc, gram) combiner partials (<= tokens rows/doc) into
+    a grouped doc-frequency count, (2) a semi-join of the gram rows
     against the df>=2 gram set (auto broadcast tier when the dup-gram
     set is driver-small, hash join otherwise), (3) ONE per-doc sum over
     the union of dup counts and totals (join-free: totals cover every
     doc, so no outer join is needed).  No step materializes pairs or
     full texts; the totals side is a separate cheap Arrow-kernel scan
-    (count_substring_regex), so the expensive gram explode runs exactly
-    once per consumed branch.
+    (count_substring_regex) rather than a second gram explode, and the
+    auto tier's over-limit fall-through reuses the already-materialized
+    gram rows.
     """
     from functools import partial
 
@@ -793,15 +819,45 @@ def dup_ngram_spans(docs_ds, k: int = 8, text_col: str = "text",
                 id_col=id_col, k=k),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
+    # bounded driver tier (default): gram rows are 24 B each, so small
+    # corpora census in one numpy pass instead of paying three keyed
+    # exchanges of fixed shuffle cost; the tier DECISION materializes
+    # rows into the object store first, so an over-limit fall-through
+    # reuses those blocks (no re-explode) for the distributed path.
+    if distributed is not True:
+        mrows, tbl = _bounded_collect(rows, _DRIVER_TRIPLE_LIMIT)
+        if tbl is not None:
+            import ray.data
+
+            return ray.data.from_arrow(_gram_census_driver(tbl))
+        rows = mrows
+
     # gram document-frequency (rows are distinct per (doc, gram), so
     # count-per-gram == doc frequency); two-phase so only per-block
-    # distinct grams shuffle
+    # distinct grams shuffle.  materialize(): the dup-gram set is
+    # bounded by DISTINCT duplicated grams (spillable 8 B keys, tiny vs
+    # the corpus) and semi_join consumes it twice (tier-decision count
+    # + key collect / join side) — unmaterialized, Ray re-runs the
+    # whole explode+aggregate lineage per consumer.
     df = grouped_agg(rows.select_columns(["g"]), ["g"], [], count_name="df")
-    dup_grams = df.filter(expr="df >= 2").select_columns(["g"])
+    dup_grams = (df.filter(expr="df >= 2").select_columns(["g"])
+                 .materialize())
+
+    # shuffle fixed cost scales with blocks x partitions: the semi-join
+    # survivors and the union below are tiny rows spread over every
+    # input block — compact them to a block count that scales with the
+    # input's read granularity before the keyed aggregates (the
+    # measured 16s -> 2.6s repartition pattern).
+    try:
+        n_in = docs_ds.num_blocks() or 64
+    except Exception:
+        n_in = 64
+    nparts = max(4, n_in // 8)
 
     dup_rows = semi_join(rows, dup_grams, on="g", distributed=distributed)
-    dup_counts = grouped_agg(dup_rows.select_columns(["doc_id", "cnt"]),
-                             ["doc_id"], ["cnt"], count_name="_nr")
+    dup_counts = grouped_agg(
+        dup_rows.select_columns(["doc_id", "cnt"]).repartition(nparts),
+        ["doc_id"], ["cnt"], count_name="_nr")
 
     # merge with the per-doc totals by UNION + sum rather than an outer
     # join: every doc appears on the totals side, so no join is needed —
@@ -834,9 +890,10 @@ def dup_ngram_spans(docs_ds, k: int = 8, text_col: str = "text",
 
     from ray.data.aggregate import Sum
 
-    out = totals.union(dup_counts).groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="n_grams"),
-        Sum("n_dup_grams", alias_name="n_dup_grams"))
+    out = (totals.union(dup_counts).repartition(nparts)
+           .groupby("doc_id").aggregate(
+               Sum("n_grams", alias_name="n_grams"),
+               Sum("n_dup_grams", alias_name="n_dup_grams")))
     return out.sort("doc_id")
 
 

@@ -713,6 +713,12 @@ def test_dup_ngram_spans_planted(ray_session):
     ]
     out = (dup_ngram_spans(ray.data.from_items(docs), k=8)
            .to_pandas().set_index("doc_id"))
+    # the forced-distributed tier (semi-join + union-sum exchanges)
+    # must census identically to the driver numpy pass
+    dist = (dup_ngram_spans(ray.data.from_items(docs), k=8,
+                            distributed=True)
+            .to_pandas().set_index("doc_id").sort_index())
+    assert dist.equals(out.sort_index())
     assert sorted(out.index) == [0, 1, 2]  # 3 and 4 emit no windows
     # doc 0: 10 tokens -> 3 windows; only position 0's gram is shared
     assert (out.loc[0, "n_grams"], out.loc[0, "n_dup_grams"]) == (3, 1)
