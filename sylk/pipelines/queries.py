@@ -121,6 +121,8 @@ _I64 = {
     "delta": pa.int64(),
     "n_grams": pa.int64(),
     "n_dup_grams": pa.int64(),
+    "vec_id": pa.int64(),
+    "cluster": pa.int64(),
 }
 
 
@@ -1555,6 +1557,19 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
     from ..stages.dedup import embedding_dup_pairs
 
     return _pairs_table(embedding_dup_pairs(_emb(sf_dir), threshold=0.95), "cosine")
+
+
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023) keep set: fixed-point k-means
+    labels (bit-exact vs the unrolled Lloyd CTEs) + the cluster-scoped
+    smaller-id cosine-dup drop rule at the 0.95 threshold the
+    embedding_dup_pairs recall argument covers.  Exercises BOTH new
+    pieces at once: a wrong label or a missed/phantom pair changes the
+    keep set."""
+    from ..stages.dedup import semantic_dedup
+
+    return _table(semantic_dedup(_emb(sf_dir), threshold=0.95),
+                  ["vec_id", "cluster"])
 
 
 def q_below_median_length_counts(sf_dir: str) -> pa.Table:
@@ -4176,6 +4191,7 @@ def _oracle_sql_entries() -> dict[str, str]:
             WHERE cum_tokens <= {_TOKEN_BUDGET}""",
         "event_transition_rank": _pagerank_oracle_sql(),
         "kmeans_centroids": _kmeans_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "doc_split_assign": """
             SELECT doc_id,
                    CASE WHEN md5_number_lower(text) % 100 < 90 THEN 'train'
@@ -4439,13 +4455,16 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
               f" FROM r{iterations}")
 
 
-def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
-    """Unrolled fixed-point Lloyd's k-means over the embeddings table —
-    one assign+update CTE pair per iteration, arithmetic identical to
-    similarity.kmeans_fixed: q = floor(x*1e6) BIGINT, integer squared-L2
-    distances, ROW_NUMBER (dist, c) tie-break = numpy argmin's
-    first-minimum, centroid update floor(sum/n) (DOUBLE division exact
-    below 2^53), empty cluster keeps its previous centroid."""
+def _kmeans_ctes(k: int = 8, iterations: int = 2) -> str:
+    """Unrolled fixed-point Lloyd CTE chain over the embeddings table,
+    arithmetic identical to similarity._kmeans_qc: q = floor(x*1e6)
+    BIGINT, integer squared-L2 distances, ROW_NUMBER (dist, c)
+    tie-break = numpy argmin's first-minimum, centroid update
+    floor(sum/n) (DOUBLE division exact below 2^53), empty cluster
+    keeps its previous centroid.  Ends with ``c{iterations}`` (final
+    centroids) and ``a{iterations}`` (the assignment that produced
+    them — kmeans_assign's output); shared by the centroid and the
+    semantic-dedup oracles so both describe ONE clustering."""
     ctes = [f"""vecs AS (
               SELECT vec_id,
                      CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
@@ -4480,13 +4499,39 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
                                    AS BIGINT), p.qc) AS qc
               FROM c{i - 1} p LEFT JOIN s{i} s
                 ON s.c = p.c AND s.dim = p.dim)""")
-    return ("WITH " + ",\n".join(ctes)
+    return "WITH " + ",\n".join(ctes)
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
+    """Final centroids + sizes from the shared Lloyd CTE chain."""
+    return (_kmeans_ctes(k, iterations)
             + f"""
             SELECT f.c AS cluster, f.dim, f.qc,
                    CAST(COALESCE(z.n, 0) AS BIGINT) AS n
             FROM c{iterations} f LEFT JOIN (
               SELECT c, COUNT(*) AS n FROM a{iterations} GROUP BY c) z
               USING (c)""")
+
+
+def _semantic_dedup_oracle_sql(k: int = 8, iterations: int = 2,
+                               threshold: float = 0.95) -> str:
+    """SemDeDup keep set: the a{iterations} labels, minus every vector
+    with a smaller-id SAME-cluster mate at cosine >= threshold (exact
+    all-pairs — the LSH+verify pipeline must reproduce it; same
+    unrounded-compare contract as embedding_dup_pairs)."""
+    return (_kmeans_ctes(k, iterations)
+            + f"""
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   CAST(a.c AS BIGINT) AS cluster
+            FROM a{iterations} a
+            WHERE NOT EXISTS (
+              SELECT 1
+              FROM embeddings q
+              JOIN embeddings v ON v.vec_id = a.vec_id
+                               AND q.vec_id < v.vec_id
+              JOIN a{iterations} aq ON aq.vec_id = q.vec_id
+              WHERE aq.c = a.c AND {_COS} >= {threshold})
+            ORDER BY vec_id""")
 
 
 def _curated_corpus_oracle_sql() -> str:
@@ -5775,4 +5820,5 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "semantic_dedup": q_semantic_dedup,
 }

@@ -1752,6 +1752,102 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.98, n_bands: int = 16,
         packed, "vec_id", "vecb", _cos_packed, "cosine")
 
 
+def semantic_dedup(emb_ds, threshold: float = 0.95, k: int = 8,
+                   iterations: int = 2, id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   distributed: bool | None = None):
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the fixed-point
+    k-means (``similarity.kmeans_assign`` — bit-exact vs the unrolled
+    SQL), then inside each cluster drop every vector that has a
+    SMALLER-id cluster-mate at exact cosine >= ``threshold``.  Returns
+    Dataset[(id_col, cluster)] of the KEPT rows, sorted by id.
+
+    Semantics are deliberately non-transitive (the paper's rule:
+    compare against all cluster members, not only survivors): v drops
+    iff EXISTS u, cluster(u) == cluster(v), u.id < v.id,
+    cosine(u, v) >= threshold.  Cluster scoping is what makes the op
+    cheap at scale — candidate generation reuses the full-recall LSH +
+    two-stage verify of :func:`embedding_dup_pairs` (recall argument
+    there), and pair volume is near-dup-bounded, so the only
+    corpus-sized exchanges are the label pass (shuffle-free) and the
+    final anti-join.
+
+    Tiers: the label map collects to the driver under
+    ``_DRIVER_TRIPLE_LIMIT`` rows (16 B each) and the census is one
+    numpy pass; above it — or ``distributed=True`` — pairs join their
+    endpoint labels (pairs side is small), same-cluster survivors feed
+    a distributed anti-join on the label Dataset.
+    """
+    from .join import anti_join, hash_join
+    from .similarity import kmeans_assign
+
+    # materialize: consumed twice (pair labelling + final anti-join);
+    # unmaterialized, Ray re-runs the Lloyd train per consumer
+    assign = kmeans_assign(emb_ds, k=k, iterations=iterations,
+                           id_col=id_col, emb_col=emb_col).materialize()
+    pairs = embedding_dup_pairs(emb_ds, threshold=threshold,
+                                distributed=distributed)
+    mpairs, ptbl = _bounded_collect(pairs, _DRIVER_PAIR_LIMIT)
+
+    if distributed is not True:
+        massign, atbl = _bounded_collect(assign, _DRIVER_TRIPLE_LIMIT)
+        if atbl is not None and ptbl is not None:
+            import ray.data
+
+            ids = atbl.column(id_col).to_numpy(zero_copy_only=False)
+            cl = atbl.column("cluster").to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            ids, cl = ids[order], cl[order]
+            if ptbl.num_rows and ptbl.num_columns:
+                a = ptbl.column("a").to_numpy(zero_copy_only=False)
+                b = ptbl.column("b").to_numpy(zero_copy_only=False)
+                same = (cl[np.searchsorted(ids, a)]
+                        == cl[np.searchsorted(ids, b)])
+                keep_mask = ~np.isin(ids, np.unique(b[same]))
+            else:
+                keep_mask = np.ones(len(ids), bool)
+            return ray.data.from_arrow(pa.table({
+                id_col: pa.array(ids[keep_mask], pa.int64()),
+                "cluster": pa.array(cl[keep_mask], pa.int64())}))
+        assign = massign
+
+    # distributed tier: label both pair endpoints (pairs side is the
+    # small one), keep same-cluster pairs, anti-join the drop ids.
+    # zero-block guard: Ray's hash-shuffle join can't take an empty
+    # no-schema side (dup_ngram_spans precedent) — and count() here is
+    # metadata-cheap on the already-materialized pairs.
+    if mpairs.count() == 0:
+        return assign.sort(id_col)
+
+    def _as_a(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column(id_col), "ca": t.column("cluster")})
+
+    def _as_b(t: pa.Table) -> pa.Table:
+        return pa.table({"b": t.column(id_col), "cb": t.column("cluster")})
+
+    def _ab(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"])
+
+    lab_a = assign.map_batches(_as_a, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+    lab_b = assign.map_batches(_as_b, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+    j = hash_join(mpairs.map_batches(_ab, batch_format="pyarrow",
+                                     batch_size=None), lab_a, on="a")
+    j = hash_join(j, lab_b, on="b")
+
+    def _same(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t.column("ca"), t.column("cb")))
+                .select(["b"]))
+
+    drops = j.map_batches(_same, batch_format="pyarrow", batch_size=None)
+    kept = anti_join(assign, drops, on=id_col, right_key="b",
+                     distributed=distributed)
+    return kept.sort(id_col)
+
+
 # --- dup-cluster resolution (connected components) --------------------------
 
 _CC_DRIVER_EDGE_LIMIT = 2_000_000  # graph.py's pagerank bound

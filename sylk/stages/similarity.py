@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.vectors import list_column_matrix
 
@@ -386,8 +387,46 @@ def kmeans_fixed(emb_ds, k: int = 8, iterations: int = 2,
     Init-selection exchange: per-block partial k-smallest ids, merged on
     the driver — O(blocks * k) rows, never a sort of the dataset.
     """
-    import ray
     import ray.data
+
+    res = _kmeans_qc(emb_ds, k, iterations, id_col, emb_col)
+    if res is None:
+        return ray.data.from_arrow(pa.table({
+            "cluster": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "qc": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64())}))
+    qc, n_final = res
+    kk, dims = qc.shape
+    return ray.data.from_arrow(pa.table({
+        "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dims),
+                            pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), kk),
+                        pa.int64()),
+        "qc": pa.array(qc.reshape(-1), pa.int64()),
+        "n": pa.array(np.repeat(n_final, dims), pa.int64()),
+    }))
+
+
+def _argmin_assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """First-minimum (lowest cluster id wins ties) integer squared-L2
+    assignment — k passes of (n x dims) int64 ops, O(n*dims) memory
+    (never an (n,k,dims) cube); shared by the update partials and the
+    final labelling pass so both sides of the oracle see ONE kernel."""
+    dist = np.empty((len(q), len(c)), dtype=np.int64)
+    for ci in range(len(c)):
+        diff = q - c[ci]
+        dist[:, ci] = np.einsum("ij,ij->i", diff, diff)
+    return dist.argmin(axis=1)                            # first min = low id
+
+
+def _kmeans_qc(emb_ds, k: int, rounds: int, id_col: str, emb_col: str):
+    """The Lloyd iteration core shared by ``kmeans_fixed`` (centroid
+    output) and ``kmeans_assign`` (labelling output): seed from the k
+    smallest ids, run ``rounds`` assign+update rounds, return the
+    quantized centroid matrix ``(qc, n_final)`` — or None on an empty
+    dataset.  All determinism notes live on ``kmeans_fixed``."""
+    import ray
     from ray.data.aggregate import Sum
 
     scale = _CENTROID_SCALE
@@ -406,11 +445,7 @@ def kmeans_fixed(emb_ds, k: int = 8, iterations: int = 2,
     cand.sort(key=lambda r: r[id_col])
     seeds = cand[:k]
     if not seeds:
-        return ray.data.from_arrow(pa.table({
-            "cluster": pa.array([], pa.int64()),
-            "dim": pa.array([], pa.int64()),
-            "qc": pa.array([], pa.int64()),
-            "n": pa.array([], pa.int64())}))
+        return None
     init = np.stack([np.asarray(r[emb_col], dtype=np.float64)
                      for r in seeds])
     qc = np.floor(init * scale).astype(np.int64)          # (k, dims)
@@ -428,13 +463,7 @@ def kmeans_fixed(emb_ds, k: int = 8, iterations: int = 2,
             c = ray.get(cref)
             vecs = list_column_matrix(b[emb_col])
             q = np.floor(vecs * scale).astype(np.int64)   # (n, dims)
-            # k passes of (n x dims) int64 ops — O(n*k*dims) time but
-            # O(n*dims) memory (never an (n,k,dims) cube)
-            dist = np.empty((len(q), len(c)), dtype=np.int64)
-            for ci in range(len(c)):
-                diff = q - c[ci]
-                dist[:, ci] = np.einsum("ij,ij->i", diff, diff)
-            assign = dist.argmin(axis=1)                  # first min = low id
+            assign = _argmin_assign(q, c)
             sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
             np.add.at(sums, assign, q)
             counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
@@ -449,7 +478,7 @@ def kmeans_fixed(emb_ds, k: int = 8, iterations: int = 2,
         return _partial
 
     n_final = np.zeros(kk, dtype=np.int64)
-    for _ in range(iterations):
+    for _ in range(rounds):
         stats = (emb_ds.map_batches(_partial_factory(qc),
                                     batch_format="pyarrow", batch_size=None)
                  .groupby(["cluster", "dim"])
@@ -464,11 +493,48 @@ def kmeans_fixed(emb_ds, k: int = 8, iterations: int = 2,
             n_final[c] = row["n"]
         qc = new_qc
 
-    return ray.data.from_arrow(pa.table({
-        "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dims),
-                            pa.int64()),
-        "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), kk),
-                        pa.int64()),
-        "qc": pa.array(qc.reshape(-1), pa.int64()),
-        "n": pa.array(np.repeat(n_final, dims), pa.int64()),
-    }))
+    return qc, n_final
+
+
+def kmeans_assign(emb_ds, k: int = 8, iterations: int = 2,
+                  id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Per-vector cluster labels under the SAME fixed-point Lloyd
+    contract as ``kmeans_fixed``: the label of iteration ``iterations``
+    is the assignment computed against the centroids after
+    ``iterations - 1`` update rounds (the oracle's ``a{iterations}``
+    CTE — the assignment that PRODUCED the final centroids, so the two
+    entries describe one clustering, not two).
+
+    Returns Dataset[(id_col, cluster)], bit-identical to the unrolled
+    SQL.  Scale shape: the centroid train is the bounded-driver Lloyd
+    loop (k x dims state); labelling is ONE stateless map_batches pass
+    against the broadcast centroid matrix — no shuffle at all.
+    """
+    import ray
+    import ray.data
+
+    if iterations < 1:
+        raise ValueError("kmeans_assign needs iterations >= 1")
+    res = _kmeans_qc(emb_ds, k, iterations - 1, id_col, emb_col)
+    if res is None:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64())}))
+    qc, _ = res
+    scale = _CENTROID_SCALE
+    cref = ray.put(qc)
+
+    def _label(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        c = ray.get(cref)
+        vecs = list_column_matrix(b[emb_col])
+        q = np.floor(vecs * scale).astype(np.int64)
+        assign = _argmin_assign(q, c)
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "cluster": pa.array(assign.astype(np.int64), pa.int64())})
+
+    return emb_ds.map_batches(_label, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)

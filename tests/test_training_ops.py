@@ -745,3 +745,61 @@ def test_dup_ngram_spans_no_dups(ray_session):
     assert sorted(out.index) == [0, 1]
     assert out.n_dup_grams.tolist() == [0, 0]
     assert out.n_grams.tolist() == [2, 2]
+
+
+def _semdedup_table() -> pa.Table:
+    """5 vectors, 2 L2 clusters (seeds: vec 0 near the origin, vec 1 up
+    the y axis), with a same-cluster cosine dup (2 vs 0) and a CROSS-
+    cluster collinear pair (3 in cluster 0, 4 in cluster 1, cosine 1.0)
+    that the cluster scoping must NOT drop."""
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],     # seed c0
+        [0.0, 100.0, 0.0, 0.0],   # seed c1
+        [2.0, 0.0, 0.0, 0.0],     # c0, cosine(0,2)=1.0 -> dropped
+        [6.0, 8.0, 0.0, 0.0],     # c0, cosine vs 0/2 = 0.6 -> kept
+        [60.0, 80.0, 0.0, 0.0],   # c1, collinear with 3 (c0) -> kept
+    ]
+    return pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+
+
+def test_semantic_dedup_cluster_scoped(ray_session):
+    """The SemDeDup drop rule is scoped to the k-means cluster: the
+    same-cluster dup (vec 2) drops, the cross-cluster collinear pair
+    (3, 4) survives on both sides, and labels match the L2 geometry."""
+    import ray.data
+
+    from sylk.stages.dedup import semantic_dedup
+
+    out = (semantic_dedup(ray.data.from_arrow(_semdedup_table()),
+                          threshold=0.95, k=2)
+           .to_pandas().set_index("vec_id"))
+    assert sorted(out.index) == [0, 1, 3, 4]      # vec 2 dropped
+    assert out.cluster.to_dict() == {0: 0, 1: 1, 3: 0, 4: 1}
+
+
+def test_semantic_dedup_distributed_tier(ray_session):
+    """Forced-distributed (label joins + anti-join) must reproduce the
+    driver numpy census, including on a pair-free corpus (the
+    zero-block join guard)."""
+    import ray.data
+
+    from sylk.stages.dedup import semantic_dedup
+
+    ds = ray.data.from_arrow(_semdedup_table())
+    base = (semantic_dedup(ds, threshold=0.95, k=2)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    dist = (semantic_dedup(ds, threshold=0.95, k=2, distributed=True)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert dist.equals(base)
+
+    lone = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+    }))
+    kept = (semantic_dedup(lone, threshold=0.95, k=2, distributed=True)
+            .to_pandas())
+    assert sorted(kept.vec_id) == [0, 1]
