@@ -123,6 +123,13 @@ _I64 = {
     "n_dup_grams": pa.int64(),
     "vec_id": pa.int64(),
     "cluster": pa.int64(),
+    "n_words": pa.int64(),
+    "flag_word_count": pa.int64(),
+    "flag_mean_word_len": pa.int64(),
+    "flag_symbol_ratio": pa.int64(),
+    "flag_alpha_words": pa.int64(),
+    "flag_stopwords": pa.int64(),
+    "passed": pa.int64(),
 }
 
 
@@ -1570,6 +1577,23 @@ def q_semantic_dedup(sf_dir: str) -> pa.Table:
 
     return _table(semantic_dedup(_emb(sf_dir), threshold=0.95),
                   ["vec_id", "cluster"])
+
+
+def q_gopher_quality_flags(sf_dir: str) -> pa.Table:
+    """Gopher rule gates (Rae et al. 2021) per document: canonical
+    thresholds (50-100k words, mean word length 3-10, symbol ratio
+    <= 0.1, >= 80% alpha words, >= 2 stopwords).  One stateless
+    vectorized pass; RE2 on both sides makes every count bit-equal."""
+    from ..stages.text import gopher_flags_batch
+
+    out = (_docs(sf_dir)
+           .map_batches(gopher_flags_batch, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
+           .sort("doc_id"))
+    return _table(out, ["doc_id", "n_words", "mean_word_len",
+                        "flag_word_count", "flag_mean_word_len",
+                        "flag_symbol_ratio", "flag_alpha_words",
+                        "flag_stopwords", "passed"])
 
 
 def q_below_median_length_counts(sf_dir: str) -> pa.Table:
@@ -4160,6 +4184,50 @@ def _oracle_sql_entries() -> dict[str, str]:
                    COALESCE(d.n_dup_grams, 0) AS n_dup_grams
             FROM tot t LEFT JOIN dupc d USING (doc_id)
             ORDER BY t.doc_id""",
+        # Gopher gates: every count is an RE2 match count on both
+        # engines; ratio compares multiply through by the word count
+        # (one shared IEEE op order), mean length divides the same two
+        # doubles on both sides
+        "gopher_quality_flags": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS nt,
+                     length(regexp_replace(text, '\s', '', 'g')) AS nc,
+                     len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\.\.\.')) AS nsym,
+                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS na,
+                     len(regexp_extract_all(text,
+                       '(?i)\b(?:the|be|to|of|and|that|have|with|it|is)\b'))
+                       AS ns
+              FROM documents),
+            g AS (
+              SELECT doc_id, nt,
+                     CAST(nc AS DOUBLE)
+                       / CAST(GREATEST(nt, 1) AS DOUBLE) AS ml,
+                     CASE WHEN nt >= 50 AND nt <= 100000
+                          THEN 1 ELSE 0 END AS fwc,
+                     CASE WHEN CAST(nc AS DOUBLE)
+                                 / CAST(GREATEST(nt, 1) AS DOUBLE) >= 3.0
+                           AND CAST(nc AS DOUBLE)
+                                 / CAST(GREATEST(nt, 1) AS DOUBLE) <= 10.0
+                          THEN 1 ELSE 0 END AS fml,
+                     CASE WHEN CAST(nsym AS DOUBLE)
+                               <= 0.1 * CAST(nt AS DOUBLE)
+                          THEN 1 ELSE 0 END AS fsym,
+                     CASE WHEN CAST(na AS DOUBLE)
+                               >= 0.8 * CAST(nt AS DOUBLE)
+                          THEN 1 ELSE 0 END AS fal,
+                     CASE WHEN ns >= 2 THEN 1 ELSE 0 END AS fsw
+              FROM f)
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_words,
+                   ml AS mean_word_len,
+                   CAST(fwc AS BIGINT) AS flag_word_count,
+                   CAST(fml AS BIGINT) AS flag_mean_word_len,
+                   CAST(fsym AS BIGINT) AS flag_symbol_ratio,
+                   CAST(fal AS BIGINT) AS flag_alpha_words,
+                   CAST(fsw AS BIGINT) AS flag_stopwords,
+                   CAST(fwc * fml * fsym * fal * fsw AS BIGINT) AS passed
+            FROM g ORDER BY doc_id""",
         # dup-pair transitive closure: the SAME pair derivation feeds a
         # recursive min-label CTE; singleton docs keep their own id
         "dup_cluster_ids": f"""
@@ -5821,4 +5889,5 @@ QUERIES = {
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "dup_ngram_spans": q_dup_ngram_spans,
     "semantic_dedup": q_semantic_dedup,
+    "gopher_quality_flags": q_gopher_quality_flags,
 }

@@ -85,6 +85,75 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("quality_score", score)
 
 
+_GOPHER_STOPWORD_RE = r"(?i)\b(?:the|be|to|of|and|that|have|with|it|is)\b"
+_ALPHA_WORD_RE = r"\S*[A-Za-z]\S*"  # one match per alpha-bearing token
+
+
+def gopher_flags_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                       max_symbol_ratio: float = 0.1,
+                       min_alpha_frac: float = 0.8,
+                       min_stopwords: int = 2) -> pa.Table:
+    """Gopher quality rules (Rae et al. 2021 §A1.1, the gate set Dolma /
+    RefinedWeb reuse) as one vectorized pass: word-count bounds, mean
+    word length bounds, symbol-to-word ratio (# and ...), fraction of
+    words containing an alphabetic char, and stopword presence.
+
+    Every rule is closed-form over RE2 match counts, and DuckDB's regex
+    engine IS RE2 — so each flag is bit-reproducible by the oracle
+    (ratio compares multiply through by the word count on BOTH sides
+    instead of dividing, keeping one IEEE op order).  Flags are int64
+    0/1; ``passed`` is their conjunction.
+    """
+    text = batch.column(text_col)
+    nt = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+    # chars inside words = total chars - whitespace chars (each \s match
+    # is exactly one char)
+    nc = pc.subtract(
+        pc.cast(pc.utf8_length(text), pa.int64()),
+        pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64()))
+    nsym = pc.add(
+        pc.cast(pc.count_substring(text, "#"), pa.int64()),
+        pc.cast(pc.count_substring(text, "..."), pa.int64()))
+    na = pc.cast(pc.count_substring_regex(text, _ALPHA_WORD_RE), pa.int64())
+    ns = pc.cast(pc.count_substring_regex(text, _GOPHER_STOPWORD_RE),
+                 pa.int64())
+
+    ntf = pc.cast(nt, pa.float64())
+    mean_len = pc.divide(
+        pc.cast(nc, pa.float64()),
+        pc.cast(pc.max_element_wise(nt, pa.scalar(1, pa.int64())),
+                pa.float64()))
+
+    def _flag(mask):
+        return pc.cast(mask, pa.int64())
+
+    f_wc = pc.and_(pc.greater_equal(nt, min_words),
+                   pc.less_equal(nt, max_words))
+    f_ml = pc.and_(pc.greater_equal(mean_len, min_mean_len),
+                   pc.less_equal(mean_len, max_mean_len))
+    f_sym = pc.less_equal(pc.cast(nsym, pa.float64()),
+                          pc.multiply(max_symbol_ratio, ntf))
+    f_al = pc.greater_equal(pc.cast(na, pa.float64()),
+                            pc.multiply(min_alpha_frac, ntf))
+    f_sw = pc.greater_equal(ns, min_stopwords)
+    passed = pc.and_(pc.and_(pc.and_(f_wc, f_ml), pc.and_(f_sym, f_al)),
+                     f_sw)
+    return pa.table({
+        id_col: pc.cast(batch.column(id_col), pa.int64()),
+        "n_words": nt,
+        "mean_word_len": mean_len,
+        "flag_word_count": _flag(f_wc),
+        "flag_mean_word_len": _flag(f_ml),
+        "flag_symbol_ratio": _flag(f_sym),
+        "flag_alpha_words": _flag(f_al),
+        "flag_stopwords": _flag(f_sw),
+        "passed": _flag(passed),
+    })
+
+
 class LangId:
     """Actor-pool language-ID stage: stopword-profile scoring.
 

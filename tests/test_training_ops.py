@@ -803,3 +803,31 @@ def test_semantic_dedup_distributed_tier(ray_session):
     kept = (semantic_dedup(lone, threshold=0.95, k=2, distributed=True)
             .to_pandas())
     assert sorted(kept.vec_id) == [0, 1]
+
+
+def test_gopher_quality_flags_rules():
+    """Each Gopher gate trips on its planted violator and only there
+    (pure batch kernel — no Ray needed)."""
+    from sylk.stages.text import gopher_flags_batch
+
+    good = ("the quick brown fox jumps with energy and grace that "
+            * 6).strip()                     # 60 words, mean len 4.3
+    docs = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([
+            good,                            # 0: passes every gate
+            "the and of to it is",           # 1: 6 words -> word count
+            ("aa " * 60).strip(),            # 2: mean word len 2.0
+            good + " " + ("# " * 12).strip(),  # 3: 12 symbols / 72 words
+            ("zebra quokka wombat axolotl capybara " * 12).strip(),
+        ]),                                  # 4: zero stopwords
+    })
+    out = gopher_flags_batch(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0].passed == 1
+    assert out.loc[1].flag_word_count == 0
+    assert (out.loc[2].flag_mean_word_len, out.loc[2].flag_word_count) == (0, 1)
+    assert (out.loc[3].flag_symbol_ratio,
+            out.loc[3].flag_alpha_words) == (0, 1)  # 60/72 alpha ~ 0.83
+    assert (out.loc[4].flag_stopwords, out.loc[4].flag_word_count) == (0, 1)
+    assert out.passed.tolist() == [1, 0, 0, 0, 0]
+    assert abs(out.loc[0].mean_word_len - 43 / 10) < 1e-12
