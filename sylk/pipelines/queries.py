@@ -1154,6 +1154,44 @@ def q_ann_ivf_recall(sf_dir: str) -> pa.Table:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_ann_store_recall(sf_dir: str) -> pa.Table:
+    """Incremental ANN store correctness: the embeddings ingested as
+    THREE increments (vec_id mod 3) into the cell-partitioned store,
+    then queried with a FULL probe (nprobe == n_cells) — which is an
+    exact scan of the union of all increments, so the result must equal
+    the brute-force top-k row-for-row (ids AND 6dp cosines) no matter
+    where the first increment's trained centroids put the cell
+    boundaries.  What this oracle pins is the STORE: lossless
+    incremental ingest + stable cell routing; the scan-pruning contract
+    (only probed cell= dirs open, honest nprobe) is pytest-asserted in
+    tests/test_ann_store.py, the q_ann_ivf_recall split of evidence."""
+    import shutil
+    import tempfile
+
+    from ..stages.ann_store import ann_ingest, ann_store_query
+
+    store = tempfile.mkdtemp(prefix="sylk_annstore_", dir="/tmp")
+    try:
+        emb = _emb(sf_dir)
+
+        def _slice(i):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == i))
+            return f
+
+        for i in range(3):
+            ann_ingest(emb.map_batches(_slice(i), batch_format="pyarrow",
+                                       batch_size=None,
+                                       zero_copy_batch=True),
+                       store, inc_id=i + 1, n_cells=16)
+        out = ann_store_query(store, _query_matrix(sf_dir), k=_ANN_K,
+                              nprobe=16)
+        return _table(out, ["query_idx", "vec_id", "cosine"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     """Oracle-checked LSH recall evidence (VERDICT r4 #2, the
     ann_ivf_recall pattern): hyperplane-band LSH at a deliberately
@@ -3759,6 +3797,18 @@ def _oracle_sql_entries() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, v.vec_id
             ) <= {_ANN_K}""",
+        # incremental ANN store: 3-increment ingest + full-probe scan
+        # must be lossless vs the one-shot brute force (the store
+        # oracle; pruning is pytest-asserted)
+        "ann_store_recall": f"""
+            SELECT CAST(q.vec_id AS BIGINT) AS query_idx,
+                   CAST(v.vec_id AS BIGINT) AS vec_id,
+                   round({_COS}, 6) AS cosine
+            FROM embeddings q, embeddings v
+            WHERE q.vec_id < {_N_ANN_QUERIES}
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {_COS} DESC, v.vec_id
+            ) <= {_ANN_K}""",
         # recall assertion: hyperplane LSH at the generous 32x4/seed-55
         # banding must reproduce the brute-force top-k (see
         # q_ann_lsh_recall for the pruning-vs-determinism trade)
@@ -5890,4 +5940,5 @@ QUERIES = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "semantic_dedup": q_semantic_dedup,
     "gopher_quality_flags": q_gopher_quality_flags,
+    "ann_store_recall": q_ann_store_recall,
 }

@@ -1,0 +1,213 @@
+"""Incremental ANN vector store: embedding increments appended to an
+IVF-cell-partitioned store, probed with scan-level pruning — the vector
+side of the ingest-store family (dedup_store / upsert_store), for the
+"index the corpus as it arrives" workflow a streaming training-data
+pipeline needs.
+
+Store layout::
+
+    store_dir/_index.json            # {n_cells, dim, seed} metadata
+    store_dir/centroids.npy          # float64 (n_cells, dim), unit rows
+    store_dir/cell=<c>/inc<id>.parquet      # vec_id, embedding
+    store_dir/cell=<c>/compact<upto>.parquet # folded increments
+    store_dir/_done_inc<id>.json     # increment completeness marker
+    store_dir/_compact.json          # compaction watermark
+
+The FIRST increment trains the centroids (the deterministic
+order-statistics sample of :meth:`similarity.IVFIndex.train`) and
+persists them; every later increment loads and reuses them, so cell
+identity is stable across the store's lifetime and a query's probe set
+prunes the SCAN — only the probed ``cell=`` directories' files are
+opened (``probe_files`` is the testable contract).  Centroids are NOT
+retrained as the corpus drifts; that is the standard IVF trade —
+rebuild the store to rebalance.
+
+Idempotence / crash safety (the compact.py discipline shared by the
+other stores):
+
+* centroids + metadata are written tmp -> atomic rename; retraining on
+  a rerun of increment 1 is deterministic (same sample, same seed), so
+  an overwrite is bit-identical;
+* cell files carry DETERMINISTIC names keyed by (cell, inc_id) and are
+  written tmp -> rename — a rerun overwrites its own partial work;
+* a ``_done_inc<id>.json`` marker is written only after every cell
+  file of the increment is visible; reruns happen only while the
+  marker is missing;
+* :func:`compact_ann_store` folds ONLY marker-complete increments into
+  reserved-name ``compact<upto>.parquet`` files (a name no increment
+  can produce) and persists a watermark that makes :func:`ann_ingest`
+  refuse ``inc_id <= upto`` — the upsert-store run-name lesson.
+
+Distribution: one hash-shuffle of the increment by cell
+(``groupby(cell).map_groups``), then each cell task writes its file
+independently; no driver state scales with the data (the stats table
+is n_cells rows).  The query is the existing pruned brute-force:
+``read_parquet`` over probed cells only -> per-block matmul top-k.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .dedup_store import _compact_watermark, _write_watermark
+from .similarity import IVFIndex, ann_topk_bruteforce, _normalize
+
+
+def _load_index(store_dir: str) -> IVFIndex:
+    cents = np.load(os.path.join(store_dir, "centroids.npy"))
+    idx = IVFIndex.__new__(IVFIndex)
+    idx.centroids = cents  # persisted already normalized
+    return idx
+
+
+def _atomic_write(path: str, write_fn) -> None:
+    write_fn(path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
+def _atomic_npy(path: str, arr: np.ndarray) -> None:
+    with open(path + ".tmp", "wb") as f:
+        np.save(f, arr)
+    os.replace(path + ".tmp", path)
+
+
+def _atomic_json(path: str, obj) -> None:
+    with open(path + ".tmp", "w") as f:
+        json.dump(obj, f)
+    os.replace(path + ".tmp", path)
+
+
+def ann_ingest(emb_ds, store_dir: str, inc_id: int, n_cells: int = 16,
+               seed: int = 42, sample: int = 2048) -> pa.Table:
+    """Ingest one embedding increment (``vec_id``, ``embedding``).
+    Eager (files + completeness marker are on disk on return); returns
+    the per-cell stats table (cell, n_rows)."""
+    os.makedirs(store_dir, exist_ok=True)
+    wm = _compact_watermark(store_dir)
+    if inc_id <= wm:
+        raise ValueError(
+            f"inc_id {inc_id} <= compaction watermark {wm}: the "
+            "increment's rows are already folded into reserved compact "
+            "files; a rerun would duplicate them in every probe.  Only "
+            "marker-complete increments are ever compacted, so a "
+            "legitimate crash-recovery rerun is never below the "
+            "watermark.")
+
+    cpath = os.path.join(store_dir, "centroids.npy")
+    if not os.path.exists(cpath):
+        index = IVFIndex.train(emb_ds, n_cells=n_cells, sample=sample,
+                               seed=seed)
+        _atomic_npy(cpath, index.centroids)
+        _atomic_json(os.path.join(store_dir, "_index.json"),
+                     {"n_cells": int(len(index.centroids)),
+                      "dim": int(index.centroids.shape[1]), "seed": seed})
+    else:
+        index = _load_index(store_dir)
+
+    def _one_cell(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        cell = int(g.column("cell")[0].as_py())
+        cdir = os.path.join(store_dir, f"cell={cell}")
+        os.makedirs(cdir, exist_ok=True)
+        out = g.drop_columns(["cell"])
+        _atomic_write(os.path.join(cdir, f"inc{inc_id}.parquet"),
+                      lambda p: pq.write_table(out, p))
+        return pa.table({"cell": pa.array([cell], pa.int64()),
+                         "n_rows": pa.array([g.num_rows], pa.int64())})
+
+    stats = (emb_ds
+             .map_batches(index.assign_batch, batch_format="pyarrow",
+                          batch_size=None)
+             .groupby("cell")
+             .map_groups(_one_cell, batch_format="pyarrow")
+             .to_pandas())
+    # marker LAST: reruns trigger only while it is missing, and every
+    # cell file above is already atomically visible
+    _atomic_json(os.path.join(store_dir, f"_done_inc{inc_id}.json"),
+                 {"cells": int(len(stats)),
+                  "rows": int(stats["n_rows"].sum()) if len(stats) else 0})
+    return pa.Table.from_pandas(stats, preserve_index=False)
+
+
+def probe_files(store_dir: str, cells) -> list[str]:
+    """A query's read set: every increment + compact file of the probed
+    cells ONLY.  Factored out so the scan-pruning contract is directly
+    testable (tests assert non-probed ``cell=`` dirs never open)."""
+    out = []
+    for c in sorted(cells):
+        cdir = os.path.join(store_dir, f"cell={c}")
+        out.extend(sorted(glob.glob(os.path.join(cdir, "inc*.parquet"))
+                          + glob.glob(os.path.join(cdir,
+                                                   "compact*.parquet"))))
+    return out
+
+
+def ann_store_query(store_dir: str, queries: np.ndarray, k: int = 10,
+                    nprobe: int = 4, round_to: int | None = 6):
+    """Cosine top-k over the accumulated store: route each query to its
+    ``nprobe`` nearest cells, open ONLY those cells' files (union over
+    queries), brute-force inside.  ``nprobe == n_cells`` degrades to an
+    exact full scan of the union of all increments — the oracle mode."""
+    import ray.data
+
+    index = _load_index(store_dir)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]
+    files = probe_files(store_dir, {int(c) for row in probe for c in row})
+    if not files:
+        return ray.data.from_items([])
+    pruned = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    return ann_topk_bruteforce(pruned, np.asarray(queries), k=k,
+                               round_to=round_to)
+
+
+def compact_ann_store(store_dir: str) -> dict:
+    """Bound the per-cell file count: fold every marker-COMPLETE
+    increment's cell files (plus earlier compact files) into one
+    reserved-name ``compact<upto>.parquet`` per cell, then persist the
+    watermark that makes ``ann_ingest`` refuse ``inc_id <= upto``.
+    Crash safety: compact tmp -> rename THEN delete sources; a crash
+    between leaves duplicate vectors, which the next compaction folds
+    away (and top-k tolerates — duplicates tie and rank adjacently by
+    vec_id).  Single-writer: run between increments."""
+    import ray
+
+    incs = sorted(
+        int(os.path.basename(f)[len("_done_inc"):-len(".json")])
+        for f in glob.glob(os.path.join(store_dir, "_done_inc*.json")))
+    if not incs:
+        return {"files_in": 0, "files_out": 0,
+                "upto": _compact_watermark(store_dir)}
+    upto = max(incs)
+    complete = {f"inc{i}.parquet" for i in incs}
+
+    @ray.remote
+    def _one(cdir: str) -> tuple:
+        files = sorted(
+            f for f in glob.glob(os.path.join(cdir, "inc*.parquet"))
+            if os.path.basename(f) in complete)
+        files += sorted(glob.glob(os.path.join(cdir, "compact*.parquet")))
+        cf = os.path.join(cdir, f"compact{upto}.parquet")
+        if not files or files == [cf]:
+            return (len(files), len(files))
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        pq.write_table(tbl, cf + ".tmp")
+        os.replace(cf + ".tmp", cf)
+        for f in files:
+            if os.path.abspath(f) != os.path.abspath(cf):
+                os.remove(f)
+        return (len(files), 1)
+
+    res = ray.get([_one.remote(d) for d in
+                   sorted(glob.glob(os.path.join(store_dir, "cell=*")))])
+    _write_watermark(store_dir, upto)
+    return {"files_in": sum(r[0] for r in res),
+            "files_out": sum(r[1] for r in res), "upto": upto}
