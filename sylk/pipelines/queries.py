@@ -2861,6 +2861,26 @@ def q_doc_logprob(sf_dir: str) -> pa.Table:
     return _table(out, ["doc_id", "n_tokens", "logprob"])
 
 
+def q_dsir_importance(sf_dir: str) -> pa.Table:
+    """DSIR importance resampling weights (Xie et al. 2023), unigram
+    feature space: every document scored by the Laplace-smoothed log
+    importance weight of the lang='en' target domain vs the raw corpus
+    (sylk/stages/text.py dsir_importance — one counting pass, one
+    broadcast scoring pass, no shuffle).  6dp rounding both sides (the
+    doc_logprob ln precedent)."""
+    import os
+
+    import ray.data
+
+    from ..stages.text import dsir_importance
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    out = dsir_importance(docs, target_col="lang", target_value="en")
+    return _table(out, ["doc_id", "n_tokens", "importance"])
+
+
 def q_doc_shuffle_rank(sf_dir: str) -> pa.Table:
     """Global deterministic shuffle: every document's position under
     the md5 content-hash ordering — ROW_NUMBER over (hash, doc_id),
@@ -3537,6 +3557,28 @@ def _oracle_sql_entries() -> dict[str, str]:
             tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok)
             SELECT tok.doc_id, COUNT(*) AS n_tokens,
                    ROUND(SUM(ln(CAST(tf.c AS DOUBLE) / tot.t)), 6) AS logprob
+            FROM tok JOIN tf USING (w) CROSS JOIN tot
+            GROUP BY tok.doc_id""",
+        # DSIR: per-token ln-weight difference replayed row-for-row;
+        # add-one smoothing over the SHARED corpus vocabulary on both
+        # the target and raw estimators (see text.dsir_importance)
+        "dsir_importance": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(text, '\S+')) AS w,
+                                lang = 'en' AS is_tgt
+                         FROM documents),
+            tf AS (SELECT w, COUNT(*) AS c_all,
+                          COUNT(*) FILTER (is_tgt) AS c_tgt
+                   FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_all,
+                           CAST(COUNT(*) FILTER (is_tgt) AS DOUBLE) AS t_tgt,
+                           CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+                    FROM tok)
+            SELECT tok.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(SUM(ln((CAST(tf.c_tgt AS DOUBLE) + 1.0)
+                                / (tot.t_tgt + tot.v))
+                             - ln((CAST(tf.c_all AS DOUBLE) + 1.0)
+                                  / (tot.t_all + tot.v))), 6) AS importance
             FROM tok JOIN tf USING (w) CROSS JOIN tot
             GROUP BY tok.doc_id""",
         "host_trend": f"""
@@ -5941,4 +5983,5 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "gopher_quality_flags": q_gopher_quality_flags,
     "ann_store_recall": q_ann_store_recall,
+    "dsir_importance": q_dsir_importance,
 }

@@ -691,6 +691,115 @@ def unigram_logprob(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                                batch_size=None)
 
 
+def dsir_importance(docs_ds, target_col: str = "lang",
+                    target_value: str = "en", text_col: str = "text",
+                    id_col: str = "doc_id", round_to: int | None = 6):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169), word-unigram feature space: score every document
+    by the log importance weight of a TARGET domain (here the rows with
+    ``target_col == target_value``) against the raw corpus —
+
+        importance(d) = sum over tokens w of
+            ln p_target(w) - ln p_raw(w)
+
+    with add-one (Laplace) smoothing over the shared corpus vocabulary
+    on BOTH distributions, so unseen-in-target words get a finite
+    penalty and the two estimators stay comparable.  High-importance
+    docs are the ones resampling keeps; compose with
+    ``sample.weighted_priority_sample`` / a top-k for the draw itself
+    (returning the full scored table is the stronger oracle surface).
+
+    -> Dataset[(doc_id, n_tokens, importance)] for docs with >= 1 token.
+
+    Distribution shape = :func:`unigram_logprob` with a second counter:
+    ONE pass of per-block np.unique partials emitting (term, c_all,
+    c_tgt) — the target counts ride the same rows, so the target pass
+    is free — merged on the driver with pyarrow's C++ group_by (driver
+    state is vocabulary-sized, the documented bound, with the same
+    hash-join escape hatch as top_term_per_doc); then the {term ->
+    weight} map is broadcast ONCE via the object store and every block
+    factorizes (np.unique + inverse) and segment-sums per doc with
+    np.add.reduceat — no shuffle anywhere.
+
+    ``round_to`` (6dp both sides) is the BM25/ln precedent: ln() and
+    cross-term addition order diverge from DuckDB in the last ulp."""
+    import ray
+
+    def _tf_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        is_tgt = pc.equal(batch.column(target_col),
+                          target_value).to_numpy(zero_copy_only=False)
+        flat, flat_tgt = [], []
+        for t, g in zip(texts, is_tgt):
+            toks = (t or "").split()
+            flat.extend(toks)
+            if g:
+                flat_tgt.extend(toks)
+        if not flat:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c_all": pa.array([], pa.int64()),
+                             "c_tgt": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(flat, dtype=object),
+                                 return_counts=True)
+        tgt = np.zeros(len(uniq), dtype=np.int64)
+        if flat_tgt:
+            ut, ct = np.unique(np.asarray(flat_tgt, dtype=object),
+                               return_counts=True)
+            tgt[np.searchsorted(uniq, ut)] = ct
+        return pa.table({"term": pa.array(uniq.astype(str)),
+                         "c_all": pa.array(counts.astype(np.int64)),
+                         "c_tgt": pa.array(tgt)})
+
+    parts = docs_ds.map_batches(_tf_partial, batch_format="pyarrow",
+                                batch_size=None)
+    tbl = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    merged = tbl.group_by("term").aggregate([("c_all", "sum"),
+                                             ("c_tgt", "sum")])
+    terms = merged.column("term").to_pylist()
+    c_all = merged.column("c_all_sum").to_numpy(zero_copy_only=False)
+    c_tgt = merged.column("c_tgt_sum").to_numpy(zero_copy_only=False)
+    vocab = float(len(terms))
+    t_all, t_tgt = float(c_all.sum()), float(c_tgt.sum())
+    # per-term weight, the exact per-row expression the oracle computes
+    w = (np.log((c_tgt + 1.0) / (t_tgt + vocab))
+         - np.log((c_all + 1.0) / (t_all + vocab)))
+    ref = ray.put(dict(zip(terms, w.tolist())))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        w_map = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        flat = [t for tl in tok_lists for t in tl]
+        keep = lens > 0
+        if not flat:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "importance": pa.array([], pa.float64())})
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        w_uniq = np.fromiter((w_map[t] for t in uniq), dtype=np.float64,
+                             count=len(uniq))
+        per_tok = w_uniq[inv]
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            np.cumsum(lens[:-1], out=offsets[1:])
+        imp = np.add.reduceat(per_tok, offsets[keep]) \
+            if keep.any() else np.empty(0)
+        if round_to is not None:
+            imp = np.round(imp, round_to)
+        return pa.table({
+            id_col: pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(lens[keep], pa.int64()),
+            "importance": pa.array(imp, pa.float64()),
+        })
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def _edit_distance_is_1(u: str, v: str) -> bool:
     """Exact check dist(u, v) == 1 (classic two-pointer; O(len))."""
     lu, lv = len(u), len(v)

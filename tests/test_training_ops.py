@@ -831,3 +831,47 @@ def test_gopher_quality_flags_rules():
     assert (out.loc[4].flag_stopwords, out.loc[4].flag_word_count) == (0, 1)
     assert out.passed.tolist() == [1, 0, 0, 0, 0]
     assert abs(out.loc[0].mean_word_len - 43 / 10) < 1e-12
+
+
+def test_dsir_importance_planted(ray_session):
+    """Docs made of target-exclusive words must outrank docs of
+    raw-only words (the resampling signal), and the weights must match
+    a direct numpy replay of the smoothed estimators."""
+    import math
+
+    import ray.data
+
+    from sylk.stages.text import dsir_importance
+
+    docs = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([
+            "alpha alpha beta",     # target doc 0
+            "alpha beta beta",      # target doc 1
+            "gamma gamma delta",    # raw-only doc
+            "alpha gamma",          # mixed
+            "",                     # empty: dropped (no tokens)
+        ]),
+        "lang": pa.array(["en", "en", "de", "de", "en"]),
+    })
+    out = (dsir_importance(ray.data.from_arrow(docs), round_to=None)
+           .to_pandas().set_index("doc_id"))
+    assert sorted(out.index) == [0, 1, 2, 3]  # empty doc dropped
+    assert out.loc[0].n_tokens == 3
+
+    # direct replay: vocab {alpha,beta,gamma,delta}, T_all=11, T_tgt=6
+    c_all = {"alpha": 4, "beta": 3, "gamma": 3, "delta": 1}
+    c_tgt = {"alpha": 3, "beta": 3, "gamma": 0, "delta": 0}
+    v, t_all, t_tgt = 4.0, 11.0, 6.0
+
+    def w(tok):
+        return (math.log((c_tgt[tok] + 1.0) / (t_tgt + v))
+                - math.log((c_all[tok] + 1.0) / (t_all + v)))
+
+    for did, toks in [(0, ["alpha", "alpha", "beta"]),
+                      (2, ["gamma", "gamma", "delta"])]:
+        assert abs(out.loc[did].importance - sum(w(t) for t in toks)) \
+            < 1e-12
+    # target-vocab docs outrank raw-only docs; mixed sits between
+    assert out.loc[0].importance > out.loc[3].importance \
+        > out.loc[2].importance
