@@ -76,11 +76,13 @@ def main(argv=None) -> int:
         help="store maintenance: bound an incremental store's file "
              "count (run between increments; see compact_ingest_store /"
              " upsert_store.compact_store for the crash discipline)")
-    cmp_.add_argument("--kind", choices=("ingest", "upsert", "ann"),
+    cmp_.add_argument("--kind", choices=("ingest", "upsert", "ann",
+                                         "index"),
                       required=True,
                       help="ingest = dedup_ingest/neardup_ingest hash or"
                            " band store; upsert = CDC upsert store; "
-                           "ann = IVF-cell ANN vector store")
+                           "ann = IVF-cell ANN vector store; "
+                           "index = inverted text-index store")
     cmp_.add_argument("--store", required=True, help="store directory")
     cmp_.add_argument("--out", help="ingest: the accepted-output dir "
                                     "(gates which increments are "
@@ -147,6 +149,10 @@ def main(argv=None) -> int:
                 from sylk.stages.ann_store import compact_ann_store
 
                 print(json.dumps(compact_ann_store(args.store)))
+            elif args.kind == "index":
+                from sylk.stages.text_index import compact_text_index
+
+                print(json.dumps(compact_text_index(args.store)))
             else:
                 if not (args.key_col and args.order_col):
                     ap.error("--kind upsert requires --key-col and "

@@ -1192,6 +1192,50 @@ def q_ann_store_recall(sf_dir: str) -> pa.Table:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_index_bm25(sf_dir: str) -> pa.Table:
+    """Incremental inverted-index store correctness: the documents
+    ingested as THREE increments (doc_id mod 3) into the
+    term-hash-partitioned store, then a BM25 probe for ('hash', 'join',
+    'filter') — scored from the probed buckets' postings + the marker
+    corpus stats, which must equal the one-shot corpus SQL row-for-row
+    over every doc holding >= 1 query term (absent docs score exactly
+    0).  What this oracle pins is the STORE: lossless postings ingest,
+    stable term routing, exact df/N/avgdl bookkeeping across
+    increments; the scan-pruning contract is pytest-asserted in
+    tests/test_text_index.py (the ann_store_recall split of
+    evidence)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.text_index import index_ingest, index_query_bm25
+
+    store = tempfile.mkdtemp(prefix="sylk_txtidx_", dir="/tmp")
+    try:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+
+        def _slice(i):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == i))
+            return f
+
+        for i in range(3):
+            index_ingest(docs.map_batches(_slice(i),
+                                          batch_format="pyarrow",
+                                          batch_size=None,
+                                          zero_copy_batch=True),
+                         store, inc_id=i + 1, n_buckets=32)
+        out = index_query_bm25(store, ["hash", "join", "filter"])
+        return _table(out, ["doc_id", "bm25"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     """Oracle-checked LSH recall evidence (VERDICT r4 #2, the
     ann_ivf_recall pattern): hyperplane-band LSH at a deliberately
@@ -3941,6 +3985,42 @@ def _oracle_sql_entries() -> dict[str, str]:
                   + ln(((st.n - df.df2) + 0.5)/(df.df2 + 0.5) + 1.0) * ((p.tf2*2.2)/(p.tf2 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
                   + ln(((st.n - df.df3) + 0.5)/(df.df3 + 0.5) + 1.0) * ((p.tf3*2.2)/(p.tf3 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n)))), 6) AS bm25
             FROM piv p, st, df""",
+        # incremental inverted-index store: 3-increment ingest + pruned
+        # BM25 probe must equal the one-shot corpus computation over
+        # docs holding >= 1 query term (the store oracle — lossless
+        # postings, stable routing, exact df/N/avgdl; pruning is
+        # pytest-asserted).  Same formula text as bm25_scores with the
+        # LEFT join tightened to INNER (absent docs score exactly 0).
+        "index_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            dltab AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                      FROM toks GROUP BY 1),
+            base AS (SELECT d.doc_id, COALESCE(l.dl, 0) AS dl
+                     FROM documents d LEFT JOIN dltab l USING (doc_id)),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS BIGINT) AS tot FROM base),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+            piv AS (SELECT b.doc_id, b.dl,
+                COALESCE(MAX(CASE WHEN term = 'hash' THEN tf END), 0) AS tf1,
+                COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf2,
+                COALESCE(MAX(CASE WHEN term = 'filter' THEN tf END), 0) AS tf3
+                    FROM base b JOIN tf t ON b.doc_id = t.doc_id
+                    GROUP BY 1, 2),
+            df AS (SELECT
+                CAST(COUNT(DISTINCT CASE WHEN term='hash' THEN doc_id END) AS BIGINT) AS df1,
+                CAST(COUNT(DISTINCT CASE WHEN term='join' THEN doc_id END) AS BIGINT) AS df2,
+                CAST(COUNT(DISTINCT CASE WHEN term='filter' THEN doc_id END) AS BIGINT) AS df3
+                   FROM tf)
+            SELECT p.doc_id,
+                   ROUND(ln(((st.n - df.df1) + 0.5)/(df.df1 + 0.5) + 1.0) * ((p.tf1*2.2)/(p.tf1 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df2) + 0.5)/(df.df2 + 0.5) + 1.0) * ((p.tf2*2.2)/(p.tf2 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df3) + 0.5)/(df.df3 + 0.5) + 1.0) * ((p.tf3*2.2)/(p.tf3 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n)))), 6) AS bm25
+            FROM piv p, st, df""",
         "value_quantiles_cont": """
             SELECT quantile_cont(value, 0.5) AS p50,
                    quantile_cont(value, 0.9) AS p90,
@@ -5984,4 +6064,5 @@ QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "ann_store_recall": q_ann_store_recall,
     "dsir_importance": q_dsir_importance,
+    "index_bm25": q_index_bm25,
 }

@@ -48,15 +48,15 @@ is n_cells rows).  The query is the existing pruned brute-force:
 from __future__ import annotations
 
 import glob
-import json
 import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .dedup_store import _compact_watermark, _write_watermark
 from .similarity import IVFIndex, ann_topk_bruteforce, _normalize
+from .store_fold import (atomic_json, atomic_write, check_watermark,
+                         fold_marker_complete)
 
 
 def _load_index(store_dir: str) -> IVFIndex:
@@ -66,20 +66,9 @@ def _load_index(store_dir: str) -> IVFIndex:
     return idx
 
 
-def _atomic_write(path: str, write_fn) -> None:
-    write_fn(path + ".tmp")
-    os.replace(path + ".tmp", path)
-
-
 def _atomic_npy(path: str, arr: np.ndarray) -> None:
     with open(path + ".tmp", "wb") as f:
         np.save(f, arr)
-    os.replace(path + ".tmp", path)
-
-
-def _atomic_json(path: str, obj) -> None:
-    with open(path + ".tmp", "w") as f:
-        json.dump(obj, f)
     os.replace(path + ".tmp", path)
 
 
@@ -89,24 +78,16 @@ def ann_ingest(emb_ds, store_dir: str, inc_id: int, n_cells: int = 16,
     Eager (files + completeness marker are on disk on return); returns
     the per-cell stats table (cell, n_rows)."""
     os.makedirs(store_dir, exist_ok=True)
-    wm = _compact_watermark(store_dir)
-    if inc_id <= wm:
-        raise ValueError(
-            f"inc_id {inc_id} <= compaction watermark {wm}: the "
-            "increment's rows are already folded into reserved compact "
-            "files; a rerun would duplicate them in every probe.  Only "
-            "marker-complete increments are ever compacted, so a "
-            "legitimate crash-recovery rerun is never below the "
-            "watermark.")
+    check_watermark(store_dir, inc_id)
 
     cpath = os.path.join(store_dir, "centroids.npy")
     if not os.path.exists(cpath):
         index = IVFIndex.train(emb_ds, n_cells=n_cells, sample=sample,
                                seed=seed)
         _atomic_npy(cpath, index.centroids)
-        _atomic_json(os.path.join(store_dir, "_index.json"),
-                     {"n_cells": int(len(index.centroids)),
-                      "dim": int(index.centroids.shape[1]), "seed": seed})
+        atomic_json(os.path.join(store_dir, "_index.json"),
+                    {"n_cells": int(len(index.centroids)),
+                     "dim": int(index.centroids.shape[1]), "seed": seed})
     else:
         index = _load_index(store_dir)
 
@@ -118,7 +99,7 @@ def ann_ingest(emb_ds, store_dir: str, inc_id: int, n_cells: int = 16,
         cdir = os.path.join(store_dir, f"cell={cell}")
         os.makedirs(cdir, exist_ok=True)
         out = g.drop_columns(["cell"])
-        _atomic_write(os.path.join(cdir, f"inc{inc_id}.parquet"),
+        atomic_write(os.path.join(cdir, f"inc{inc_id}.parquet"),
                       lambda p: pq.write_table(out, p))
         return pa.table({"cell": pa.array([cell], pa.int64()),
                          "n_rows": pa.array([g.num_rows], pa.int64())})
@@ -131,7 +112,7 @@ def ann_ingest(emb_ds, store_dir: str, inc_id: int, n_cells: int = 16,
              .to_pandas())
     # marker LAST: reruns trigger only while it is missing, and every
     # cell file above is already atomically visible
-    _atomic_json(os.path.join(store_dir, f"_done_inc{inc_id}.json"),
+    atomic_json(os.path.join(store_dir, f"_done_inc{inc_id}.json"),
                  {"cells": int(len(stats)),
                   "rows": int(stats["n_rows"].sum()) if len(stats) else 0})
     return pa.Table.from_pandas(stats, preserve_index=False)
@@ -170,44 +151,8 @@ def ann_store_query(store_dir: str, queries: np.ndarray, k: int = 10,
 
 
 def compact_ann_store(store_dir: str) -> dict:
-    """Bound the per-cell file count: fold every marker-COMPLETE
-    increment's cell files (plus earlier compact files) into one
-    reserved-name ``compact<upto>.parquet`` per cell, then persist the
-    watermark that makes ``ann_ingest`` refuse ``inc_id <= upto``.
-    Crash safety: compact tmp -> rename THEN delete sources; a crash
-    between leaves duplicate vectors, which the next compaction folds
-    away (and top-k tolerates — duplicates tie and rank adjacently by
-    vec_id).  Single-writer: run between increments."""
-    import ray
-
-    incs = sorted(
-        int(os.path.basename(f)[len("_done_inc"):-len(".json")])
-        for f in glob.glob(os.path.join(store_dir, "_done_inc*.json")))
-    if not incs:
-        return {"files_in": 0, "files_out": 0,
-                "upto": _compact_watermark(store_dir)}
-    upto = max(incs)
-    complete = {f"inc{i}.parquet" for i in incs}
-
-    @ray.remote
-    def _one(cdir: str) -> tuple:
-        files = sorted(
-            f for f in glob.glob(os.path.join(cdir, "inc*.parquet"))
-            if os.path.basename(f) in complete)
-        files += sorted(glob.glob(os.path.join(cdir, "compact*.parquet")))
-        cf = os.path.join(cdir, f"compact{upto}.parquet")
-        if not files or files == [cf]:
-            return (len(files), len(files))
-        tbl = pa.concat_tables([pq.read_table(f) for f in files])
-        pq.write_table(tbl, cf + ".tmp")
-        os.replace(cf + ".tmp", cf)
-        for f in files:
-            if os.path.abspath(f) != os.path.abspath(cf):
-                os.remove(f)
-        return (len(files), 1)
-
-    res = ray.get([_one.remote(d) for d in
-                   sorted(glob.glob(os.path.join(store_dir, "cell=*")))])
-    _write_watermark(store_dir, upto)
-    return {"files_in": sum(r[0] for r in res),
-            "files_out": sum(r[1] for r in res), "upto": upto}
+    """Bound the per-cell file count — the shared marker-gated fold
+    (:func:`store_fold.fold_marker_complete`) over the ``cell=`` dirs;
+    duplicate vectors from a crash window tie and rank adjacently by
+    vec_id until the next compaction folds them away."""
+    return fold_marker_complete(store_dir, "cell=*")

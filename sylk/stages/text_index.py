@@ -1,0 +1,293 @@
+"""Incremental inverted text index: document increments exploded to
+term postings and appended to a term-hash-partitioned store, probed
+with QUERY-TERM scan pruning — the text-search side of the ingest-store
+family (dedup_store / upsert_store / ann_store), for the "search the
+corpus as it arrives" workflow (quality forensics, contamination
+lookups, ad-hoc corpus search) a training-data pipeline needs.
+
+Store layout (the :mod:`store_fold` marker-gated contract)::
+
+    store_dir/_index.json             # {n_buckets} metadata
+    store_dir/term=<b>/inc<id>.parquet       # term, doc_id, tf, dl
+    store_dir/term=<b>/compact<upto>.parquet # folded increments
+    store_dir/_done_inc<id>.json      # marker + {n_docs, n_tokens}
+    store_dir/_compact.json           # compaction watermark
+
+Postings are DENORMALIZED — each (term, doc) row carries the doc's
+token count ``dl`` — so a BM25 probe is self-contained: it never joins
+back to a doc-length sidecar, it reads ONLY the query terms' hash
+buckets (``probe_files`` is the testable pruning contract, the
+ann_store pattern).  Corpus-level stats (N, total tokens — needed for
+idf and avgdl) ride the completeness markers, so they are metadata
+reads, not scans.  Term -> bucket routing uses the md5-derived
+:func:`sample.content_hash64` — NEVER Python's per-process-randomized
+``hash()`` (CLAUDE.md bucketing rule), so every worker and every later
+increment agrees on the bucket of a term.
+
+Scale shape: ingest is one ``map_batches`` explode (the vectorized
+``term_tf_rows`` factorize kernel) + ONE hash shuffle by bucket per
+increment; each bucket task writes its file independently and no
+driver state scales with the data.  The probe's df reduce is bounded
+by |query terms|; scoring is a per-row broadcast-scalar kernel + one
+``groupby(doc_id)`` over candidate docs only.
+
+Append-only contract: a doc_id is ingested by exactly ONE increment
+(the dedup_ingest store is the upstream that guarantees novelty), so a
+term's df is a plain row count and no cross-increment merge of a doc's
+postings is ever needed.  Rerun idempotence / crash windows / the
+compaction watermark are the shared :mod:`store_fold` discipline.
+
+BM25 parity: idf and the per-term contribution reuse the exact IEEE op
+order of :func:`text.bm25_scores` (ln((N-df+0.5)/(df+0.5)+1),
+tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl))); only the cross-term sum
+order differs from the SQL left-fold, absorbed by the 6dp rounding
+both sides (the BM25/ANN ln-ulp protocol)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .sample import content_hash64
+from .store_fold import (atomic_json, atomic_write, check_watermark,
+                         fold_marker_complete)
+from .text import term_tf_rows
+
+
+def _term_buckets(terms, n_buckets: int) -> np.ndarray:
+    """Stable term -> bucket routing (md5 low bits, process-invariant)."""
+    return (content_hash64(list(terms)) % np.uint64(n_buckets)) \
+        .astype(np.int64)
+
+
+def _load_meta(store_dir: str) -> dict:
+    with open(os.path.join(store_dir, "_index.json")) as f:
+        return json.load(f)
+
+
+def index_ingest(docs_ds, store_dir: str, inc_id: int,
+                 n_buckets: int = 32, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Ingest one document increment (``doc_id``, ``text``).  Eager
+    (files + marker on disk on return); returns the per-bucket stats
+    table (bucket, n_rows).
+
+    Two passes over the increment: a tiny (n_docs, n_tokens) stats
+    aggregate — N must count EMPTY docs too, exactly like
+    ``bm25_scores``'s oracle — then the postings explode + one hash
+    shuffle by bucket."""
+    os.makedirs(store_dir, exist_ok=True)
+    check_watermark(store_dir, inc_id)
+
+    mpath = os.path.join(store_dir, "_index.json")
+    if os.path.exists(mpath):
+        stored = int(_load_meta(store_dir)["n_buckets"])
+        if stored != n_buckets:
+            raise ValueError(
+                f"store was created with n_buckets={stored}, got "
+                f"{n_buckets}: term routing would diverge between "
+                "increments and probes would miss postings.")
+    else:
+        atomic_json(mpath, {"n_buckets": int(n_buckets)})
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table({
+            "n": pa.array([len(texts)], pa.int64()),
+            "toks": pa.array([sum(len((t or "").split()) for t in texts)],
+                             pa.int64())})
+
+    parts = docs_ds.map_batches(_stats, batch_format="pyarrow",
+                                batch_size=None).take_all()
+    n_docs = int(sum(p["n"] for p in parts))
+    n_tokens = int(sum(p["toks"] for p in parts))
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        rows = term_tf_rows(batch, text_col=text_col, id_col=id_col)
+        if rows.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        # dl per doc: sum of tf over the doc's rows (rows are complete
+        # per block because one document is one input row)
+        doc = rows.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = rows.column("tf").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        dl = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(dl, inv, tf)
+        return pa.table({
+            "bucket": pa.array(
+                _term_buckets(rows.column("term").to_pylist(), n_buckets)),
+            "term": rows.column("term"),
+            "doc_id": rows.column("doc_id"),
+            "tf": rows.column("tf"),
+            "dl": pa.array(dl[inv], pa.int64())})
+
+    def _one_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        b = int(g.column("bucket")[0].as_py())
+        bdir = os.path.join(store_dir, f"term={b}")
+        os.makedirs(bdir, exist_ok=True)
+        out = g.drop_columns(["bucket"]).sort_by("term")
+        atomic_write(os.path.join(bdir, f"inc{inc_id}.parquet"),
+                     lambda p: pq.write_table(out, p))
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "n_rows": pa.array([g.num_rows], pa.int64())})
+
+    stats = (docs_ds
+             .map_batches(_postings, batch_format="pyarrow",
+                          batch_size=None)
+             .groupby("bucket")
+             .map_groups(_one_bucket, batch_format="pyarrow")
+             .to_pandas())
+    # marker LAST (store_fold contract): carries the increment's corpus
+    # stats so probes read metadata, never a doc-length scan
+    atomic_json(os.path.join(store_dir, f"_done_inc{inc_id}.json"),
+                {"n_docs": n_docs, "n_tokens": n_tokens,
+                 "buckets": int(len(stats))})
+    return pa.Table.from_pandas(stats, preserve_index=False)
+
+
+def corpus_stats(store_dir: str) -> tuple[int, int]:
+    """(N docs, total tokens) across every marker-complete increment —
+    markers survive compaction, so this is exact at any point."""
+    n_docs = n_tokens = 0
+    for f in glob.glob(os.path.join(store_dir, "_done_inc*.json")):
+        with open(f) as fh:
+            m = json.load(fh)
+        n_docs += int(m["n_docs"])
+        n_tokens += int(m["n_tokens"])
+    return n_docs, n_tokens
+
+
+def probe_files(store_dir: str, terms) -> list[str]:
+    """A query's read set: every increment + compact file of the query
+    terms' hash buckets ONLY (factored out so the pruning contract is
+    directly testable, the ann_store pattern)."""
+    n_buckets = int(_load_meta(store_dir)["n_buckets"])
+    out = []
+    for b in sorted(set(_term_buckets(list(terms), n_buckets).tolist())):
+        bdir = os.path.join(store_dir, f"term={b}")
+        out.extend(sorted(glob.glob(os.path.join(bdir, "inc*.parquet"))
+                          + glob.glob(os.path.join(bdir,
+                                                   "compact*.parquet"))))
+    return out
+
+
+def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
+                     b: float = 0.75, round_to: int | None = 6,
+                     k: int | None = None):
+    """Okapi BM25 over the accumulated store for a bag-of-words query:
+    open ONLY the query terms' buckets, df-reduce the pruned postings
+    (bounded by |terms|), broadcast {term -> idf}, score per posting
+    row and sum per doc.  Returns Dataset[(doc_id, bm25)] over docs
+    containing >= 1 query term (zero-tf terms contribute exactly 0.0,
+    so absent docs are exactly the score-0 ones); ``k`` adds a
+    descending top-k cut (ties broken by doc_id asc)."""
+    import ray
+    import ray.data
+
+    terms = list(terms)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "bm25": pa.array([], pa.float64())})
+    n_docs, n_tokens = corpus_stats(store_dir)
+    files = probe_files(store_dir, terms)
+    if not files or n_docs == 0:
+        return ray.data.from_arrow(empty)
+    avgdl = float(n_tokens) / float(n_docs)
+    term_arr = pa.array(terms, pa.string())
+
+    postings = (ray.data
+                .read_parquet(files,
+                              columns=["term", "doc_id", "tf", "dl"])
+                .map_batches(
+                    lambda t: t.filter(pc.is_in(t.column("term"),
+                                                value_set=term_arr)),
+                    batch_format="pyarrow", batch_size=None))
+
+    # df reduce: one tiny partial per block (append-only contract means
+    # one posting row per (term, doc) store-wide, so df = row count)
+    def _df_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(t.column("term").to_pylist(),
+                                    dtype=object), return_counts=True)
+        return pa.table({"term": pa.array(u.astype(str)),
+                         "df": pa.array(c.astype(np.int64))})
+
+    # schemaless zero-column blocks appear when the is_in filter empties
+    # a block (dedup.py:78 pattern) — drop them before the concat
+    kept = [t for t in ray.get(
+                postings.map_batches(_df_partial, batch_format="pyarrow",
+                                     batch_size=None).to_arrow_refs())
+            if t.num_columns > 0]
+    if not kept:           # no query term occurs anywhere in the store
+        return ray.data.from_arrow(empty)
+    parts = pa.concat_tables(kept)
+    merged = parts.group_by("term").aggregate([("df", "sum")])
+    dfs = dict(zip(merged.column("term").to_pylist(),
+                   merged.column("df_sum").to_pylist()))
+    idf = {t: math.log(((n_docs - dfs.get(t, 0)) + 0.5)
+                       / (dfs.get(t, 0) + 0.5) + 1.0) for t in terms}
+    ref = ray.put(idf)
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        w_map = ray.get(ref)
+        w = np.fromiter((w_map[x] for x in t.column("term").to_pylist()),
+                        dtype=np.float64, count=t.num_rows)
+        tf = t.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # the exact per-term expression of text.bm25_scores._score
+        denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
+        part = w * ((tf * (k1 + 1)) / (tf + denom_base))
+        # block-local combine before the shuffle (aggregate.py shape):
+        # the exchange carries one row per (block, doc), not per posting
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, part)
+        return pa.table({"doc_id": pa.array(uniq.astype(np.int64),
+                                            pa.int64()),
+                         "part": pa.array(acc, pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    scored = (postings
+              .map_batches(_contrib, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby("doc_id")
+              .aggregate(Sum("part", alias_name="part")))
+
+    def _finish(t: pa.Table) -> pa.Table:
+        s = t.column("part").to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            s = np.round(s, round_to)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "bm25": pa.array(s, pa.float64())})
+
+    out = scored.map_batches(_finish, batch_format="pyarrow",
+                             batch_size=None)
+    if k is not None:
+        out = out.sort(["bm25", "doc_id"],
+                       descending=[True, False]).limit(k)
+    return out
+
+
+def compact_text_index(store_dir: str) -> dict:
+    """Bound the per-bucket file count — the shared marker-gated fold
+    over the ``term=`` dirs; duplicate postings from a crash window
+    double a doc's contribution for the affected terms until the next
+    compaction folds them away (bounded staleness, same trade as the
+    other stores)."""
+    return fold_marker_complete(store_dir, "term=*")

@@ -1,0 +1,162 @@
+"""Inverted text-index store: BM25 parity vs the one-shot scorer,
+query-term scan pruning, rerun idempotence, crash windows, compaction
++ watermark, bucket-routing stability."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+TERMS = ["hash", "join", "filter"]
+
+_WORDS = ["hash", "join", "filter", "scan", "sort", "merge", "table",
+          "row", "batch", "spark", "window", "key"]
+
+
+def _docs_table(n=60):
+    texts = []
+    for i in range(n):
+        ws = [_WORDS[(i * 7 + j * 3) % len(_WORDS)]
+              for j in range(5 + (i % 9))]
+        texts.append(" ".join(ws))
+    texts[7] = ""                      # empty doc: counts toward N only
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def _ingest_slices(store, tbl, n_inc, n_buckets=8):
+    import ray.data
+
+    from sylk.stages.text_index import index_ingest
+
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    for i in range(n_inc):
+        part = tbl.filter(pa.array(ids % n_inc == i))
+        index_ingest(ray.data.from_arrow(part), store, inc_id=i + 1,
+                     n_buckets=n_buckets)
+
+
+def _query_df(store, terms=TERMS, **kw):
+    from sylk.stages.text_index import index_query_bm25
+
+    df = index_query_bm25(store, terms, **kw).to_pandas()
+    if df.empty:   # Ray drops the schema of an all-empty result
+        return df
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_index_store_bm25_matches_oneshot_and_prunes(ray_session,
+                                                     tmp_path):
+    """3-increment store probe == text.bm25_scores on the union corpus
+    (restricted to docs holding >= 1 query term — the others score
+    exactly 0 and are absent by construction); a probe's read set opens
+    ONLY the query terms' buckets."""
+    import ray.data
+
+    from sylk.stages.text import bm25_scores
+    from sylk.stages.text_index import _term_buckets, probe_files
+
+    store = str(tmp_path / "store")
+    tbl = _docs_table()
+    _ingest_slices(store, tbl, 3, n_buckets=8)
+
+    got = _query_df(store)
+    ref = (bm25_scores(ray.data.from_arrow(tbl), TERMS).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    hit = set(d for d, t in zip(tbl.column("doc_id").to_pylist(),
+                                tbl.column("text").to_pylist())
+              if any(q in (t or "").split() for q in TERMS))
+    assert set(got.doc_id) == hit
+    ref = ref[ref.doc_id.isin(hit)].reset_index(drop=True)
+    assert got.doc_id.tolist() == ref.doc_id.tolist()
+    assert (got.bm25 - ref.bm25).abs().max() <= 1e-6  # 6dp both sides
+
+    # pruning: a single-term probe opens only that term's bucket
+    want = {int(_term_buckets(["hash"], 8)[0])}
+    files = probe_files(store, ["hash"])
+    assert files
+    opened = {int(p.split("term=")[1].split(os.sep)[0]) for p in files}
+    assert opened == want
+    all_buckets = {int(os.path.basename(d).split("=")[1])
+                   for d in glob.glob(os.path.join(store, "term=*"))}
+    assert opened < all_buckets  # strict subset: something was pruned
+
+
+def test_index_store_topk_and_empty_probe(ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    _ingest_slices(store, _docs_table(), 2, n_buckets=8)
+    top = _query_df(store, k=3)
+    full = _query_df(store).sort_values(["bm25", "doc_id"],
+                                        ascending=[False, True])
+    assert sorted(top.doc_id) == sorted(full.head(3).doc_id)
+    # a term absent from the corpus still routes to a bucket; the
+    # score set is empty either way
+    missing = _query_df(store, terms=["zzznotaword"])
+    assert len(missing) == 0
+
+
+def test_index_store_rerun_and_partial_crash(ray_session, tmp_path):
+    """Marker-gated reruns overwrite their own partial work: same file
+    set, same scores (deterministic per-(bucket, inc) names)."""
+    import ray.data
+
+    from sylk.stages.text_index import index_ingest
+
+    store = str(tmp_path / "store")
+    tbl = _docs_table(40)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    inc1 = tbl.filter(pa.array(ids % 2 == 0))
+    inc2 = tbl.filter(pa.array(ids % 2 == 1))
+    index_ingest(ray.data.from_arrow(inc1), store, inc_id=1, n_buckets=8)
+    index_ingest(ray.data.from_arrow(inc2), store, inc_id=2, n_buckets=8)
+    before_files = sorted(glob.glob(os.path.join(store, "term=*", "*")))
+    before = _query_df(store)
+
+    # crash window: marker lost AND one bucket file missing
+    os.remove(os.path.join(store, "_done_inc2.json"))
+    lost = glob.glob(os.path.join(store, "term=*", "inc2.parquet"))[0]
+    os.remove(lost)
+    index_ingest(ray.data.from_arrow(inc2), store, inc_id=2, n_buckets=8)
+    assert sorted(glob.glob(os.path.join(store, "term=*", "*"))) \
+        == before_files
+    assert _query_df(store).equals(before)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        index_ingest(ray.data.from_arrow(inc2), store, inc_id=3,
+                     n_buckets=16)
+
+
+def test_index_store_compact_and_watermark(ray_session, tmp_path):
+    import ray.data
+
+    from sylk.stages.text_index import compact_text_index, index_ingest
+
+    store = str(tmp_path / "store")
+    tbl = _docs_table(45)
+    _ingest_slices(store, tbl, 3, n_buckets=8)
+    before = _query_df(store)
+
+    res = compact_text_index(store)
+    assert res["upto"] == 3 and res["files_out"] <= res["files_in"]
+    assert not glob.glob(os.path.join(store, "term=*", "inc*.parquet"))
+    assert _query_df(store).equals(before)
+
+    with pytest.raises(ValueError, match="watermark"):
+        index_ingest(ray.data.from_arrow(tbl), store, inc_id=3,
+                     n_buckets=8)
+
+    extra = pa.table({"doc_id": pa.array([1000, 1001], pa.int64()),
+                      "text": pa.array(["hash hash join", "filter"])})
+    index_ingest(ray.data.from_arrow(extra), store, inc_id=4, n_buckets=8)
+    after = _query_df(store)
+    assert {1000, 1001} <= set(after.doc_id)
+    # corpus stats moved: N and avgdl change, so old scores shift but
+    # the doc set only grows
+    assert set(before.doc_id) <= set(after.doc_id)
+
+    res2 = compact_text_index(store)
+    assert res2["upto"] == 4
+    with open(os.path.join(store, "_compact.json")) as f:
+        assert json.load(f)["upto"] == 4
