@@ -1236,6 +1236,58 @@ def q_index_bm25(sf_dir: str) -> pa.Table:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_index_bm25_deletes(sf_dir: str) -> pa.Table:
+    """Right-to-be-forgotten on the inverted-index store: after
+    tombstoning doc_id % 7 == 0 (sylk/stages/text_index.py
+    index_delete — logical mask + exact stats deltas; the physical
+    purge rides compaction), a BM25 probe must equal the one-shot SQL
+    over the corpus WITHOUT those docs — N, avgdl, df and the
+    candidate set all corrected.  The delete resolution path
+    (never-ingested ids, double-deletes, crash windows, purge) is
+    pytest-covered in tests/test_text_index.py."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.text_index import (index_delete, index_ingest,
+                                     index_query_bm25)
+
+    store = tempfile.mkdtemp(prefix="sylk_txtdel_", dir="/tmp")
+    try:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+
+        def _slice(i):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == i))
+            return f
+
+        for i in range(3):
+            index_ingest(docs.map_batches(_slice(i),
+                                          batch_format="pyarrow",
+                                          batch_size=None,
+                                          zero_copy_batch=True),
+                         store, inc_id=i + 1, n_buckets=32)
+
+        def _sevens(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 7 == 0)).select(["doc_id"])
+
+        index_delete(store,
+                     docs.map_batches(_sevens, batch_format="pyarrow",
+                                      batch_size=None,
+                                      zero_copy_batch=True),
+                     del_id=1)
+        out = index_query_bm25(store, ["hash", "join", "filter"])
+        return _table(out, ["doc_id", "bm25"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     """Oracle-checked LSH recall evidence (VERDICT r4 #2, the
     ann_ivf_recall pattern): hyperplane-band LSH at a deliberately
@@ -4021,6 +4073,40 @@ def _oracle_sql_entries() -> dict[str, str]:
                   + ln(((st.n - df.df2) + 0.5)/(df.df2 + 0.5) + 1.0) * ((p.tf2*2.2)/(p.tf2 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
                   + ln(((st.n - df.df3) + 0.5)/(df.df3 + 0.5) + 1.0) * ((p.tf3*2.2)/(p.tf3 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n)))), 6) AS bm25
             FROM piv p, st, df""",
+        # right-to-be-forgotten replay: the same store oracle with
+        # doc_id % 7 == 0 tombstoned — N/avgdl/df/candidates must all be
+        # computed over the REMAINING corpus
+        "index_bm25_deletes": r"""
+            WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM live),
+            dltab AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                      FROM toks GROUP BY 1),
+            base AS (SELECT d.doc_id, COALESCE(l.dl, 0) AS dl
+                     FROM live d LEFT JOIN dltab l USING (doc_id)),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS BIGINT) AS tot FROM base),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+            piv AS (SELECT b.doc_id, b.dl,
+                COALESCE(MAX(CASE WHEN term = 'hash' THEN tf END), 0) AS tf1,
+                COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf2,
+                COALESCE(MAX(CASE WHEN term = 'filter' THEN tf END), 0) AS tf3
+                    FROM base b JOIN tf t ON b.doc_id = t.doc_id
+                    GROUP BY 1, 2),
+            df AS (SELECT
+                CAST(COUNT(DISTINCT CASE WHEN term='hash' THEN doc_id END) AS BIGINT) AS df1,
+                CAST(COUNT(DISTINCT CASE WHEN term='join' THEN doc_id END) AS BIGINT) AS df2,
+                CAST(COUNT(DISTINCT CASE WHEN term='filter' THEN doc_id END) AS BIGINT) AS df3
+                   FROM tf)
+            SELECT p.doc_id,
+                   ROUND(ln(((st.n - df.df1) + 0.5)/(df.df1 + 0.5) + 1.0) * ((p.tf1*2.2)/(p.tf1 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df2) + 0.5)/(df.df2 + 0.5) + 1.0) * ((p.tf2*2.2)/(p.tf2 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df3) + 0.5)/(df.df3 + 0.5) + 1.0) * ((p.tf3*2.2)/(p.tf3 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n)))), 6) AS bm25
+            FROM piv p, st, df""",
         "value_quantiles_cont": """
             SELECT quantile_cont(value, 0.5) AS p50,
                    quantile_cont(value, 0.9) AS p90,
@@ -6065,4 +6151,5 @@ QUERIES = {
     "ann_store_recall": q_ann_store_recall,
     "dsir_importance": q_dsir_importance,
     "index_bm25": q_index_bm25,
+    "index_bm25_deletes": q_index_bm25_deletes,
 }

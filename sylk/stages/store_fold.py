@@ -65,7 +65,8 @@ def check_watermark(store_dir: str, inc_id: int) -> None:
             "rerunning it would duplicate its rows in every probe.")
 
 
-def fold_marker_complete(store_dir: str, part_glob: str) -> dict:
+def fold_marker_complete(store_dir: str, part_glob: str,
+                         drop_fn=None) -> dict:
     """Bound the per-partition file count: fold every marker-COMPLETE
     increment's files (plus earlier compact files) in each
     ``part_glob`` dir into one reserved ``compact<upto>.parquet``, then
@@ -73,7 +74,13 @@ def fold_marker_complete(store_dir: str, part_glob: str) -> dict:
     delete sources; a crash between leaves duplicate rows, which the
     next compaction folds away (callers' reads must tolerate
     duplicates until then — both stores' probes do).  Single-writer:
-    run between increments."""
+    run between increments.
+
+    ``drop_fn`` (optional, pickled to the per-partition tasks) filters
+    the concatenated table before the write — the PHYSICAL-purge hook:
+    the text index passes an anti-filter over its tombstoned doc_ids,
+    so compaction is also the moment deleted rows stop existing on
+    disk (logical deletes mask them at probe time until then)."""
     import ray
 
     incs = complete_increments(store_dir)
@@ -90,9 +97,13 @@ def fold_marker_complete(store_dir: str, part_glob: str) -> dict:
             if os.path.basename(f) in complete)
         files += sorted(glob.glob(os.path.join(pdir, "compact*.parquet")))
         cf = os.path.join(pdir, f"compact{upto}.parquet")
-        if not files or files == [cf]:
+        if (not files or files == [cf]) and drop_fn is None:
             return (len(files), len(files))
+        if not files:
+            return (0, 0)
         tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        if drop_fn is not None:
+            tbl = drop_fn(tbl)
         pq.write_table(tbl, cf + ".tmp")
         os.replace(cf + ".tmp", cf)
         for f in files:

@@ -10,6 +10,13 @@ Store layout (the :mod:`store_fold` marker-gated contract)::
     store_dir/_index.json             # {n_buckets} metadata
     store_dir/term=<b>/inc<id>.parquet       # term, doc_id, tf, dl
     store_dir/term=<b>/compact<upto>.parquet # folded increments
+    store_dir/term=<n_buckets>/...           # doc-length partition: one
+                                             #   (doc_id, dl) row per doc
+                                             #   (reserved bucket — term
+                                             #   hashes are % n_buckets,
+                                             #   so probes never open it)
+    store_dir/_deletes/del<id>.parquet       # tombstoned doc_ids
+    store_dir/_deletes/_done_del<id>.json    # delete marker + stats delta
     store_dir/_done_inc<id>.json      # marker + {n_docs, n_tokens}
     store_dir/_compact.json           # compaction watermark
 
@@ -36,6 +43,20 @@ Append-only contract: a doc_id is ingested by exactly ONE increment
 term's df is a plain row count and no cross-increment merge of a doc's
 postings is ever needed.  Rerun idempotence / crash windows / the
 compaction watermark are the shared :mod:`store_fold` discipline.
+
+Deletion (right-to-be-forgotten): :func:`index_delete` tombstones a
+doc_id batch — it resolves the batch against the doc-length partition
+(dropping never-ingested and already-deleted ids so stats deltas never
+double-count), writes the id list + an exact (n_docs, n_tokens) delta,
+and from that moment every probe masks the docs LOGICALLY (an
+anti-join on the tombstones, broadcast/hash-tiered) and corrects
+N/avgdl/df from the deltas.  :func:`compact_text_index` purges them
+PHYSICALLY (the fold's ``drop_fn`` hook) — compaction is already the
+moment every surviving row is rewritten, so the purge is free.
+Tombstone files/deltas are retained after the purge (they keep the
+marker-summed stats honest and re-masking purged ids is a no-op).  A
+tombstoned doc_id is deleted FOREVER: re-ingesting it is a contract
+violation (probes would mask its rows while ingest markers count it).
 
 BM25 parity: idf and the per-term contribution reuse the exact IEEE op
 order of :func:`text.bm25_scores` (ln((N-df+0.5)/(df+0.5)+1),
@@ -79,10 +100,11 @@ def index_ingest(docs_ds, store_dir: str, inc_id: int,
     (files + marker on disk on return); returns the per-bucket stats
     table (bucket, n_rows).
 
-    Two passes over the increment: a tiny (n_docs, n_tokens) stats
-    aggregate — N must count EMPTY docs too, exactly like
-    ``bm25_scores``'s oracle — then the postings explode + one hash
-    shuffle by bucket."""
+    ONE pass over the increment: the postings explode + one hash
+    shuffle by bucket.  The marker's (n_docs, n_tokens) corpus stats —
+    N counts EMPTY docs too, exactly like ``bm25_scores``'s oracle —
+    are summed from the just-written doc-length partition file, not a
+    second text scan."""
     os.makedirs(store_dir, exist_ok=True)
     check_watermark(store_dir, inc_id)
 
@@ -97,40 +119,37 @@ def index_ingest(docs_ds, store_dir: str, inc_id: int,
     else:
         atomic_json(mpath, {"n_buckets": int(n_buckets)})
 
-    def _stats(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        return pa.table({
-            "n": pa.array([len(texts)], pa.int64()),
-            "toks": pa.array([sum(len((t or "").split()) for t in texts)],
-                             pa.int64())})
-
-    parts = docs_ds.map_batches(_stats, batch_format="pyarrow",
-                                batch_size=None).take_all()
-    n_docs = int(sum(p["n"] for p in parts))
-    n_tokens = int(sum(p["toks"] for p in parts))
-
     def _postings(batch: pa.Table) -> pa.Table:
+        # doc-length rows for EVERY doc (empty ones too — they count in
+        # N and must be resolvable by index_delete), routed to the
+        # reserved bucket n_buckets that no term can hash to
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = batch.column(text_col).to_pylist()
+        lens = np.fromiter((len((t or "").split()) for t in texts),
+                           dtype=np.int64, count=len(texts))
+        doclen = pa.table({
+            "bucket": pa.array(np.full(len(ids), n_buckets, np.int64)),
+            "term": pa.array([None] * len(ids), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "tf": pa.array(np.zeros(len(ids), np.int64)),
+            "dl": pa.array(lens, pa.int64())})
         rows = term_tf_rows(batch, text_col=text_col, id_col=id_col)
         if rows.num_rows == 0:
-            return pa.table({"bucket": pa.array([], pa.int64()),
-                             "term": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "tf": pa.array([], pa.int64()),
-                             "dl": pa.array([], pa.int64())})
-        # dl per doc: sum of tf over the doc's rows (rows are complete
-        # per block because one document is one input row)
+            return doclen
+        # dl per posting row: look up the doc's token count (one input
+        # row per doc, so ids are unique within the block)
         doc = rows.column("doc_id").to_numpy(zero_copy_only=False)
-        tf = rows.column("tf").to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(doc, return_inverse=True)
-        dl = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(dl, inv, tf)
-        return pa.table({
+        order = np.argsort(ids)
+        dl = lens[order[np.searchsorted(ids[order], doc)]]
+        post = pa.table({
             "bucket": pa.array(
                 _term_buckets(rows.column("term").to_pylist(), n_buckets)),
             "term": rows.column("term"),
             "doc_id": rows.column("doc_id"),
             "tf": rows.column("tf"),
-            "dl": pa.array(dl[inv], pa.int64())})
+            "dl": pa.array(dl, pa.int64())})
+        return pa.concat_tables([post, doclen])
 
     def _one_bucket(g: pa.Table) -> pa.Table:
         if g.num_columns == 0 or g.num_rows == 0:
@@ -151,6 +170,13 @@ def index_ingest(docs_ds, store_dir: str, inc_id: int,
              .groupby("bucket")
              .map_groups(_one_bucket, batch_format="pyarrow")
              .to_pandas())
+    dlpath = os.path.join(store_dir, f"term={n_buckets}",
+                          f"inc{inc_id}.parquet")
+    if os.path.exists(dlpath):
+        dl = pq.read_table(dlpath, columns=["dl"]).column("dl")
+        n_docs, n_tokens = len(dl), int(pc.sum(dl).as_py() or 0)
+    else:                                   # empty increment
+        n_docs = n_tokens = 0
     # marker LAST (store_fold contract): carries the increment's corpus
     # stats so probes read metadata, never a doc-length scan
     atomic_json(os.path.join(store_dir, f"_done_inc{inc_id}.json"),
@@ -169,6 +195,100 @@ def corpus_stats(store_dir: str) -> tuple[int, int]:
         n_docs += int(m["n_docs"])
         n_tokens += int(m["n_tokens"])
     return n_docs, n_tokens
+
+
+def _doclen_files(store_dir: str) -> list[str]:
+    d = os.path.join(store_dir,
+                     f"term={int(_load_meta(store_dir)['n_buckets'])}")
+    return sorted(glob.glob(os.path.join(d, "inc*.parquet"))
+                  + glob.glob(os.path.join(d, "compact*.parquet")))
+
+
+def _delete_files(store_dir: str, exclude: int | None = None) -> list[str]:
+    """Marker-COMPLETE tombstone files (a crash-window del file without
+    its marker is invisible, exactly like an unmarked ingest)."""
+    ddir = os.path.join(store_dir, "_deletes")
+    out = []
+    for f in glob.glob(os.path.join(ddir, "_done_del*.json")):
+        did = int(os.path.basename(f)[len("_done_del"):-len(".json")])
+        if exclude is not None and did == exclude:
+            continue
+        p = os.path.join(ddir, f"del{did}.parquet")
+        if os.path.exists(p):
+            out.append(p)
+    return sorted(out)
+
+
+def deleted_stats(store_dir: str) -> tuple[int, int]:
+    """(docs, tokens) removed by marker-complete deletes — exact deltas
+    computed at delete time, so probes never rescan."""
+    n_docs = n_tokens = 0
+    for f in glob.glob(os.path.join(store_dir, "_deletes",
+                                    "_done_del*.json")):
+        with open(f) as fh:
+            m = json.load(fh)
+        n_docs += int(m["n_docs"])
+        n_tokens += int(m["n_tokens"])
+    return n_docs, n_tokens
+
+
+def index_delete(store_dir: str, doc_ids, del_id: int) -> dict:
+    """Tombstone a batch of doc_ids (right-to-be-forgotten).  Resolves
+    the batch against the doc-length partition — never-ingested ids and
+    already-tombstoned ids are dropped, so the (n_docs, n_tokens) stats
+    delta can never double-count no matter how often an id is
+    submitted.  Logical effect is immediate (probes anti-join the
+    tombstones and correct N/avgdl/df from the deltas); the physical
+    purge rides the next :func:`compact_text_index`.
+
+    Idempotence: deterministic ``del<id>.parquet`` name written tmp ->
+    rename, marker LAST; a crash-recovery rerun recomputes the same
+    delta because prior-delete resolution excludes ``del_id`` itself
+    and the doc-length rows it resolves against still exist — the
+    purge can never have consumed an UNMARKED tombstone
+    (:func:`compact_text_index` folds marker-complete deletes only),
+    so the rerun window always sees them.
+    The resolved id list is collected on the driver — bounded by the
+    delete-batch size, which the CALLER controls (split a mass purge
+    into several del_ids).  Single-writer, like the other stores."""
+    import ray.data
+
+    from .join import anti_join, semi_join
+
+    if not isinstance(doc_ids, ray.data.Dataset):
+        doc_ids = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(set(int(i) for i in doc_ids)),
+                               pa.int64())}))
+    dl_files = _doclen_files(store_dir)
+    ddir = os.path.join(store_dir, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    if dl_files:
+        cand = semi_join(
+            ray.data.read_parquet(dl_files, columns=["doc_id", "dl"]),
+            doc_ids, on="doc_id")
+        prior = _delete_files(store_dir, exclude=del_id)
+        if prior:
+            cand = anti_join(cand,
+                             ray.data.read_parquet(prior,
+                                                   columns=["doc_id"]),
+                             on="doc_id")
+        kept = [t for t in ray.get(cand.to_arrow_refs())
+                if t.num_columns > 0]
+        eff = pa.concat_tables(kept) if kept else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dl": pa.array([], pa.int64())})
+    else:
+        eff = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "dl": pa.array([], pa.int64())})
+    n_docs = eff.num_rows
+    n_tokens = int(pc.sum(eff.column("dl")).as_py() or 0)
+    out = eff.select(["doc_id"]).sort_by("doc_id")
+    atomic_write(os.path.join(ddir, f"del{del_id}.parquet"),
+                 lambda p: pq.write_table(out, p))
+    atomic_json(os.path.join(ddir, f"_done_del{del_id}.json"),
+                {"n_docs": n_docs, "n_tokens": n_tokens})
+    return {"requested": doc_ids.count(), "deleted": n_docs,
+            "tokens": n_tokens}
 
 
 def probe_files(store_dir: str, terms) -> list[str]:
@@ -202,8 +322,10 @@ def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "bm25": pa.array([], pa.float64())})
     n_docs, n_tokens = corpus_stats(store_dir)
+    n_del, tok_del = deleted_stats(store_dir)
+    n_docs, n_tokens = n_docs - n_del, n_tokens - tok_del
     files = probe_files(store_dir, terms)
-    if not files or n_docs == 0:
+    if not files or n_docs <= 0:
         return ray.data.from_arrow(empty)
     avgdl = float(n_tokens) / float(n_docs)
     term_arr = pa.array(terms, pa.string())
@@ -215,6 +337,17 @@ def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
                     lambda t: t.filter(pc.is_in(t.column("term"),
                                                 value_set=term_arr)),
                     batch_format="pyarrow", batch_size=None))
+    del_files = _delete_files(store_dir)
+    if del_files:
+        # logical delete mask: tombstoned docs leave df, scores and the
+        # candidate set immediately (broadcast/hash-tiered anti-join);
+        # physically purged ids make this a no-op, which is fine
+        from .join import anti_join
+
+        postings = anti_join(
+            postings,
+            ray.data.read_parquet(del_files, columns=["doc_id"]),
+            on="doc_id")
 
     # df reduce: one tiny partial per block (append-only contract means
     # one posting row per (term, doc) store-wide, so df = row count)
@@ -284,10 +417,30 @@ def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
     return out
 
 
-def compact_text_index(store_dir: str) -> dict:
+def compact_text_index(store_dir: str, purge_deletes: bool = True) -> dict:
     """Bound the per-bucket file count — the shared marker-gated fold
-    over the ``term=`` dirs; duplicate postings from a crash window
-    double a doc's contribution for the affected terms until the next
-    compaction folds them away (bounded staleness, same trade as the
-    other stores)."""
-    return fold_marker_complete(store_dir, "term=*")
+    over the ``term=`` dirs (the doc-length partition folds with them);
+    duplicate postings from a crash window double a doc's contribution
+    for the affected terms until the next compaction folds them away
+    (bounded staleness, same trade as the other stores).
+
+    With ``purge_deletes`` (default), tombstoned doc_ids are dropped
+    from every rewritten file — the PHYSICAL right-to-be-forgotten
+    purge, free because compaction rewrites every surviving row anyway.
+    Each partition task re-reads the tombstone files (deletes are
+    assumed small vs the corpus; a mass-purge regime would partition
+    the tombstones by bucket the same way).  Tombstone files + deltas
+    are retained: the ingest markers still count the deleted docs, so
+    the deltas must keep correcting probe-time stats forever."""
+    drop_fn = None
+    if purge_deletes:
+        del_files = _delete_files(store_dir)
+        if del_files:
+            def drop_fn(tbl: pa.Table) -> pa.Table:
+                ids = pa.concat_tables(
+                    [pq.read_table(f, columns=["doc_id"])
+                     for f in del_files]).column("doc_id").combine_chunks()
+                return tbl.filter(
+                    pc.invert(pc.is_in(tbl.column("doc_id"),
+                                       value_set=ids)))
+    return fold_marker_complete(store_dir, "term=*", drop_fn=drop_fn)

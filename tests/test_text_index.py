@@ -6,6 +6,7 @@ import glob
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -160,3 +161,65 @@ def test_index_store_compact_and_watermark(ray_session, tmp_path):
     assert res2["upto"] == 4
     with open(os.path.join(store, "_compact.json")) as f:
         assert json.load(f)["upto"] == 4
+
+
+def test_index_delete_logical_then_physical(ray_session, tmp_path):
+    """Right-to-be-forgotten: tombstoned docs leave scores, df and
+    N/avgdl immediately (logical mask); compaction purges them from
+    disk; double-deletes never double-count the stats deltas; a
+    del-file without its marker (crash window) is invisible until the
+    rerun lands it."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from sylk.stages.text import bm25_scores
+    from sylk.stages.text_index import (compact_text_index, deleted_stats,
+                                        index_delete)
+
+    store = str(tmp_path / "store")
+    tbl = _docs_table(50)
+    _ingest_slices(store, tbl, 2, n_buckets=8)
+
+    # delete: two real docs, the empty doc (7), and a never-ingested id
+    dels = [0, 3, 7, 9999]
+    res = index_delete(store, dels, del_id=1)
+    assert res["deleted"] == 3          # 9999 resolved away
+    nd, ntok = deleted_stats(store)
+    assert nd == 3 and ntok == sum(
+        len(tbl.column("text")[i].as_py().split()) for i in (0, 3, 7))
+
+    # expected: one-shot BM25 over the REMAINING corpus
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    rest = tbl.filter(pa.array(~np.isin(ids, [0, 3, 7])))
+    ref = (bm25_scores(ray.data.from_arrow(rest), TERMS).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = _query_df(store)
+    assert not set(got.doc_id) & {0, 3, 7}
+    ref = ref[ref.doc_id.isin(set(got.doc_id))].reset_index(drop=True)
+    assert got.doc_id.tolist() == ref.doc_id.tolist()
+    assert (got.bm25 - ref.bm25).abs().max() <= 1e-6
+
+    # re-deleting the same ids is a stats no-op
+    res2 = index_delete(store, [0, 3], del_id=2)
+    assert res2["deleted"] == 0
+    assert deleted_stats(store) == (nd, ntok)
+    assert _query_df(store).equals(got)
+
+    # crash window BEFORE any purge: marker lost -> tombstone
+    # invisible; the rerun recomputes the same delta from the intact
+    # doc-length partition (after a purge this state is unreachable —
+    # compaction only folds marker-COMPLETE tombstones)
+    os.remove(os.path.join(store, "_deletes", "_done_del1.json"))
+    assert deleted_stats(store)[0] == 0
+    index_delete(store, dels, del_id=1)
+    assert deleted_stats(store) == (nd, ntok)
+    assert _query_df(store).equals(got)
+
+    # physical purge: no tombstoned doc_id survives on disk, scores
+    # unchanged, deltas retained
+    compact_text_index(store)
+    for f in glob.glob(os.path.join(store, "term=*", "*.parquet")):
+        left = pq.read_table(f, columns=["doc_id"]).column("doc_id")
+        assert not set(left.to_pylist()) & {0, 3, 7}
+    assert _query_df(store).equals(got)
+    assert deleted_stats(store) == (nd, ntok)
