@@ -6024,13 +6024,6 @@ QUERIES = {
     "cdc_upsert_current": q_cdc_upsert_current,
     "late_event_window_counts": q_late_event_window_counts,
     "leakage_safe_split": q_leakage_safe_split,
-    "asof_purchase_value": q_asof_purchase_value,
-    "value_quantiles": q_value_quantiles,
-    "last_signup_fill": q_last_signup_fill,
-    "user_sessions": q_user_sessions,
-    "approx_distinct_hosts": q_approx_distinct_hosts,
-    "region_rollup": q_region_rollup,
-    "priority_join_rollup": q_priority_join_rollup,
     # round-5 window rotation (VERDICT r4 #5): the second cohort of
     # FULL-oracle families the driver had never recorded — simhash/
     # winnow dedup, PMI collocations, funnel quantiles, the incremental
@@ -6046,7 +6039,31 @@ QUERIES = {
     "incremental_neardup": q_incremental_neardup,
     "curated_corpus": q_curated_corpus,
     "ann_lsh_recall": q_ann_lsh_recall,
+    # round-5 late rotation (third session): the final cohort of new
+    # FULL-oracle families — the exact-substring span census, SemDeDup,
+    # Gopher gates, DSIR importance weights, and the three
+    # incremental-store oracles added this session (ANN vector store,
+    # inverted text index, index tombstone deletes).  Displaced: seven
+    # entries whose r04 driver records stand (asof_purchase_value,
+    # value_quantiles, last_signup_fill, user_sessions,
+    # approx_distinct_hosts, region_rollup, priority_join_rollup); all
+    # stay verified by the full check_oracle sweep, and every head
+    # entry stays exact-oracle (tests/test_driver_contract.py guard).
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "semantic_dedup": q_semantic_dedup,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "dsir_importance": q_dsir_importance,
+    "ann_store_recall": q_ann_store_recall,
+    "index_bm25": q_index_bm25,
+    "index_bm25_deletes": q_index_bm25_deletes,
     # --- past the driver's 50-query window (locally oracle-verified) ---
+    "asof_purchase_value": q_asof_purchase_value,
+    "value_quantiles": q_value_quantiles,
+    "last_signup_fill": q_last_signup_fill,
+    "user_sessions": q_user_sessions,
+    "approx_distinct_hosts": q_approx_distinct_hosts,
+    "region_rollup": q_region_rollup,
+    "priority_join_rollup": q_priority_join_rollup,
     "running_value_per_user": q_running_value_per_user,
     "latest_event_per_user": q_latest_event_per_user,
     "stratified_sample": q_stratified_sample,
@@ -6145,11 +6162,4 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
-    "dup_ngram_spans": q_dup_ngram_spans,
-    "semantic_dedup": q_semantic_dedup,
-    "gopher_quality_flags": q_gopher_quality_flags,
-    "ann_store_recall": q_ann_store_recall,
-    "dsir_importance": q_dsir_importance,
-    "index_bm25": q_index_bm25,
-    "index_bm25_deletes": q_index_bm25_deletes,
 }
