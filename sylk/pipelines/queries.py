@@ -1288,6 +1288,50 @@ def q_index_bm25_deletes(sf_dir: str) -> pa.Table:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_ann_store_deletes(sf_dir: str) -> pa.Table:
+    """Right-to-be-forgotten on the vector store: after tombstoning
+    vec_id % 5 == 0 (sylk/stages/ann_store.py ann_delete), a full
+    probe must equal the brute-force top-k over the REMAINING vectors
+    (deleted ids leave every candidate set; queries are still the
+    first {_N_ANN_QUERIES} embedding rows, deleted or not)."""
+    import shutil
+    import tempfile
+
+    from ..stages.ann_store import (ann_delete, ann_ingest,
+                                    ann_store_query)
+
+    store = tempfile.mkdtemp(prefix="sylk_anndel_", dir="/tmp")
+    try:
+        emb = _emb(sf_dir)
+
+        def _slice(i):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == i))
+            return f
+
+        for i in range(3):
+            ann_ingest(emb.map_batches(_slice(i), batch_format="pyarrow",
+                                       batch_size=None,
+                                       zero_copy_batch=True),
+                       store, inc_id=i + 1, n_cells=16)
+
+        def _fifth(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return pa.table({"vec_id": pa.array(ids[ids % 5 == 0],
+                                                pa.int64())})
+
+        dels = (emb.map_batches(_fifth, batch_format="pyarrow",
+                                batch_size=None)
+                .to_pandas()["vec_id"].tolist())
+        ann_delete(store, dels, del_id=1)
+        out = ann_store_query(store, _query_matrix(sf_dir), k=_ANN_K,
+                              nprobe=16)
+        return _table(out, ["query_idx", "vec_id", "cosine"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     """Oracle-checked LSH recall evidence (VERDICT r4 #2, the
     ann_ivf_recall pattern): hyperplane-band LSH at a deliberately
@@ -3947,6 +3991,17 @@ def _oracle_sql_entries() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, v.vec_id
             ) <= {_ANN_K}""",
+        # right-to-be-forgotten on the vector store: full probe after
+        # tombstoning vec_id % 5 == 0 equals brute force over the rest
+        "ann_store_deletes": f"""
+            SELECT CAST(q.vec_id AS BIGINT) AS query_idx,
+                   CAST(v.vec_id AS BIGINT) AS vec_id,
+                   round({_COS}, 6) AS cosine
+            FROM embeddings q, embeddings v
+            WHERE q.vec_id < {_N_ANN_QUERIES} AND v.vec_id % 5 <> 0
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {_COS} DESC, v.vec_id
+            ) <= {_ANN_K}""",
         # recall assertion: hyperplane LSH at the generous 32x4/seed-55
         # banding must reproduce the brute-force top-k (see
         # q_ann_lsh_recall for the pruning-vs-determinism trade)
@@ -6162,4 +6217,5 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
+    "ann_store_deletes": q_ann_store_deletes,
 }

@@ -10,6 +10,8 @@ Store layout::
     store_dir/centroids.npy          # float64 (n_cells, dim), unit rows
     store_dir/cell=<c>/inc<id>.parquet      # vec_id, embedding
     store_dir/cell=<c>/compact<upto>.parquet # folded increments
+    store_dir/_deletes/del<id>.parquet      # tombstoned vec_ids
+    store_dir/_deletes/_done_del<id>.json   # delete marker
     store_dir/_done_inc<id>.json     # increment completeness marker
     store_dir/_compact.json          # compaction watermark
 
@@ -131,12 +133,50 @@ def probe_files(store_dir: str, cells) -> list[str]:
     return out
 
 
+def _delete_files(store_dir: str) -> list[str]:
+    """Marker-COMPLETE tombstone files (an unmarked del file from a
+    crash window is invisible, like an unmarked ingest)."""
+    ddir = os.path.join(store_dir, "_deletes")
+    out = []
+    for f in glob.glob(os.path.join(ddir, "_done_del*.json")):
+        did = int(os.path.basename(f)[len("_done_del"):-len(".json")])
+        p = os.path.join(ddir, f"del{did}.parquet")
+        if os.path.exists(p):
+            out.append(p)
+    return sorted(out)
+
+
+def ann_delete(store_dir: str, vec_ids, del_id: int) -> dict:
+    """Tombstone a batch of vec_ids (right-to-be-forgotten for the
+    vector store — the text_index.index_delete pattern without the
+    stats machinery, because ANN has no corpus-level statistics to
+    correct: deleting a vector only removes it from candidate sets).
+    Logical effect is immediate (probes anti-filter the tombstones);
+    the physical purge rides the next :func:`compact_ann_store`.
+    Never-ingested and double-deleted ids are harmless no-ops, so no
+    resolution pass is needed.  Deterministic name + marker-last gives
+    the usual rerun idempotence; a deleted vec_id must not be
+    re-ingested (the probe would mask it forever)."""
+    ddir = os.path.join(store_dir, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    ids = sorted(set(int(i) for i in vec_ids))
+    out = pa.table({"vec_id": pa.array(ids, pa.int64())})
+    atomic_write(os.path.join(ddir, f"del{del_id}.parquet"),
+                 lambda p: pq.write_table(out, p))
+    atomic_json(os.path.join(ddir, f"_done_del{del_id}.json"),
+                {"n_ids": len(ids)})
+    return {"tombstoned": len(ids)}
+
+
 def ann_store_query(store_dir: str, queries: np.ndarray, k: int = 10,
                     nprobe: int = 4, round_to: int | None = 6):
     """Cosine top-k over the accumulated store: route each query to its
     ``nprobe`` nearest cells, open ONLY those cells' files (union over
     queries), brute-force inside.  ``nprobe == n_cells`` degrades to an
-    exact full scan of the union of all increments — the oracle mode."""
+    exact full scan of the union of all increments — the oracle mode.
+    Tombstoned vec_ids are masked from the candidate set with the
+    tiered anti-join (cost scales with the PROBED cells, not the
+    store)."""
     import ray.data
 
     index = _load_index(store_dir)
@@ -146,13 +186,37 @@ def ann_store_query(store_dir: str, queries: np.ndarray, k: int = 10,
     if not files:
         return ray.data.from_items([])
     pruned = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    del_files = _delete_files(store_dir)
+    if del_files:
+        from .join import anti_join
+
+        pruned = anti_join(
+            pruned, ray.data.read_parquet(del_files, columns=["vec_id"]),
+            on="vec_id")
     return ann_topk_bruteforce(pruned, np.asarray(queries), k=k,
                                round_to=round_to)
 
 
-def compact_ann_store(store_dir: str) -> dict:
+def compact_ann_store(store_dir: str, purge_deletes: bool = True) -> dict:
     """Bound the per-cell file count — the shared marker-gated fold
     (:func:`store_fold.fold_marker_complete`) over the ``cell=`` dirs;
     duplicate vectors from a crash window tie and rank adjacently by
-    vec_id until the next compaction folds them away."""
-    return fold_marker_complete(store_dir, "cell=*")
+    vec_id until the next compaction folds them away.  With
+    ``purge_deletes`` (default), tombstoned vec_ids are dropped from
+    every rewritten cell file — the physical purge, free because the
+    fold rewrites every surviving row anyway (tombstone files are
+    retained; re-masking purged ids is a no-op)."""
+    drop_fn = None
+    if purge_deletes:
+        del_files = _delete_files(store_dir)
+        if del_files:
+            def drop_fn(tbl: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                ids = pa.concat_tables(
+                    [pq.read_table(f, columns=["vec_id"])
+                     for f in del_files]).column("vec_id").combine_chunks()
+                return tbl.filter(
+                    pc.invert(pc.is_in(tbl.column("vec_id"),
+                                       value_set=ids)))
+    return fold_marker_complete(store_dir, "cell=*", drop_fn=drop_fn)

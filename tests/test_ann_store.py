@@ -176,3 +176,50 @@ def test_ann_store_compact_and_watermark(ray_session, tmp_path):
     assert res2["upto"] == 4
     with open(os.path.join(store, "_compact.json")) as f:
         assert json.load(f)["upto"] == 4
+
+
+def test_ann_store_delete_logical_then_physical(ray_session, tmp_path):
+    """Tombstoned vectors leave the candidate set immediately; the
+    purge removes them from every cell file; double/unknown deletes
+    are no-ops; an unmarked tombstone (crash window) is invisible."""
+    import ray.data
+
+    from sylk.stages.ann_store import (ann_delete, compact_ann_store)
+    from sylk.stages.similarity import ann_topk_bruteforce
+
+    store = str(tmp_path / "store")
+    tbl = _emb_table(100)
+    _ingest_slices(store, tbl, 3, n_cells=4)
+    queries = np.vstack(
+        [tbl.column("embedding")[i].as_py() for i in range(2)])
+
+    dels = [0, 5, 17, 9999]             # incl. a never-ingested id
+    ann_delete(store, dels, del_id=1)
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    rest = tbl.filter(pa.array(~np.isin(ids, dels)))
+    ref = (ann_topk_bruteforce(ray.data.from_arrow(rest), queries, k=5)
+           .to_pandas().sort_values(["query_idx", "vec_id"])
+           .reset_index(drop=True))
+    got = _query_df(store, queries, k=5, nprobe=4)
+    assert not set(got.vec_id) & set(dels)
+    assert got.equals(ref)
+
+    ann_delete(store, [0, 5], del_id=2)  # double delete: no-op
+    assert _query_df(store, queries, k=5, nprobe=4).equals(ref)
+
+    compact_ann_store(store)
+    import pyarrow.parquet as pq
+    for f in glob.glob(os.path.join(store, "cell=*", "*.parquet")):
+        left = pq.read_table(f, columns=["vec_id"]).column("vec_id")
+        assert not set(left.to_pylist()) & set(dels)
+    assert _query_df(store, queries, k=5, nprobe=4).equals(ref)
+
+    # crash window: a tombstone file without its marker is invisible
+    ann_delete(store, [1], del_id=3)
+    os.remove(os.path.join(store, "_deletes", "_done_del3.json"))
+    from sylk.stages.ann_store import _delete_files
+    assert not any("del3" in f for f in _delete_files(store))
+    assert _query_df(store, queries, k=5, nprobe=4).equals(ref)
+    ann_delete(store, [1], del_id=3)
+    assert any("del3" in f for f in _delete_files(store))
+    assert 1 not in set(_query_df(store, queries, k=5, nprobe=4).vec_id)
