@@ -1332,6 +1332,43 @@ def q_ann_store_deletes(sf_dir: str) -> pa.Table:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_index_match_docs(sf_dir: str) -> pa.Table:
+    """Boolean AND retrieval over the inverted-index store: the doc_ids
+    containing ALL of ('hash', 'join', 'filter'), from the same
+    3-increment store build as index_bm25 (pruned read, distinct-term
+    count == |terms|)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.text_index import index_ingest, index_match_docs
+
+    store = tempfile.mkdtemp(prefix="sylk_txtand_", dir="/tmp")
+    try:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+
+        def _slice(i):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == i))
+            return f
+
+        for i in range(3):
+            index_ingest(docs.map_batches(_slice(i),
+                                          batch_format="pyarrow",
+                                          batch_size=None,
+                                          zero_copy_batch=True),
+                         store, inc_id=i + 1, n_buckets=32)
+        out = index_match_docs(store, ["hash", "join", "filter"])
+        return _table(out, ["doc_id"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     """Oracle-checked LSH recall evidence (VERDICT r4 #2, the
     ann_ivf_recall pattern): hyperplane-band LSH at a deliberately
@@ -3991,6 +4028,16 @@ def _oracle_sql_entries() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, v.vec_id
             ) <= {_ANN_K}""",
+        # boolean AND retrieval: docs containing every query term
+        "index_match_docs": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents)
+            SELECT doc_id FROM toks
+            WHERE term IN ('hash', 'join', 'filter')
+            GROUP BY doc_id HAVING COUNT(*) = 3""",
         # right-to-be-forgotten on the vector store: full probe after
         # tombstoning vec_id % 5 == 0 equals brute force over the rest
         "ann_store_deletes": f"""
@@ -6218,4 +6265,5 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "ann_store_deletes": q_ann_store_deletes,
+    "index_match_docs": q_index_match_docs,
 }

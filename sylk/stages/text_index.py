@@ -417,6 +417,63 @@ def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
     return out
 
 
+def index_match_docs(store_dir: str, terms):
+    """Boolean AND retrieval over the store: doc_ids containing EVERY
+    query term.  Same pruned read as the BM25 probe (only the query
+    terms' buckets open, tombstones masked); a doc qualifies when its
+    distinct-term posting count equals |terms| — postings are unique
+    per (term, doc) store-wide (append-only contract), so a per-doc
+    row count after the term filter is the distinct-term count.
+    Returns Dataset[(doc_id,)]."""
+    import ray
+    import ray.data
+
+    terms = sorted(set(terms))
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    files = probe_files(store_dir, terms)
+    if not files:
+        return ray.data.from_arrow(empty)
+    term_arr = pa.array(terms, pa.string())
+    postings = (ray.data
+                .read_parquet(files, columns=["term", "doc_id"])
+                .map_batches(
+                    lambda t: t.filter(pc.is_in(t.column("term"),
+                                                value_set=term_arr)),
+                    batch_format="pyarrow", batch_size=None))
+    del_files = _delete_files(store_dir)
+    if del_files:
+        from .join import anti_join
+
+        postings = anti_join(
+            postings,
+            ray.data.read_parquet(del_files, columns=["doc_id"]),
+            on="doc_id")
+
+    def _hits(t: pa.Table) -> pa.Table:
+        # block-local combine (the BM25 _contrib shape)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(doc, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq.astype(np.int64),
+                                            pa.int64()),
+                         "hits": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    need = len(terms)
+    counted = (postings
+               .map_batches(_hits, batch_format="pyarrow",
+                            batch_size=None)
+               .groupby("doc_id")
+               .aggregate(Sum("hits", alias_name="hits")))
+
+    def _all_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("hits"),
+                                 need)).select(["doc_id"])
+
+    return counted.map_batches(_all_terms, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def compact_text_index(store_dir: str, purge_deletes: bool = True) -> dict:
     """Bound the per-bucket file count — the shared marker-gated fold
     over the ``term=`` dirs (the doc-length partition folds with them);

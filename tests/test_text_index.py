@@ -223,3 +223,34 @@ def test_index_delete_logical_then_physical(ray_session, tmp_path):
         assert not set(left.to_pylist()) & {0, 3, 7}
     assert _query_df(store).equals(got)
     assert deleted_stats(store) == (nd, ntok)
+
+
+def test_index_match_docs_and_semantics(ray_session, tmp_path):
+    """AND retrieval: every returned doc holds ALL query terms; adding
+    a corpus-absent term empties the result; tombstoned docs drop out.
+    (_docs_table docs hold words at 4 fixed stride-3 offsets, so
+    'hash scan table' co-occur in the offset-0 docs while the default
+    TERMS never co-occur — both directions asserted.)"""
+    from sylk.stages.text_index import index_delete, index_match_docs
+
+    store = str(tmp_path / "store")
+    tbl = _docs_table(40)
+    _ingest_slices(store, tbl, 2, n_buckets=8)
+
+    and_terms = ["hash", "scan", "table"]
+    got = sorted(index_match_docs(store, and_terms).to_pandas().doc_id)
+    want = sorted(
+        d for d, t in zip(tbl.column("doc_id").to_pylist(),
+                          tbl.column("text").to_pylist())
+        if all(q in (t or "").split() for q in and_terms))
+    assert got == want and got            # non-trivial on this corpus
+
+    # disjoint-by-construction terms AND to nothing
+    assert index_match_docs(store, TERMS).count() == 0
+    # a corpus-absent term empties any conjunction
+    assert index_match_docs(store, and_terms + ["zzznope"]).count() == 0
+
+    index_delete(store, want[:2], del_id=1)
+    got2 = sorted(index_match_docs(store,
+                                   and_terms).to_pandas().doc_id)
+    assert got2 == want[2:]
