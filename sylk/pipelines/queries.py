@@ -1369,6 +1369,43 @@ def q_index_match_docs(sf_dir: str) -> pa.Table:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_index_phrase_docs(sf_dir: str) -> pa.Table:
+    """Exact phrase retrieval over the inverted-index store: doc_ids
+    containing the consecutive token sequence 'part filter scan', from
+    the same 3-increment store build as index_bm25 (positional
+    postings, slot-shift start counting — text_index.index_phrase_docs)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.text_index import index_ingest, index_phrase_docs
+
+    store = tempfile.mkdtemp(prefix="sylk_txtphr_", dir="/tmp")
+    try:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+
+        def _slice(i):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == i))
+            return f
+
+        for i in range(3):
+            index_ingest(docs.map_batches(_slice(i),
+                                          batch_format="pyarrow",
+                                          batch_size=None,
+                                          zero_copy_batch=True),
+                         store, inc_id=i + 1, n_buckets=32)
+        out = index_phrase_docs(store, ["part", "filter", "scan"])
+        return _table(out, ["doc_id"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     """Oracle-checked LSH recall evidence (VERDICT r4 #2, the
     ann_ivf_recall pattern): hyperplane-band LSH at a deliberately
@@ -4038,6 +4075,19 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT doc_id FROM toks
             WHERE term IN ('hash', 'join', 'filter')
             GROUP BY doc_id HAVING COUNT(*) = 3""",
+        # exact phrase retrieval: consecutive-token window equality
+        # (1-based DuckDB list indexing over the same \s+ tokenization)
+        "index_phrase_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            win AS (SELECT doc_id, unnest(range(len(t) - 2)) AS p, t
+                    FROM toks WHERE len(t) >= 3)
+            SELECT DISTINCT doc_id FROM win
+            WHERE t[p + 1] = 'part' AND t[p + 2] = 'filter'
+              AND t[p + 3] = 'scan'""",
         # right-to-be-forgotten on the vector store: full probe after
         # tombstoning vec_id % 5 == 0 equals brute force over the rest
         "ann_store_deletes": f"""
@@ -6266,4 +6316,5 @@ QUERIES = {
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "ann_store_deletes": q_ann_store_deletes,
     "index_match_docs": q_index_match_docs,
+    "index_phrase_docs": q_index_phrase_docs,
 }

@@ -8,7 +8,8 @@ lookups, ad-hoc corpus search) a training-data pipeline needs.
 Store layout (the :mod:`store_fold` marker-gated contract)::
 
     store_dir/_index.json             # {n_buckets} metadata
-    store_dir/term=<b>/inc<id>.parquet       # term, doc_id, tf, dl
+    store_dir/term=<b>/inc<id>.parquet       # term, doc_id, tf, dl,
+                                             #   positions (list<int64>)
     store_dir/term=<b>/compact<upto>.parquet # folded increments
     store_dir/term=<n_buckets>/...           # doc-length partition: one
                                              #   (doc_id, dl) row per doc
@@ -79,7 +80,6 @@ import pyarrow.parquet as pq
 from .sample import content_hash64
 from .store_fold import (atomic_json, atomic_write, check_watermark,
                          fold_marker_complete)
-from .text import term_tf_rows
 
 
 def _term_buckets(terms, n_buckets: int) -> np.ndarray:
@@ -123,32 +123,52 @@ def index_ingest(docs_ds, store_dir: str, inc_id: int,
         # doc-length rows for EVERY doc (empty ones too — they count in
         # N and must be resolvable by index_delete), routed to the
         # reserved bucket n_buckets that no term can hash to
+        import pandas as pd
+
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         texts = batch.column(text_col).to_pylist()
-        lens = np.fromiter((len((t or "").split()) for t in texts),
-                           dtype=np.int64, count=len(texts))
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists),
+                           dtype=np.int64, count=len(tok_lists))
         doclen = pa.table({
             "bucket": pa.array(np.full(len(ids), n_buckets, np.int64)),
             "term": pa.array([None] * len(ids), pa.string()),
             "doc_id": pa.array(ids, pa.int64()),
             "tf": pa.array(np.zeros(len(ids), np.int64)),
-            "dl": pa.array(lens, pa.int64())})
-        rows = term_tf_rows(batch, text_col=text_col, id_col=id_col)
-        if rows.num_rows == 0:
+            "dl": pa.array(lens, pa.int64()),
+            "positions": pa.array([[]] * len(ids),
+                                  pa.list_(pa.int64()))})
+        flat = [w for tl in tok_lists for w in tl]
+        if not flat:
             return doclen
-        # dl per posting row: look up the doc's token count (one input
-        # row per doc, so ids are unique within the block)
-        doc = rows.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        dl = lens[order[np.searchsorted(ids[order], doc)]]
+        # positional postings (the term_tf_rows factorize kernel plus a
+        # per-(doc, term) position list for phrase queries): one stable
+        # sort by (doc, term-code) groups each posting's token slots
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        offs = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            np.cumsum(lens[:-1], out=offs[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - offs[doc_idx]
+        key = doc_idx * np.int64(len(uniques)) + codes
+        order = np.argsort(key, kind="stable")
+        uk, counts = np.unique(key, return_counts=True)
+        list_offs = np.zeros(len(uk) + 1, dtype=np.int64)
+        np.cumsum(counts, out=list_offs[1:])
+        positions = pa.ListArray.from_arrays(
+            pa.array(list_offs, pa.int32()),
+            pa.array(pos[order], pa.int64()))
+        post_doc = ids[(uk // len(uniques))]
+        terms_arr = uniques[uk % len(uniques)]
         post = pa.table({
-            "bucket": pa.array(
-                _term_buckets(rows.column("term").to_pylist(), n_buckets)),
-            "term": rows.column("term"),
-            "doc_id": rows.column("doc_id"),
-            "tf": rows.column("tf"),
-            "dl": pa.array(dl, pa.int64())})
+            "bucket": pa.array(_term_buckets(terms_arr.tolist(),
+                                             n_buckets)),
+            "term": pa.array(terms_arr, pa.string()),
+            "doc_id": pa.array(post_doc.astype(np.int64), pa.int64()),
+            "tf": pa.array(counts.astype(np.int64), pa.int64()),
+            "dl": pa.array(lens[(uk // len(uniques))], pa.int64()),
+            "positions": positions})
         return pa.concat_tables([post, doclen])
 
     def _one_bucket(g: pa.Table) -> pa.Table:
@@ -472,6 +492,95 @@ def index_match_docs(store_dir: str, terms):
 
     return counted.map_batches(_all_terms, batch_format="pyarrow",
                                batch_size=None)
+
+
+def index_phrase_docs(store_dir: str, phrase):
+    """Exact phrase retrieval over the store: doc_ids containing the
+    consecutive token sequence ``phrase``.  Positional postings make
+    this pruned like every other probe (only the phrase terms' buckets
+    open, tombstones masked).
+
+    Vectorized slot-shift shape — no per-doc Python verification: slot
+    ``i`` explodes term_i's position lists (Arrow ``list_flatten`` +
+    ``list_parent_indices``) and emits (doc_id, p = pos - i); a phrase
+    instance starting at p contributes one row from EVERY slot, so a
+    (doc, p) group with exactly |phrase| rows is a hit (positions are
+    unique per (term, doc), so no slot can double-emit — repeated
+    phrase words are separate slots and still count once each; a
+    (doc, p) short of slot 0 can never reach |phrase| rows, so
+    negative/stale starts die in the HAVING).  The exchange volume is
+    the phrase terms' total position count — term-frequency-bounded,
+    like the BM25 probe.  Returns Dataset[(doc_id,)]."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    phrase = list(phrase)
+    k = len(phrase)
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    files = probe_files(store_dir, set(phrase))
+    if not files or k == 0:
+        return ray.data.from_arrow(empty)
+    term_arr = pa.array(sorted(set(phrase)), pa.string())
+    postings = (ray.data
+                .read_parquet(files,
+                              columns=["term", "doc_id", "positions"])
+                .map_batches(
+                    lambda t: t.filter(pc.is_in(t.column("term"),
+                                                value_set=term_arr)),
+                    batch_format="pyarrow", batch_size=None))
+    del_files = _delete_files(store_dir)
+    if del_files:
+        from .join import anti_join
+
+        postings = anti_join(
+            postings,
+            ray.data.read_parquet(del_files, columns=["doc_id"]),
+            on="doc_id")
+
+    def _slots(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        terms = t.column("term").to_pylist()
+        docs_out, p_out = [], []
+        for i, ti in enumerate(phrase):
+            mask = pa.array([x == ti for x in terms])
+            sub = t.filter(mask)
+            if sub.num_rows == 0:
+                continue
+            plist = sub.column("positions").combine_chunks()
+            flat = pc.list_flatten(plist).to_numpy(zero_copy_only=False)
+            parent = pc.list_parent_indices(plist) \
+                .to_numpy(zero_copy_only=False)
+            doc = sub.column("doc_id").to_numpy(zero_copy_only=False)
+            docs_out.append(doc[parent])
+            p_out.append(flat - i)
+        if not docs_out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(docs_out).astype(np.int64),
+                               pa.int64()),
+            "p": pa.array(np.concatenate(p_out), pa.int64())})
+
+    starts = (postings
+              .map_batches(_slots, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby(["doc_id", "p"])
+              .aggregate(Count(alias_name="n")))
+
+    def _hits(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t.column("n"), k))
+                .select(["doc_id"]))
+
+    # distinct doc_ids (a doc may hold several phrase instances)
+    return (starts
+            .map_batches(_hits, batch_format="pyarrow", batch_size=None)
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(lambda t: t.select(["doc_id"]),
+                         batch_format="pyarrow", batch_size=None))
 
 
 def compact_text_index(store_dir: str, purge_deletes: bool = True) -> dict:

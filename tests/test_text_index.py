@@ -254,3 +254,45 @@ def test_index_match_docs_and_semantics(ray_session, tmp_path):
     got2 = sorted(index_match_docs(store,
                                    and_terms).to_pandas().doc_id)
     assert got2 == want[2:]
+
+
+def test_index_phrase_docs(ray_session, tmp_path):
+    """Phrase retrieval: consecutive-token semantics (AND of the same
+    terms is NOT enough), repeated-word phrases, multi-instance docs,
+    deletes respected."""
+    import ray.data
+
+    from sylk.stages.text_index import (index_delete, index_ingest,
+                                        index_phrase_docs)
+
+    store = str(tmp_path / "store")
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",        # 0: hit
+            "beta alpha gamma",              # 1: terms present, no phrase
+            "x alpha beta gamma y",          # 2: hit (offset start)
+            "alpha beta gamma alpha beta gamma",  # 3: two instances
+            "echo echo echo",                # 4: repeated-word phrase
+            "echo foo echo",                 # 5: not consecutive
+        ]),
+    })
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    for i in range(2):
+        index_ingest(ray.data.from_arrow(
+            tbl.filter(pa.array(ids % 2 == i))), store, inc_id=i + 1,
+            n_buckets=8)
+
+    def hits(phrase):
+        df = index_phrase_docs(store, phrase).to_pandas()
+        return sorted(df.doc_id.tolist()) if not df.empty else []
+
+    assert hits(["alpha", "beta", "gamma"]) == [0, 2, 3]
+    assert hits(["echo", "echo"]) == [4]
+    assert hits(["echo", "foo", "echo"]) == [5]
+    assert hits(["gamma", "delta"]) == [0]
+    assert hits(["delta", "alpha"]) == []
+    assert hits(["zzz", "alpha"]) == []
+
+    index_delete(store, [0, 3], del_id=1)
+    assert hits(["alpha", "beta", "gamma"]) == [2]
