@@ -296,3 +296,37 @@ def test_index_phrase_docs(ray_session, tmp_path):
 
     index_delete(store, [0, 3], del_id=1)
     assert hits(["alpha", "beta", "gamma"]) == [2]
+
+
+def test_index_store_positions_opt_out(ray_session, tmp_path):
+    """positions=False: BM25/AND probes identical, postings files carry
+    no positions column, phrase raises, schema choice enforced across
+    increments."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from sylk.stages.text_index import (index_ingest, index_match_docs,
+                                        index_phrase_docs)
+
+    lean = str(tmp_path / "lean")
+    full = str(tmp_path / "full")
+    tbl = _docs_table(40)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    for store, positions in ((lean, False), (full, True)):
+        for i in range(2):
+            index_ingest(ray.data.from_arrow(
+                tbl.filter(pa.array(ids % 2 == i))), store,
+                inc_id=i + 1, n_buckets=8, positions=positions)
+
+    assert _query_df(lean).equals(_query_df(full))
+    assert sorted(index_match_docs(lean, ["hash", "scan", "table"])
+                  .to_pandas().doc_id) \
+        == sorted(index_match_docs(full, ["hash", "scan", "table"])
+                  .to_pandas().doc_id)
+    for f in glob.glob(os.path.join(lean, "term=*", "*.parquet")):
+        assert "positions" not in pq.read_schema(f).names
+    with pytest.raises(ValueError, match="positions=False"):
+        index_phrase_docs(lean, ["hash", "scan"])
+    with pytest.raises(ValueError, match="positions"):
+        index_ingest(ray.data.from_arrow(tbl), lean, inc_id=3,
+                     n_buckets=8, positions=True)
