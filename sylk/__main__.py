@@ -6,6 +6,9 @@ Usage (also works under `ray job submit -- python -m sylk ...`)::
         [--files-per-unit 16] [--concurrent-units 2] [--num-cpus N]
     python -m sylk synth --out /tmp/corpus --rows 1000000
     python -m sylk serve --proto udp --port 5514   # live syslog server loop
+    python -m sylk index --input 'docs/*.parquet' --store S --inc-id 1
+    python -m sylk search --store S --terms 'hash join' --mode bm25 --k 10
+    python -m sylk forget --kind index --store S --ids 4,10 --del-id 1
     python -m sylk compact --kind ingest --store S --out O
     python -m sylk compact --kind upsert --store S --key-col k --order-col o
 
@@ -71,6 +74,48 @@ def main(argv=None) -> int:
                      help="exit after this many consecutive empty drains")
     srv.add_argument("--num-cpus", type=int, default=None)
 
+    idx = sub.add_parser(
+        "index",
+        help="ingest one document-parquet increment into an inverted "
+             "text-index store (term-hash positional postings; "
+             "increments are marker-gated and crash-safe)")
+    idx.add_argument("--input", required=True,
+                     help="glob of document parquet files")
+    idx.add_argument("--store", required=True)
+    idx.add_argument("--inc-id", type=int, required=True)
+    idx.add_argument("--n-buckets", type=int, default=32)
+    idx.add_argument("--no-positions", action="store_true",
+                     help="~35%% smaller postings; disables phrase search")
+    idx.add_argument("--text-col", default="text")
+    idx.add_argument("--id-col", default="doc_id")
+    idx.add_argument("--num-cpus", type=int, default=None)
+
+    srch = sub.add_parser(
+        "search",
+        help="probe an inverted text-index store (opens only the query "
+             "terms' buckets)")
+    srch.add_argument("--store", required=True)
+    srch.add_argument("--terms", required=True,
+                      help="space-separated query terms (for phrase "
+                           "mode: the phrase, in order)")
+    srch.add_argument("--mode", choices=("bm25", "and", "phrase"),
+                      default="bm25")
+    srch.add_argument("--k", type=int, default=None,
+                      help="bm25 only: top-k cut")
+    srch.add_argument("--num-cpus", type=int, default=None)
+
+    fgt = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten: tombstone ids in an index or ANN "
+             "store (logical mask now, physical purge at the next "
+             "`sylk compact`)")
+    fgt.add_argument("--kind", choices=("index", "ann"), required=True)
+    fgt.add_argument("--store", required=True)
+    fgt.add_argument("--ids", required=True,
+                     help="comma-separated doc_ids / vec_ids")
+    fgt.add_argument("--del-id", type=int, required=True)
+    fgt.add_argument("--num-cpus", type=int, default=None)
+
     cmp_ = sub.add_parser(
         "compact",
         help="store maintenance: bound an incremental store's file "
@@ -135,6 +180,59 @@ def main(argv=None) -> int:
                         totals.column("severity").to_pylist(),
                         totals.column("n").to_pylist())},
             }))
+            return 0
+
+        if args.cmd == "index":
+            import ray.data
+
+            from sylk.stages.text_index import index_ingest
+
+            files = sorted(glob.glob(args.input))
+            if not files:
+                ap.error(f"no files match {args.input}")
+            stats = index_ingest(
+                ray.data.read_parquet(files,
+                                      columns=[args.id_col, args.text_col]),
+                args.store, inc_id=args.inc_id, n_buckets=args.n_buckets,
+                text_col=args.text_col, id_col=args.id_col,
+                positions=not args.no_positions)
+            print(json.dumps({"inc_id": args.inc_id,
+                              "buckets": stats.num_rows,
+                              "rows": int(stats.column("n_rows")
+                                          .to_pandas().sum())}))
+            return 0
+
+        if args.cmd == "search":
+            from sylk.stages.text_index import (index_match_docs,
+                                                index_phrase_docs,
+                                                index_query_bm25)
+
+            terms = args.terms.split()
+            if args.mode == "bm25":
+                out = index_query_bm25(args.store, terms, k=args.k)
+            elif args.mode == "and":
+                out = index_match_docs(args.store, terms)
+            else:
+                out = index_phrase_docs(args.store, terms)
+            rows = out.take_all()
+            head = [{k: (v.item() if hasattr(v, "item") else v)
+                     for k, v in r.items()} for r in rows[:100]]
+            print(json.dumps({"mode": args.mode, "terms": terms,
+                              "n": len(rows), "rows": head}))
+            return 0
+
+        if args.cmd == "forget":
+            ids = [int(x) for x in args.ids.split(",") if x]
+            if args.kind == "index":
+                from sylk.stages.text_index import index_delete
+
+                print(json.dumps(index_delete(args.store, ids,
+                                              del_id=args.del_id)))
+            else:
+                from sylk.stages.ann_store import ann_delete
+
+                print(json.dumps(ann_delete(args.store, ids,
+                                            del_id=args.del_id)))
             return 0
 
         if args.cmd == "compact":
