@@ -1406,6 +1406,46 @@ def q_index_phrase_docs(sf_dir: str) -> pa.Table:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_index_bm25_asof(sf_dir: str) -> pa.Table:
+    """Time-travel read on the inverted-index store: the same
+    3-increment build as index_bm25 (increment i+1 = doc_id % 3 == i),
+    probed at as_of=2 — the snapshot must equal the one-shot SQL over
+    the first two increments' docs only, with N/avgdl/df all computed
+    at that horizon (text_index corpus_stats/probe_files as_of path;
+    delete interaction + watermark refusal are pytest-covered)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.text_index import index_ingest, index_query_bm25
+
+    store = tempfile.mkdtemp(prefix="sylk_txtasof_", dir="/tmp")
+    try:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+
+        def _slice(i):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 3 == i))
+            return f
+
+        for i in range(3):
+            index_ingest(docs.map_batches(_slice(i),
+                                          batch_format="pyarrow",
+                                          batch_size=None,
+                                          zero_copy_batch=True),
+                         store, inc_id=i + 1, n_buckets=32)
+        out = index_query_bm25(store, ["hash", "join", "filter"],
+                               as_of=2)
+        return _table(out, ["doc_id", "bm25"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     """Oracle-checked LSH recall evidence (VERDICT r4 #2, the
     ann_ivf_recall pattern): hyperplane-band LSH at a deliberately
@@ -4088,6 +4128,39 @@ def _oracle_sql_entries() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM win
             WHERE t[p + 1] = 'part' AND t[p + 2] = 'filter'
               AND t[p + 3] = 'scan'""",
+        # time-travel replay: the as_of=2 snapshot equals the one-shot
+        # BM25 over increments 1-2's docs only (doc_id % 3 <> 2)
+        "index_bm25_asof": r"""
+            WITH live AS (SELECT * FROM documents WHERE doc_id % 3 <> 2),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM live),
+            dltab AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                      FROM toks GROUP BY 1),
+            base AS (SELECT d.doc_id, COALESCE(l.dl, 0) AS dl
+                     FROM live d LEFT JOIN dltab l USING (doc_id)),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dl) AS BIGINT) AS tot FROM base),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+            piv AS (SELECT b.doc_id, b.dl,
+                COALESCE(MAX(CASE WHEN term = 'hash' THEN tf END), 0) AS tf1,
+                COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf2,
+                COALESCE(MAX(CASE WHEN term = 'filter' THEN tf END), 0) AS tf3
+                    FROM base b JOIN tf t ON b.doc_id = t.doc_id
+                    GROUP BY 1, 2),
+            df AS (SELECT
+                CAST(COUNT(DISTINCT CASE WHEN term='hash' THEN doc_id END) AS BIGINT) AS df1,
+                CAST(COUNT(DISTINCT CASE WHEN term='join' THEN doc_id END) AS BIGINT) AS df2,
+                CAST(COUNT(DISTINCT CASE WHEN term='filter' THEN doc_id END) AS BIGINT) AS df3
+                   FROM tf)
+            SELECT p.doc_id,
+                   ROUND(ln(((st.n - df.df1) + 0.5)/(df.df1 + 0.5) + 1.0) * ((p.tf1*2.2)/(p.tf1 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df2) + 0.5)/(df.df2 + 0.5) + 1.0) * ((p.tf2*2.2)/(p.tf2 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n))))
+                  + ln(((st.n - df.df3) + 0.5)/(df.df3 + 0.5) + 1.0) * ((p.tf3*2.2)/(p.tf3 + 1.2*((1.0-0.75) + (0.75*p.dl)/(CAST(st.tot AS DOUBLE)/st.n)))), 6) AS bm25
+            FROM piv p, st, df""",
         # right-to-be-forgotten on the vector store: full probe after
         # tombstoning vec_id % 5 == 0 equals brute force over the rest
         "ann_store_deletes": f"""
@@ -6317,4 +6390,5 @@ QUERIES = {
     "ann_store_deletes": q_ann_store_deletes,
     "index_match_docs": q_index_match_docs,
     "index_phrase_docs": q_index_phrase_docs,
+    "index_bm25_asof": q_index_bm25_asof,
 }

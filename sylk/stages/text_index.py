@@ -152,7 +152,12 @@ def index_ingest(docs_ds, store_dir: str, inc_id: int,
             "tf": pa.array(np.zeros(len(ids), np.int64)),
             "dl": pa.array(lens, pa.int64()),
             "positions": pa.array([[]] * len(ids),
-                                  pa.list_(pa.int64()))})
+                                  pa.list_(pa.int64())),
+            # source increment: constant per file (RLE ~free) but it
+            # SURVIVES compaction folds, which file names don't —
+            # index_delete splits its stats deltas by it so as_of
+            # probes subtract only deletes of docs inside the horizon
+            "_inc": pa.array(np.full(len(ids), inc_id, np.int64))})
         flat = [w for tl in tok_lists for w in tl]
         if not flat:
             return doclen.drop_columns(["positions"]) \
@@ -183,7 +188,8 @@ def index_ingest(docs_ds, store_dir: str, inc_id: int,
             "doc_id": pa.array(post_doc.astype(np.int64), pa.int64()),
             "tf": pa.array(counts.astype(np.int64), pa.int64()),
             "dl": pa.array(lens[(uk // len(uniques))], pa.int64()),
-            "positions": pos_lists})
+            "positions": pos_lists,
+            "_inc": pa.array(np.full(len(uk), inc_id, np.int64))})
         out = pa.concat_tables([post, doclen])
         return out.drop_columns(["positions"]) if not positions else out
 
@@ -221,16 +227,36 @@ def index_ingest(docs_ds, store_dir: str, inc_id: int,
     return pa.Table.from_pandas(stats, preserve_index=False)
 
 
-def corpus_stats(store_dir: str) -> tuple[int, int]:
+def corpus_stats(store_dir: str,
+                 as_of: int | None = None) -> tuple[int, int]:
     """(N docs, total tokens) across every marker-complete increment —
-    markers survive compaction, so this is exact at any point."""
+    markers survive compaction, so this is exact at any point.
+    ``as_of`` restricts to increments <= that horizon."""
     n_docs = n_tokens = 0
     for f in glob.glob(os.path.join(store_dir, "_done_inc*.json")):
+        inc = int(os.path.basename(f)[len("_done_inc"):-len(".json")])
+        if as_of is not None and inc > as_of:
+            continue
         with open(f) as fh:
             m = json.load(fh)
         n_docs += int(m["n_docs"])
         n_tokens += int(m["n_tokens"])
     return n_docs, n_tokens
+
+
+def _check_as_of(store_dir: str, as_of: int | None) -> None:
+    if as_of is None:
+        return
+    from .dedup_store import _compact_watermark
+
+    wm = _compact_watermark(store_dir)
+    if wm > as_of:
+        raise ValueError(
+            f"as_of={as_of} is below the compaction watermark {wm}: "
+            "increments up to the watermark are irreversibly folded "
+            "into compact files, so that snapshot no longer exists on "
+            "disk.  Compact less often (or keep a store copy) if you "
+            "need deeper time travel.")
 
 
 def _doclen_files(store_dir: str) -> list[str]:
@@ -255,16 +281,26 @@ def _delete_files(store_dir: str, exclude: int | None = None) -> list[str]:
     return sorted(out)
 
 
-def deleted_stats(store_dir: str) -> tuple[int, int]:
+def deleted_stats(store_dir: str,
+                  as_of: int | None = None) -> tuple[int, int]:
     """(docs, tokens) removed by marker-complete deletes — exact deltas
-    computed at delete time, so probes never rescan."""
+    computed at delete time, so probes never rescan.  With ``as_of``,
+    only the deltas of docs whose SOURCE increment is <= the horizon
+    count (the marker's ``by_inc`` breakdown): a tombstoned doc
+    ingested after the horizon was never in that snapshot."""
     n_docs = n_tokens = 0
     for f in glob.glob(os.path.join(store_dir, "_deletes",
                                     "_done_del*.json")):
         with open(f) as fh:
             m = json.load(fh)
-        n_docs += int(m["n_docs"])
-        n_tokens += int(m["n_tokens"])
+        if as_of is None:
+            n_docs += int(m["n_docs"])
+            n_tokens += int(m["n_tokens"])
+        else:
+            for inc, (nd, nt) in m["by_inc"].items():
+                if int(inc) <= as_of:
+                    n_docs += int(nd)
+                    n_tokens += int(nt)
     return n_docs, n_tokens
 
 
@@ -298,9 +334,13 @@ def index_delete(store_dir: str, doc_ids, del_id: int) -> dict:
     dl_files = _doclen_files(store_dir)
     ddir = os.path.join(store_dir, "_deletes")
     os.makedirs(ddir, exist_ok=True)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dl": pa.array([], pa.int64()),
+                      "_inc": pa.array([], pa.int64())})
     if dl_files:
         cand = semi_join(
-            ray.data.read_parquet(dl_files, columns=["doc_id", "dl"]),
+            ray.data.read_parquet(dl_files,
+                                  columns=["doc_id", "dl", "_inc"]),
             doc_ids, on="doc_id")
         prior = _delete_files(store_dir, exclude=del_id)
         if prior:
@@ -310,65 +350,70 @@ def index_delete(store_dir: str, doc_ids, del_id: int) -> dict:
                              on="doc_id")
         kept = [t for t in ray.get(cand.to_arrow_refs())
                 if t.num_columns > 0]
-        eff = pa.concat_tables(kept) if kept else pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "dl": pa.array([], pa.int64())})
+        eff = pa.concat_tables(kept) if kept else empty
     else:
-        eff = pa.table({"doc_id": pa.array([], pa.int64()),
-                        "dl": pa.array([], pa.int64())})
+        eff = empty
     n_docs = eff.num_rows
     n_tokens = int(pc.sum(eff.column("dl")).as_py() or 0)
+    # per-source-increment delta breakdown: as_of probes subtract only
+    # the deletes of docs INSIDE their horizon (deleted_stats)
+    by_inc = {}
+    if n_docs:
+        grouped = (eff.select(["_inc", "dl"]).append_column(
+            "n", pa.array(np.ones(n_docs, np.int64)))
+            .group_by("_inc").aggregate([("n", "sum"), ("dl", "sum")]))
+        by_inc = {str(int(i)): [int(n), int(d)] for i, n, d in zip(
+            grouped.column("_inc").to_pylist(),
+            grouped.column("n_sum").to_pylist(),
+            grouped.column("dl_sum").to_pylist())}
     out = eff.select(["doc_id"]).sort_by("doc_id")
     atomic_write(os.path.join(ddir, f"del{del_id}.parquet"),
                  lambda p: pq.write_table(out, p))
     atomic_json(os.path.join(ddir, f"_done_del{del_id}.json"),
-                {"n_docs": n_docs, "n_tokens": n_tokens})
+                {"n_docs": n_docs, "n_tokens": n_tokens,
+                 "by_inc": by_inc})
     return {"requested": doc_ids.count(), "deleted": n_docs,
             "tokens": n_tokens}
 
 
-def probe_files(store_dir: str, terms) -> list[str]:
+def probe_files(store_dir: str, terms,
+                as_of: int | None = None) -> list[str]:
     """A query's read set: every increment + compact file of the query
     terms' hash buckets ONLY (factored out so the pruning contract is
-    directly testable, the ann_store pattern)."""
+    directly testable, the ann_store pattern).  ``as_of`` drops inc
+    files above the horizon (compact files are always included — the
+    caller has already refused an as_of below the watermark, and every
+    fold's upto is <= the watermark)."""
     n_buckets = int(_load_meta(store_dir)["n_buckets"])
     out = []
     for b in sorted(set(_term_buckets(list(terms), n_buckets).tolist())):
         bdir = os.path.join(store_dir, f"term={b}")
-        out.extend(sorted(glob.glob(os.path.join(bdir, "inc*.parquet"))
-                          + glob.glob(os.path.join(bdir,
-                                                   "compact*.parquet"))))
+        incs = glob.glob(os.path.join(bdir, "inc*.parquet"))
+        if as_of is not None:
+            incs = [f for f in incs
+                    if int(os.path.basename(f)[len("inc"):-len(".parquet")])
+                    <= as_of]
+        out.extend(sorted(incs + glob.glob(os.path.join(
+            bdir, "compact*.parquet"))))
     return out
 
 
-def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
-                     b: float = 0.75, round_to: int | None = 6,
-                     k: int | None = None):
-    """Okapi BM25 over the accumulated store for a bag-of-words query:
-    open ONLY the query terms' buckets, df-reduce the pruned postings
-    (bounded by |terms|), broadcast {term -> idf}, score per posting
-    row and sum per doc.  Returns Dataset[(doc_id, bm25)] over docs
-    containing >= 1 query term (zero-tf terms contribute exactly 0.0,
-    so absent docs are exactly the score-0 ones); ``k`` adds a
-    descending top-k cut (ties broken by doc_id asc)."""
-    import ray
+def _pruned_postings(store_dir: str, terms, columns,
+                     as_of: int | None = None):
+    """Shared probe front end: pruned read of the query terms' buckets
+    (inc files cut at ``as_of``), is_in term filter, tombstone
+    anti-join (ALL tombstones, regardless of as_of — a forgotten doc
+    is not resurrectable by time travel).  Returns a Dataset or None
+    when nothing can match."""
     import ray.data
 
-    terms = list(terms)
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "bm25": pa.array([], pa.float64())})
-    n_docs, n_tokens = corpus_stats(store_dir)
-    n_del, tok_del = deleted_stats(store_dir)
-    n_docs, n_tokens = n_docs - n_del, n_tokens - tok_del
-    files = probe_files(store_dir, terms)
-    if not files or n_docs <= 0:
-        return ray.data.from_arrow(empty)
-    avgdl = float(n_tokens) / float(n_docs)
-    term_arr = pa.array(terms, pa.string())
-
+    _check_as_of(store_dir, as_of)
+    files = probe_files(store_dir, terms, as_of=as_of)
+    if not files:
+        return None
+    term_arr = pa.array(sorted(set(terms)), pa.string())
     postings = (ray.data
-                .read_parquet(files,
-                              columns=["term", "doc_id", "tf", "dl"])
+                .read_parquet(files, columns=columns)
                 .map_batches(
                     lambda t: t.filter(pc.is_in(t.column("term"),
                                                 value_set=term_arr)),
@@ -384,6 +429,42 @@ def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
             postings,
             ray.data.read_parquet(del_files, columns=["doc_id"]),
             on="doc_id")
+    return postings
+
+
+def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
+                     b: float = 0.75, round_to: int | None = 6,
+                     k: int | None = None, as_of: int | None = None):
+    """Okapi BM25 over the accumulated store for a bag-of-words query:
+    open ONLY the query terms' buckets, df-reduce the pruned postings
+    (bounded by |terms|), broadcast {term -> idf}, score per posting
+    row and sum per doc.  Returns Dataset[(doc_id, bm25)] over docs
+    containing >= 1 query term (zero-tf terms contribute exactly 0.0,
+    so absent docs are exactly the score-0 ones); ``k`` adds a
+    descending top-k cut (ties broken by doc_id asc).
+
+    ``as_of`` = snapshot read at an ingest horizon: only increments <=
+    as_of are scanned and N/avgdl/df come from that horizon's markers
+    (refused below the compaction watermark — folded snapshots no
+    longer exist).  Tombstones still apply in full: right-to-be-
+    forgotten wins over time travel, and the per-increment deltas the
+    delete markers carry keep the stats exact (a tombstoned doc
+    ingested AFTER the horizon subtracts nothing)."""
+    import ray
+    import ray.data
+
+    terms = list(terms)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "bm25": pa.array([], pa.float64())})
+    n_docs, n_tokens = corpus_stats(store_dir, as_of=as_of)
+    n_del, tok_del = deleted_stats(store_dir, as_of=as_of)
+    n_docs, n_tokens = n_docs - n_del, n_tokens - tok_del
+    postings = _pruned_postings(store_dir, terms,
+                                ["term", "doc_id", "tf", "dl"],
+                                as_of=as_of)
+    if postings is None or n_docs <= 0:
+        return ray.data.from_arrow(empty)
+    avgdl = float(n_tokens) / float(n_docs)
 
     # df reduce: one tiny partial per block (append-only contract means
     # one posting row per (term, doc) store-wide, so df = row count)
@@ -453,37 +534,23 @@ def index_query_bm25(store_dir: str, terms, k1: float = 1.2,
     return out
 
 
-def index_match_docs(store_dir: str, terms):
+def index_match_docs(store_dir: str, terms, as_of: int | None = None):
     """Boolean AND retrieval over the store: doc_ids containing EVERY
     query term.  Same pruned read as the BM25 probe (only the query
-    terms' buckets open, tombstones masked); a doc qualifies when its
-    distinct-term posting count equals |terms| — postings are unique
-    per (term, doc) store-wide (append-only contract), so a per-doc
-    row count after the term filter is the distinct-term count.
-    Returns Dataset[(doc_id,)]."""
+    terms' buckets open, tombstones masked, same ``as_of`` snapshot
+    semantics); a doc qualifies when its distinct-term posting count
+    equals |terms| — postings are unique per (term, doc) store-wide
+    (append-only contract), so a per-doc row count after the term
+    filter is the distinct-term count.  Returns Dataset[(doc_id,)]."""
     import ray
     import ray.data
 
     terms = sorted(set(terms))
     empty = pa.table({"doc_id": pa.array([], pa.int64())})
-    files = probe_files(store_dir, terms)
-    if not files:
+    postings = _pruned_postings(store_dir, terms, ["term", "doc_id"],
+                                as_of=as_of)
+    if postings is None:
         return ray.data.from_arrow(empty)
-    term_arr = pa.array(terms, pa.string())
-    postings = (ray.data
-                .read_parquet(files, columns=["term", "doc_id"])
-                .map_batches(
-                    lambda t: t.filter(pc.is_in(t.column("term"),
-                                                value_set=term_arr)),
-                    batch_format="pyarrow", batch_size=None))
-    del_files = _delete_files(store_dir)
-    if del_files:
-        from .join import anti_join
-
-        postings = anti_join(
-            postings,
-            ray.data.read_parquet(del_files, columns=["doc_id"]),
-            on="doc_id")
 
     def _hits(t: pa.Table) -> pa.Table:
         # block-local combine (the BM25 _contrib shape)
@@ -510,11 +577,11 @@ def index_match_docs(store_dir: str, terms):
                                batch_size=None)
 
 
-def index_phrase_docs(store_dir: str, phrase):
+def index_phrase_docs(store_dir: str, phrase, as_of: int | None = None):
     """Exact phrase retrieval over the store: doc_ids containing the
     consecutive token sequence ``phrase``.  Positional postings make
     this pruned like every other probe (only the phrase terms' buckets
-    open, tombstones masked).
+    open, tombstones masked, same ``as_of`` snapshot semantics).
 
     Vectorized slot-shift shape — no per-doc Python verification: slot
     ``i`` explodes term_i's position lists (Arrow ``list_flatten`` +
@@ -539,25 +606,11 @@ def index_phrase_docs(store_dir: str, phrase):
             "postings); phrase retrieval needs position lists — rebuild "
             "the store with positions=True.")
     empty = pa.table({"doc_id": pa.array([], pa.int64())})
-    files = probe_files(store_dir, set(phrase))
-    if not files or k == 0:
+    postings = _pruned_postings(store_dir, set(phrase),
+                                ["term", "doc_id", "positions"],
+                                as_of=as_of)
+    if postings is None or k == 0:
         return ray.data.from_arrow(empty)
-    term_arr = pa.array(sorted(set(phrase)), pa.string())
-    postings = (ray.data
-                .read_parquet(files,
-                              columns=["term", "doc_id", "positions"])
-                .map_batches(
-                    lambda t: t.filter(pc.is_in(t.column("term"),
-                                                value_set=term_arr)),
-                    batch_format="pyarrow", batch_size=None))
-    del_files = _delete_files(store_dir)
-    if del_files:
-        from .join import anti_join
-
-        postings = anti_join(
-            postings,
-            ray.data.read_parquet(del_files, columns=["doc_id"]),
-            on="doc_id")
 
     def _slots(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -330,3 +330,50 @@ def test_index_store_positions_opt_out(ray_session, tmp_path):
     with pytest.raises(ValueError, match="positions"):
         index_ingest(ray.data.from_arrow(tbl), lean, inc_id=3,
                      n_buckets=8, positions=True)
+
+
+def test_index_asof_snapshot(ray_session, tmp_path):
+    """Time-travel reads: as_of=h equals a store that only ever saw
+    increments <= h; tombstones always apply (forgotten docs are not
+    resurrectable) with per-source-increment stats deltas; snapshots
+    below the compaction watermark are refused."""
+    import ray.data
+
+    from sylk.stages.text_index import (compact_text_index, index_delete,
+                                        index_ingest, index_match_docs)
+
+    full = str(tmp_path / "full")
+    two = str(tmp_path / "two")
+    tbl = _docs_table(45)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    _ingest_slices(full, tbl, 3, n_buckets=8)
+    for i in range(2):   # reference store that never saw inc 3
+        index_ingest(ray.data.from_arrow(
+            tbl.filter(pa.array(ids % 3 == i))), two, inc_id=i + 1,
+            n_buckets=8)
+
+    snap = _query_df(full, as_of=2)
+    assert snap.equals(_query_df(two))
+    assert not snap.equals(_query_df(full))   # horizon actually cuts
+    assert sorted(index_match_docs(full, ["hash", "scan", "table"],
+                                   as_of=2).to_pandas().doc_id) \
+        == sorted(index_match_docs(two, ["hash", "scan", "table"])
+                  .to_pandas().doc_id)
+
+    # a tombstone of an inc-3 doc leaves the as_of=2 snapshot alone...
+    inc3_doc = int(ids[ids % 3 == 2][0])
+    index_delete(full, [inc3_doc], del_id=1)
+    assert _query_df(full, as_of=2).equals(snap)
+    # ...but a tombstone of an inc-1 doc hits it (GDPR beats time travel)
+    inc1_doc = int(snap.doc_id.iloc[0])
+    assert inc1_doc % 3 in (0, 1)
+    index_delete(full, [inc1_doc], del_id=2)
+    after = _query_df(full, as_of=2)
+    assert inc1_doc not in set(after.doc_id)
+    index_delete(two, [inc1_doc], del_id=1)
+    assert after.equals(_query_df(two))       # stats deltas exact
+
+    compact_text_index(full)
+    with pytest.raises(ValueError, match="watermark"):
+        _query_df(full, as_of=2)
+    assert len(_query_df(full, as_of=3)) == len(_query_df(full))
