@@ -120,16 +120,22 @@ def ann_ingest(emb_ds, store_dir: str, inc_id: int, n_cells: int = 16,
     return pa.Table.from_pandas(stats, preserve_index=False)
 
 
-def probe_files(store_dir: str, cells) -> list[str]:
+def probe_files(store_dir: str, cells,
+                as_of: int | None = None) -> list[str]:
     """A query's read set: every increment + compact file of the probed
     cells ONLY.  Factored out so the scan-pruning contract is directly
-    testable (tests assert non-probed ``cell=`` dirs never open)."""
+    testable (tests assert non-probed ``cell=`` dirs never open).
+    ``as_of`` drops inc files above the snapshot horizon (the caller
+    has already refused an as_of below the compaction watermark)."""
+    from .store_fold import filter_inc_files
+
     out = []
     for c in sorted(cells):
         cdir = os.path.join(store_dir, f"cell={c}")
-        out.extend(sorted(glob.glob(os.path.join(cdir, "inc*.parquet"))
-                          + glob.glob(os.path.join(cdir,
-                                                   "compact*.parquet"))))
+        incs = filter_inc_files(
+            glob.glob(os.path.join(cdir, "inc*.parquet")), as_of)
+        out.extend(sorted(incs + glob.glob(os.path.join(
+            cdir, "compact*.parquet"))))
     return out
 
 
@@ -169,20 +175,33 @@ def ann_delete(store_dir: str, vec_ids, del_id: int) -> dict:
 
 
 def ann_store_query(store_dir: str, queries: np.ndarray, k: int = 10,
-                    nprobe: int = 4, round_to: int | None = 6):
+                    nprobe: int = 4, round_to: int | None = 6,
+                    as_of: int | None = None):
     """Cosine top-k over the accumulated store: route each query to its
     ``nprobe`` nearest cells, open ONLY those cells' files (union over
     queries), brute-force inside.  ``nprobe == n_cells`` degrades to an
     exact full scan of the union of all increments — the oracle mode.
     Tombstoned vec_ids are masked from the candidate set with the
     tiered anti-join (cost scales with the PROBED cells, not the
-    store)."""
+    store).
+
+    ``as_of`` = snapshot read at an ingest horizon: only increments <=
+    as_of are scanned (refused below the compaction watermark).  No
+    corpus stats exist here, so the horizon is purely a scan cut —
+    centroids are trained by increment 1 and never move, so routing is
+    identical at every horizon.  Tombstones still apply in full
+    (right-to-be-forgotten wins over time travel)."""
     import ray.data
 
+    from .store_fold import check_as_of
+
+    check_as_of(store_dir, as_of)
     index = _load_index(store_dir)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]
-    files = probe_files(store_dir, {int(c) for row in probe for c in row})
+    files = probe_files(store_dir,
+                        {int(c) for row in probe for c in row},
+                        as_of=as_of)
     if not files:
         return ray.data.from_items([])
     pruned = ray.data.read_parquet(files, columns=["vec_id", "embedding"])

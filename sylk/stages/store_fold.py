@@ -30,7 +30,8 @@ import pyarrow.parquet as pq
 from .dedup_store import _compact_watermark, _write_watermark
 
 __all__ = ["atomic_write", "atomic_json", "fold_marker_complete",
-           "complete_increments", "check_watermark"]
+           "complete_increments", "check_watermark", "check_as_of",
+           "filter_inc_files"]
 
 
 def atomic_write(path: str, write_fn) -> None:
@@ -63,6 +64,31 @@ def check_watermark(store_dir: str, inc_id: int) -> None:
             f"inc_id {inc_id} <= compaction watermark {wm}: the "
             "increment is already folded into reserved compact files; "
             "rerunning it would duplicate its rows in every probe.")
+
+
+def check_as_of(store_dir: str, as_of: int | None) -> None:
+    """Refuse a snapshot read below the compaction watermark: those
+    increments are irreversibly folded into compact files, so the
+    snapshot no longer exists on disk."""
+    if as_of is None:
+        return
+    wm = _compact_watermark(store_dir)
+    if wm > as_of:
+        raise ValueError(
+            f"as_of={as_of} is below the compaction watermark {wm}: "
+            "increments up to the watermark are irreversibly folded "
+            "into compact files, so that snapshot no longer exists on "
+            "disk.  Compact less often (or keep a store copy) if you "
+            "need deeper time travel.")
+
+
+def filter_inc_files(inc_files, as_of: int | None):
+    """Drop ``inc<id>.parquet`` paths above the snapshot horizon."""
+    if as_of is None:
+        return list(inc_files)
+    return [f for f in inc_files
+            if int(os.path.basename(f)[len("inc"):-len(".parquet")])
+            <= as_of]
 
 
 def fold_marker_complete(store_dir: str, part_glob: str,

@@ -245,18 +245,9 @@ def corpus_stats(store_dir: str,
 
 
 def _check_as_of(store_dir: str, as_of: int | None) -> None:
-    if as_of is None:
-        return
-    from .dedup_store import _compact_watermark
+    from .store_fold import check_as_of
 
-    wm = _compact_watermark(store_dir)
-    if wm > as_of:
-        raise ValueError(
-            f"as_of={as_of} is below the compaction watermark {wm}: "
-            "increments up to the watermark are irreversibly folded "
-            "into compact files, so that snapshot no longer exists on "
-            "disk.  Compact less often (or keep a store copy) if you "
-            "need deeper time travel.")
+    check_as_of(store_dir, as_of)
 
 
 def _doclen_files(store_dir: str) -> list[str]:
@@ -388,11 +379,10 @@ def probe_files(store_dir: str, terms,
     out = []
     for b in sorted(set(_term_buckets(list(terms), n_buckets).tolist())):
         bdir = os.path.join(store_dir, f"term={b}")
-        incs = glob.glob(os.path.join(bdir, "inc*.parquet"))
-        if as_of is not None:
-            incs = [f for f in incs
-                    if int(os.path.basename(f)[len("inc"):-len(".parquet")])
-                    <= as_of]
+        from .store_fold import filter_inc_files
+
+        incs = filter_inc_files(
+            glob.glob(os.path.join(bdir, "inc*.parquet")), as_of)
         out.extend(sorted(incs + glob.glob(os.path.join(
             bdir, "compact*.parquet"))))
     return out

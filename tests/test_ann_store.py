@@ -32,10 +32,10 @@ def _ingest_slices(store, tbl, n_inc, n_cells=4):
                    n_cells=n_cells)
 
 
-def _query_df(store, queries, k=5, nprobe=4):
+def _query_df(store, queries, k=5, nprobe=4, **kw):
     from sylk.stages.ann_store import ann_store_query
 
-    return (ann_store_query(store, queries, k=k, nprobe=nprobe)
+    return (ann_store_query(store, queries, k=k, nprobe=nprobe, **kw)
             .to_pandas()
             .sort_values(["query_idx", "vec_id"])
             .reset_index(drop=True))
@@ -223,3 +223,41 @@ def test_ann_store_delete_logical_then_physical(ray_session, tmp_path):
     ann_delete(store, [1], del_id=3)
     assert any("del3" in f for f in _delete_files(store))
     assert 1 not in set(_query_df(store, queries, k=5, nprobe=4).vec_id)
+
+
+def test_ann_store_asof_snapshot(ray_session, tmp_path):
+    """as_of=h equals a store that only ever saw increments <= h
+    (stable centroids make routing horizon-invariant); tombstones still
+    apply; snapshots below the watermark are refused."""
+    import ray.data
+
+    from sylk.stages.ann_store import (ann_delete, compact_ann_store,
+                                       ann_ingest)
+
+    full = str(tmp_path / "full")
+    two = str(tmp_path / "two")
+    tbl = _emb_table(90)
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    _ingest_slices(full, tbl, 3, n_cells=4)
+    for i in range(2):
+        ann_ingest(ray.data.from_arrow(
+            tbl.filter(pa.array(ids % 3 == i))), two, inc_id=i + 1,
+            n_cells=4)
+    queries = np.vstack(
+        [tbl.column("embedding")[i].as_py() for i in range(2)])
+
+    snap = _query_df(full, queries, k=5, nprobe=4, as_of=2)
+    assert snap.equals(_query_df(two, queries, k=5, nprobe=4))
+    assert not snap.equals(_query_df(full, queries, k=5, nprobe=4))
+
+    # a tombstone hits the snapshot too (GDPR beats time travel)
+    victim = int(snap.vec_id.iloc[0])
+    ann_delete(full, [victim], del_id=1)
+    after = _query_df(full, queries, k=5, nprobe=4, as_of=2)
+    assert victim not in set(after.vec_id)
+
+    compact_ann_store(full)
+    with pytest.raises(ValueError, match="watermark"):
+        _query_df(full, queries, k=5, nprobe=4, as_of=2)
+    assert len(_query_df(full, queries, k=5, nprobe=4, as_of=3)) \
+        == len(_query_df(full, queries, k=5, nprobe=4))
